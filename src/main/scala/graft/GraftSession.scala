@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session defaults shared by Verify, Bench and tests.
+  *
+  * Scale posture (SURVEY §4.2 / the 100 TB design point): AQE on for
+  * runtime re-planning (coalescing post-shuffle partitions, skew-join
+  * splitting); shuffle partitions sized to the local core count here, to
+  * executor count × cores in a real deployment; UTC everywhere for
+  * oracle parity.
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); read as long + convert
+      // (Tables.events) — Spark has no nanosecond timestamp type.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+}

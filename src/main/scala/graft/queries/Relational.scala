@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational/aggregation operator coverage over the TPC-H-ish star schema
+  * (FIXTURES.md §B). These exercise the Spark surface the reference's
+  * fixed dataflow lacks (SURVEY §2.7 note: "no joins, sorts, top-k, set
+  * ops, window functions in the reference") but that any user of the
+  * rebuilt engine gets from the DataFrame/SQL surface — and they are the
+  * bench headliners whose *plans* must hold at 100 TB: broadcast joins for
+  * dims, partial aggregation before shuffle, pushed-down scans.
+  */
+object Relational {
+  import QueryDef.decSumSql
+
+  /** Exact sum of a clean-2-decimal double column: decimal accumulate,
+    * double out. All money columns in the test data carry 2-decimal
+    * values (deviation < 1e-9), so the decimal cast is unambiguous and
+    * identical across engines. */
+  private def decSum(c: Column, scale: Int = 10): Column =
+    sum(c.cast(DecimalType(38, scale))).cast("double")
+
+  // Exact decimal factors for money arithmetic. Products of decimals are
+  // exact in both engines (unlike double→decimal casts of products,
+  // which round through different double representations).
+  private def ext2: Column = col("l_extendedprice").cast(DecimalType(12, 2))
+  private def discMul: Column =
+    lit(BigDecimal(1)).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))
+  private def taxMul: Column =
+    lit(BigDecimal(1)).cast(DecimalType(4, 2)) + col("l_tax").cast(DecimalType(4, 2))
+
+  private val extSql  = "CAST(l_extendedprice AS DECIMAL(12,2))"
+  private val discSql = "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+  private val taxSql  = "(CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+
+  // ---------------------------------------------------------------- q1
+  // TPC-H Q1-shaped pricing summary: single scan, partial agg before the
+  // 32-partition shuffle; at scale the parquet scan prunes to 7 columns.
+  private def q1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity"), 2).as("sum_qty"),
+        decSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        sum(ext2 * discMul).cast("double").as("sum_disc_price"),
+        sum(ext2 * discMul * taxMul).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+
+  private val q1Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${decSumSql("l_quantity", 2)} AS sum_qty,
+       |  ${decSumSql("l_extendedprice", 2)} AS sum_base_price,
+       |  CAST(SUM($extSql * $discSql) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM($extSql * $discSql * $taxSql) AS DOUBLE) AS sum_charge,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q2
+  // Star join: fact × 3 dims. nation/customer are broadcast (dims stay
+  // small relative to the fact at every SF); only the fact-fact
+  // lineitem⨝orders shuffles, on the join key.
+  private def q2(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    val c  = Tables.customer(s, d)
+    val n  = Tables.nation(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(ext2 * discMul).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q2Sql =
+    s"""SELECT n_name,
+       |  CAST(SUM($extSql * $discSql) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |GROUP BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  // Top-k with total order (revenue desc, key asc): Spark plans
+  // TakeOrderedAndProject — no global sort, each partition keeps k.
+  private def q3(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(ext2 * discMul).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  private val q3Sql =
+    s"""SELECT l_orderkey,
+       |  CAST(SUM($extSql * $discSql) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |GROUP BY l_orderkey
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q4
+  // Window function: top-3 customers by balance per nation.
+  private def q4(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("rk"))
+  }
+
+  private val q4Sql =
+    """SELECT c_nationkey, c_custkey, c_acctbal, rk
+      |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+      |        ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |                           ORDER BY c_acctbal DESC, c_custkey) AS rk
+      |      FROM customer)
+      |WHERE rk <= 3""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  // Left-semi join (EXISTS): customers having at least one open order.
+  private def q5(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           decSum(col("c_acctbal"), 2).as("total_bal"))
+  }
+
+  private val q5Sql =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+       |  ${decSumSql("c_acctbal", 2)} AS total_bal
+       |FROM customer
+       |WHERE EXISTS (SELECT 1 FROM orders
+       |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+       |GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q6
+  // Left-anti join (NOT EXISTS): customers with no 'P' orders.
+  private def q6(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_idle_customers"))
+  }
+
+  private val q6Sql =
+    """SELECT c_nationkey, COUNT(*) AS n_idle_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |GROUP BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q7
+  // Distinct aggregation over the events stream table.
+  private def q7(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        decSum(col("value"), 2).as("total_value"))
+
+  private val q7Sql =
+    s"""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+       |  COUNT(*) AS n_events, ${decSumSql("value", 2)} AS total_value
+       |FROM events
+       |GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q8
+  // ROLLUP grouping sets (reference has none — SURVEY §2.6 note).
+  private def q8(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), decSum(col("l_quantity"), 2).as("qty"))
+
+  private val q8Sql =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${decSumSql("l_quantity", 2)} AS qty
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---------------------------------------------------------------- q9
+  // Exact order statistics per group, using the reference's sort-based
+  // discrete percentile: sorted[floor(n*p)] (mqtt_publish.js:84-96). A
+  // rank/count window + pure-integer index arithmetic ((n*p) div 100) —
+  // no floating point in index or interpolation, so the result is an
+  // actual data value, bit-exact in any engine. At scale this is one
+  // shuffle on the group key + per-partition sort.
+  private def q9(s: SparkSession, d: String): DataFrame = {
+    val w  = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val wn = Window.partitionBy(col("event_type"))
+    def idx(p: Int): Column = expr(s"((n * $p) DIV 100) + 1")
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("sum_v", sum(col("value").cast(DecimalType(38, 2))).over(wn))
+      .filter(
+        col("rn") === idx(50) || col("rn") === idx(95) || col("rn") === idx(99) ||
+        col("rn") === 1 || col("rn") === col("n"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") === 1, col("value"))).as("min_v"),
+        max(when(col("rn") === col("n"), col("value"))).as("max_v"),
+        max(when(col("rn") === idx(50), col("value"))).as("p50"),
+        max(when(col("rn") === idx(95), col("value"))).as("p95"),
+        max(when(col("rn") === idx(99), col("value"))).as("p99"),
+        (max(col("sum_v")).cast("double") / max(col("n"))).as("avg_v"))
+  }
+
+  private val q9Sql =
+    """WITH ranked AS (
+      |  SELECT event_type, value, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    SUM(CAST(value AS DECIMAL(38,2))) OVER (PARTITION BY event_type) AS sum_v
+      |  FROM events)
+      |SELECT event_type,
+      |  MAX(CASE WHEN rn = 1 THEN value END) AS min_v,
+      |  MAX(CASE WHEN rn = n THEN value END) AS max_v,
+      |  MAX(CASE WHEN rn = ((n * 50) // 100) + 1 THEN value END) AS p50,
+      |  MAX(CASE WHEN rn = ((n * 95) // 100) + 1 THEN value END) AS p95,
+      |  MAX(CASE WHEN rn = ((n * 99) // 100) + 1 THEN value END) AS p99,
+      |  CAST(MAX(sum_v) AS DOUBLE) / MAX(n) AS avg_v
+      |FROM ranked
+      |GROUP BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- q10
+  // Fixed-bin histogram (AG4, visualization.py:36): 15 bins over [0,200).
+  // Integer bucket arithmetic — identical in both engines.
+  private def q10(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(least(greatest(floor(col("value") * 15.0 / 200.0), lit(0)), lit(14))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  private val q10Sql =
+    """SELECT CAST(LEAST(GREATEST(FLOOR(value * CAST(15 AS DOUBLE) / CAST(200 AS DOUBLE)), 0), 14) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q1_pricing_summary", q1, Some(q1Sql)),
+    QueryDef("q2_revenue_by_nation", q2, Some(q2Sql)),
+    QueryDef("q3_top_orders", q3, Some(q3Sql)),
+    QueryDef("q4_window_top_customers", q4, Some(q4Sql)),
+    QueryDef("q5_semi_join_segments", q5, Some(q5Sql)),
+    QueryDef("q6_anti_join_idle_customers", q6, Some(q6Sql)),
+    QueryDef("q7_distinct_users", q7, Some(q7Sql)),
+    QueryDef("q8_rollup", q8, Some(q8Sql)),
+    QueryDef("q9_value_stats", q9, Some(q9Sql)),
+    QueryDef("q10_histogram", q10, Some(q10Sql)))
+}

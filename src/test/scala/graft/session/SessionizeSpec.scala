@@ -1,0 +1,99 @@
+package graft.session
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+import graft.schema.TelemetryModel.{SessionDoc, StatusEvent}
+
+class SessionizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def touch(dev: String, ts: Long, action: String = "touch") =
+    StatusEvent("device_status", "cable-unplugged", action, dev, ts, None, None)
+
+  test("ST1a: session_window groups touches by 300s gaps per device") {
+    val rows = Seq(
+      ("d1", 1000L), ("d1", 1100L), ("d1", 1399L),
+      ("d1", 1699L),  // gap exactly 300 → still merged (windows touch)
+      ("d1", 2000L),  // gap 301 → new session
+      ("d2", 1000L))
+      .map { case (d, t) => (d, new Timestamp(t * 1000)) }
+      .toDF("device_uuid", "ts")
+    val out = Sessionize.bySessionWindow(rows, "device_uuid", "ts")
+      .select($"device_uuid", unix_timestamp($"start_ts").as("s"),
+        unix_timestamp($"end_ts").as("e"), $"n_touches")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      ("d1", 1000L, 1699L, 4L), ("d1", 2000L, 2000L, 1L), ("d2", 1000L, 1000L, 1L)))
+  }
+
+  test("ST1b streaming: TTL lapse closes sessions via watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatusEvent]
+    val sessions = Sessionize.stateful(
+      input.toDS()
+        .withColumn("event_ts", timestamp_seconds($"timestamp"))
+        .withWatermark("event_ts", "0 seconds")
+        .as[StatusEvent])
+    val q = sessions.writeStream.format("memory").queryName("sess1")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(touch("d1", 1000), touch("d1", 1100), touch("d2", 1000))
+      q.processAllAvailable()
+      // advance event time far past 1100+300 → d1/d2 sessions time out
+      input.addData(touch("d3", 9000))
+      q.processAllAvailable()
+      input.addData(touch("d3", 20000)) // push watermark again to flush d3's first
+      q.processAllAvailable()
+      val got = spark.table("sess1").as[SessionDoc].collect()
+        .sortBy(s => (s.device_uuid, s.start_timestamp))
+      assert(got.map(s => (s.device_uuid, s.start_timestamp, s.end_timestamp,
+        s.n_touches, s.closed_by)).toSeq == Seq(
+        ("d1", 1000L, 1100L, 2L, "ttl"),
+        ("d2", 1000L, 1000L, 1L, "ttl"),
+        ("d3", 9000L, 9000L, 1L, "ttl")))
+    } finally q.stop()
+  }
+
+  test("ST1b streaming: explicit clear closes the session immediately") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatusEvent]
+    val sessions = Sessionize.stateful(
+      input.toDS()
+        .withColumn("event_ts", timestamp_seconds($"timestamp"))
+        .withWatermark("event_ts", "0 seconds")
+        .as[StatusEvent])
+    val q = sessions.writeStream.format("memory").queryName("sess2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(touch("d1", 1000), touch("d1", 1050), touch("d1", 1060, "clear"))
+      q.processAllAvailable()
+      val got = spark.table("sess2").as[SessionDoc].collect()
+      assert(got.map(s => (s.device_uuid, s.start_timestamp, s.end_timestamp,
+        s.n_touches, s.closed_by)).toSeq == Seq(("d1", 1000L, 1050L, 2L, "clear")))
+    } finally q.stop()
+  }
+
+  test("ST1b: within-batch gap larger than TTL splits sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatusEvent]
+    val sessions = Sessionize.stateful(
+      input.toDS()
+        .withColumn("event_ts", timestamp_seconds($"timestamp"))
+        .withWatermark("event_ts", "0 seconds")
+        .as[StatusEvent])
+    val q = sessions.writeStream.format("memory").queryName("sess3")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(touch("d1", 1000), touch("d1", 2000), touch("d1", 2100))
+      q.processAllAvailable()
+      val got = spark.table("sess3").as[SessionDoc].collect()
+      assert(got.map(s => (s.start_timestamp, s.end_timestamp, s.n_touches,
+        s.closed_by)).toSeq == Seq((1000L, 1000L, 1L, "ttl")))
+    } finally q.stop()
+  }
+}
