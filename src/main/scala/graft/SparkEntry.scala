@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.derive.{EventsAdapter, ViolationDeriver}
-import graft.queries.{PipelineQueries, QueryDef, Relational}
+import graft.queries.{DedupQueries, PipelineQueries, QueryDef, Relational, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
 
   /** All registered queries, grouped by module. */
   def allDefs: Seq[QueryDef] =
-    Relational.all ++ PipelineQueries.all
+    Relational.all ++ PipelineQueries.all ++ TextQueries.all ++ DedupQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core dataflow: telemetry → violation events

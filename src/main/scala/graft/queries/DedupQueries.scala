@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.{MinHashLSH, SimHash}
+import graft.text.TextFunctions
+
+/** Deduplication operator family over `documents` (SURVEY §7.5): exact
+  * hash dedup, normalized fingerprint, MinHash-LSH candidates, exact
+  * n-gram Jaccard verification, SimHash fingerprints. All hashing is the
+  * portable md5 scheme, so even the LSH pipeline is oracle-checked
+  * bit-for-bit against DuckDB. */
+object DedupQueries {
+
+  // -------------------------------------------------------- dedup_exact
+  // Exact dedup on a normalized content fingerprint: one shuffle on the
+  // hash; keeper = min doc_id per group (at 100 TB: hash is 32 bytes vs
+  // full text — group on the digest, never on the document body).
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+
+  private val dedupExactSql =
+    """SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS keeper_id
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------- dedup_minhash_lsh
+  // LSH candidate generation: signatures are map-only; the only shuffle
+  // groups (band, bucket) keys. Candidate count scales with true
+  // collisions, not n².
+  private def minhashCands(s: SparkSession, d: String): DataFrame = {
+    val sigs = MinHashLSH.signatures(Tables.documents(s, d), "doc_id", "text")
+    MinHashLSH.candidatePairs(sigs, "doc_id")
+  }
+
+  private def minhashCandsSql =
+    s"""WITH ${MinHashLSH.duckdbSignatureCte},
+       |${MinHashLSH.duckdbCandidateCte}
+       |SELECT a_id, b_id, est_sim FROM cands""".stripMargin
+
+  // ------------------------------------------------ dedup_ngram_jaccard
+  // Exact word-3-gram Jaccard, verified only on LSH candidates (the
+  // scale path: verification cost ∝ candidates). Threshold 0.5.
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sigs  = MinHashLSH.signatures(Tables.documents(s, d), "doc_id", "text")
+    val cands = MinHashLSH.candidatePairs(sigs, "doc_id")
+    MinHashLSH.verifiedPairs(cands, sigs, "doc_id", 0.5)
+  }
+
+  private def ngramJaccardSql =
+    s"""WITH ${MinHashLSH.duckdbSignatureCte},
+       |${MinHashLSH.duckdbCandidateCte},
+       |verified AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |  FROM cands c
+       |  JOIN sigs a ON a.doc_id = c.a_id
+       |  JOIN sigs b ON b.doc_id = c.b_id)
+       |SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin
+
+  // ------------------------------------------------------ dedup_simhash
+  private def simhashQ(s: SparkSession, d: String): DataFrame =
+    SimHash.simhash(Tables.documents(s, d), "doc_id", "text")
+
+  private def simhashSql =
+    s"""WITH ${SimHash.duckdbCte}
+       |SELECT doc_id, simhash FROM sim""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("dedup_minhash_lsh", minhashCands, Some(minhashCandsSql)),
+    QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QueryDef("dedup_simhash", simhashQ, Some(simhashSql)))
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextFunctions._
+
+/** Text-analysis operators over `documents` (SURVEY §7.5): token
+  * counting, quality scoring, language ID — all pure column expressions
+  * (map-only at scale), each mirrored in DuckDB. */
+object TextQueries {
+
+  /** Language marker words, checked in fixed priority order for
+    * deterministic argmax ties. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "de"),
+    "fr" -> Seq("le", "les", "des", "est", "et"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  // --------------------------------------------------------- text_stats
+  // Per-document token/char counts, type-token ratio, stopword ratio and
+  // a deterministic composite quality score.
+  private def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"),
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("sum_tok_len"),
+        markerCount("toks", stopwords).cast("long").as("n_stop"))
+      .withColumn("avg_tok_len",
+        col("sum_tok_len").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        least(col("n_tokens"), lit(100)).cast("double") / 100.0 *
+          (lit(0.5) + lit(0.5) * col("ttr")))
+      .drop("sum_tok_len")
+
+  private def textStatsSql = {
+    val toks = tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, $toks AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars_m,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_tok_len,
+       |    CAST(${markerCountSql("toks", stopwords)} AS BIGINT) AS n_stop
+       |  FROM t)
+       |SELECT doc_id, n_chars_m, n_tokens, n_types, n_stop,
+       |  CAST(sum_tok_len AS DOUBLE) / n_tokens AS avg_tok_len,
+       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |  CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+       |  CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100.0 *
+       |    (0.5 + 0.5 * (CAST(n_types AS DOUBLE) / n_tokens)) AS quality_score
+       |FROM m""".stripMargin
+  }
+
+  // ------------------------------------------------------------ lang_id
+  // n-gram/marker-word language scoring with deterministic priority-order
+  // argmax; emits the per-language scores alongside the prediction.
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    val withScores = langMarkers.foldLeft(
+      Tables.documents(s, d).withColumn("toks", tokens(col("text")))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"score_$lang", markerCount("toks", markers).cast("long"))
+    }
+    val pred = langMarkers.init.foldRight(
+      lit(langMarkers.last._1): org.apache.spark.sql.Column) {
+      case ((lang, _), acc) =>
+        val others = langMarkers.map(_._1).filter(_ != lang)
+          .map(o => col(s"score_$lang") >= col(s"score_$o")).reduce(_ && _)
+        when(others, lit(lang)).otherwise(acc)
+    }
+    val outCols = Seq(col("doc_id"), col("lang").as("lang_label"),
+      col("lang_pred")) ++ langMarkers.map { case (l, _) => col(s"score_$l") }
+    withScores
+      .withColumn("lang_pred", pred)
+      .select(outCols: _*)
+  }
+
+  private def langIdSql = {
+    val toks  = tokensSql("text")
+    val score = langMarkers.map { case (l, m) =>
+      s"CAST(${markerCountSql("toks", m)} AS BIGINT) AS score_$l"
+    }.mkString(",\n    ")
+    val pred = langMarkers.init.foldRight(s"'${langMarkers.last._1}'") {
+      case ((lang, _), acc) =>
+        val others = langMarkers.map(_._1).filter(_ != lang)
+          .map(o => s"score_$lang >= score_$o").mkString(" AND ")
+        s"CASE WHEN $others THEN '$lang' ELSE $acc END"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $toks AS toks FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    $score
+       |  FROM t)
+       |SELECT doc_id, lang AS lang_label,
+       |  $pred AS lang_pred,
+       |  ${langMarkers.map(m => s"score_${m._1}").mkString(", ")}
+       |FROM scored""".stripMargin
+  }
+
+  // ----------------------------------------------------- text_lang_agg
+  // Corpus-level rollup: token totals per (label, source) — the grouped
+  // shape a curation pipeline reports on.
+  private def langAgg(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        max(size(col("toks")).cast("long")).as("max_tokens"))
+
+  private def langAggSql = {
+    val toks = tokensSql("text")
+    s"""SELECT lang, source, COUNT(*) AS n_docs,
+       |  SUM(CAST(len($toks) AS BIGINT)) AS total_tokens,
+       |  SUM(n_chars) AS total_chars,
+       |  MAX(len($toks)) AS max_tokens
+       |FROM documents
+       |GROUP BY lang, source""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("text_stats", textStats, Some(textStatsSql)),
+    QueryDef("lang_id", langId, Some(langIdSql)),
+    QueryDef("text_lang_agg", langAgg, Some(langAggSql)))
+}

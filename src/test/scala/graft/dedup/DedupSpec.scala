@@ -1,0 +1,57 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.text.TextFunctions
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines and plans"),
+    (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("tokens/shingles: trigram construction and short-doc guard") {
+    val out = Seq((1L, "a b c d"), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("sh", TextFunctions.shingles("toks", 3))
+      .select($"doc_id", $"sh").as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L) == Seq.empty)
+    assert(out(3L) == Seq.empty)
+  }
+
+  test("minhash: exact dup has est_sim 1.0 and identical signature") {
+    val sigs = MinHashLSH.signatures(docs, "doc_id", "text")
+    val cands = MinHashLSH.candidatePairs(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cands((1L, 4L)) == 1.0)
+    // near-dup pair must be found as a candidate with high estimate
+    assert(cands.contains((1L, 2L)) || cands.contains((2L, 4L)))
+    // unrelated doc 3 never pairs
+    assert(!cands.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("jaccard verify: exact dup 1.0, near-dup in (0,1), computed exactly") {
+    val sigs  = MinHashLSH.signatures(docs, "doc_id", "text")
+    val cands = MinHashLSH.candidatePairs(sigs, "doc_id")
+    val pairs = MinHashLSH.verifiedPairs(cands, sigs, "doc_id", 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    // docs 1/2 share 6 of their 7 trigrams → jaccard 6/8
+    pairs.get((1L, 2L)).foreach(j => assert(j == 6.0 / 8.0))
+  }
+
+  test("simhash: identical text → identical fingerprint; different text differs") {
+    val out = SimHash.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(4L))
+    assert(out(1L) != out(3L))
+    assert(out.values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+}
