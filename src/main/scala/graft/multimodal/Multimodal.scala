@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (SURVEY §7.5): media as opaque `binary`
+  * columns + typed metadata structs, with decode / feature-extraction as
+  * partition-batched typed transforms.
+  *
+  * The Spark-side plumbing is real and load-bearing: schema'd binary
+  * ingestion, `mapPartitions` batch iteration (one codec instance per
+  * partition, not per row — the shape a JNI/FFmpeg/libjpeg binding
+  * needs), typed output Datasets. The codec itself is a STUB
+  * ([[FakeCodec]]): this container has no image/audio libraries, so
+  * decode is a deterministic fake over the bytes — swap
+  * [[FakeCodec.decode]] for a real binding without touching any plumbing.
+  *
+  * At 100 TB: media blobs dominate bytes; the decode pass is map-only
+  * and must run AFTER pushdown-able predicate filtering on metadata
+  * columns, never before (filter on the cheap columns, decode the
+  * survivors). Partitioning by content hash keeps blob shuffles off the
+  * wire entirely.
+  */
+object Multimodal {
+
+  case class BinaryRecord(id: Long, content: Array[Byte])
+  case class ImageMeta(id: Long, n_bytes: Long, format: String,
+                       width: Int, height: Int, luma: Double)
+  case class Frame(id: Long, frame_idx: Int, frame_hash: String)
+
+  /** STUB codec — deterministic fake standing in for libjpeg/FFmpeg.
+    * Every output is pure arithmetic over the bytes so tests (and the
+    * DuckDB oracle) can verify the full pipeline. */
+  object FakeCodec {
+    private val formats = Array("jpeg", "png", "webp")
+
+    def md5Hex(bytes: Array[Byte]): String =
+      MessageDigest.getInstance("MD5").digest(bytes)
+        .map(b => f"$b%02x").mkString
+
+    def decode(id: Long, bytes: Array[Byte]): ImageMeta = {
+      val h   = java.lang.Long.parseLong(md5Hex(bytes).substring(0, 15), 16)
+      val len = bytes.length.toLong
+      ImageMeta(
+        id, len,
+        formats((len % 3).toInt),
+        (64 + h % 512).toInt,
+        (64 + (h / 512) % 512).toInt,
+        (len % 256).toDouble / 255.0)
+    }
+
+    /** Fake frame sampler: one "frame" per 100 bytes, capped at 8. */
+    def sampleFrames(id: Long, bytes: Array[Byte]): Seq[Frame] = {
+      val n = math.min(8L, bytes.length / 100).toInt
+      (0 until n).map { i =>
+        val slice = bytes.slice(i * 100, i * 100 + 100)
+        Frame(id, i, md5Hex(slice))
+      }
+    }
+  }
+
+  private implicit val metaEnc: Encoder[ImageMeta] = Encoders.product[ImageMeta]
+  private implicit val frameEnc: Encoder[Frame]    = Encoders.product[Frame]
+  private implicit val binEnc: Encoder[BinaryRecord] = Encoders.product[BinaryRecord]
+
+  /** df(idCol: long, binCol: binary) → typed image metadata. One codec
+    * instantiation per partition (the mapPartitions batch shape). */
+  def decodeImageMeta(df: DataFrame, idCol: String, binCol: String): Dataset[ImageMeta] =
+    df.select(col(idCol).as("id"), col(binCol).as("content"))
+      .as[BinaryRecord]
+      .mapPartitions { batch =>
+        // per-partition setup happens here (real codec: allocate context)
+        batch.map(r => FakeCodec.decode(r.id, r.content))
+      }
+
+  /** df(idCol, binCol) → one row per sampled frame (flatMap shape). */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String): Dataset[Frame] =
+    df.select(col(idCol).as("id"), col(binCol).as("content"))
+      .as[BinaryRecord]
+      .mapPartitions(_.flatMap(r => FakeCodec.sampleFrames(r.id, r.content)))
+}
