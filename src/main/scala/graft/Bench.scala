@@ -1,19 +1,45 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Bench main (driver contract): one JSON line with per-query seconds at
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology: a warmup pass at sf0.001 first (JIT + codegen caches —
+  * otherwise the first query pays ~5 s of JVM warmup and the numbers
+  * measure HotSpot, not the plans), then each query timed end-to-end
+  * with a `noop`-sink write, which materializes every output column
+  * (`count()` would let Catalyst skip projections entirely).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def materialize(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // warmup at the smallest SF (JIT, codegen cache, parquet footers)
+    names.foreach { n =>
+      try materialize(n, "/root/testdata/sf0.001")
+      catch { case _: Throwable => () }
+    }
+
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(name, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -13,6 +13,18 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a DataFrame across the cluster before a CPU-bound stage.
+    *
+    * The test parquet files are single-row-group, so Spark reads each as
+    * ONE partition — every pre-shuffle expression (md5, regex, HOF
+    * lambdas) would run on one core of 32. At 100 TB inputs arrive as
+    * thousands of splits and this is a no-op decision; on small inputs
+    * the round-robin shuffle (a few MB) buys full-width parallelism for
+    * the expensive map stage that follows. AQE cannot help here — it
+    * only re-plans *after* a shuffle exists. */
+  def parallelize(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

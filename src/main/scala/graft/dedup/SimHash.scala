@@ -21,20 +21,28 @@ object SimHash {
   /** Token hash reduced to 32 bits so bit votes stay in Int range. */
   val Mod = 4294967296L // 2^32
 
-  /** docs(idCol, textCol) → (id, simhash: long). */
+  /** docs(idCol, textCol) → (id, simhash: long).
+    *
+    * Row pipeline (explode distinct tokens → 32 codegen'd sum aggregates
+    * → bit assembly), not array HOFs — same measured rationale as
+    * [[MinHashLSH.signatures]]: interpreted lambdas are slow and
+    * serialize across task threads. One shuffle on the doc key with
+    * map-side partial aggregation. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bitCols: Seq[Column] = (0 until Bits).map { b =>
-      val votes = expr(
-        s"aggregate(hw, 0L, (acc, x) -> acc + (shiftright(x, $b) & 1) * 2 - 1)")
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    val voteAggs: Seq[Column] = (0 until Bits).map { b =>
+      sum(expr(s"(shiftright(hw, $b) & 1) * 2 - 1")).as(s"__v$b")
     }
-    docs
-      .withColumn("toks", TextFunctions.tokens(col(textCol)))
-      .withColumn("w", array_distinct(col("toks")))
-      .filter(size(col("w")) > 0)
+    val assemble: Column = (0 until Bits).map { b =>
+      when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    graft.Tables.parallelize(docs)
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("w"))
       .withColumn("hw", expr(
-        s"transform(w, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) AS bigint) % $Mod)"))
-      .withColumn("simhash", bitCols.reduce(_ + _))
+        s"cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) % $Mod"))
+      .groupBy(col(idCol))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .withColumn("simhash", assemble)
       .select(col(idCol), col("simhash"))
   }
 

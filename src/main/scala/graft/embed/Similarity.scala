@@ -28,7 +28,7 @@ object Similarity {
 
   /** (id, embedding: array<float>) → (id, q: array<bigint>, nq: bigint). */
   def quantized(embeds: DataFrame, idCol: String, embCol: String): DataFrame =
-    embeds
+    graft.Tables.parallelize(embeds)
       .withColumn("q", expr(
         s"transform($embCol, x -> cast(floor(cast(x AS double) * cast($Scale AS double)) AS bigint))"))
       .withColumn("nq", expr(

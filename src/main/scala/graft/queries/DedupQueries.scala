@@ -48,7 +48,10 @@ object DedupQueries {
   // Exact word-3-gram Jaccard, verified only on LSH candidates (the
   // scale path: verification cost ∝ candidates). Threshold 0.5.
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sigs  = MinHashLSH.signatures(Tables.documents(s, d), "doc_id", "text")
+    // signatures feed BOTH candidate generation and verification —
+    // persist so the shingle/md5 pass runs once, not three times
+    val sigs = MinHashLSH.signatures(Tables.documents(s, d), "doc_id", "text")
+      .persist()
     val cands = MinHashLSH.candidatePairs(sigs, "doc_id")
     MinHashLSH.verifiedPairs(cands, sigs, "doc_id", 0.5)
   }

@@ -14,7 +14,7 @@ object MultimodalQueries {
 
   private def mmDecode(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeImageMeta(
-      Tables.documents(s, d)
+      Tables.parallelize(Tables.documents(s, d))
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")),
       "doc_id", "blob")
       .toDF()
@@ -38,7 +38,7 @@ object MultimodalQueries {
 
   private def mmFrames(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(
-      Tables.documents(s, d)
+      Tables.parallelize(Tables.documents(s, d))
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")),
       "doc_id", "blob")
       .toDF()

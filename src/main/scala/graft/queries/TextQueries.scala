@@ -25,7 +25,7 @@ object TextQueries {
   // Per-document token/char counts, type-token ratio, stopword ratio and
   // a deterministic composite quality score.
   private def textStats(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.parallelize(Tables.documents(s, d))
       .withColumn("toks", tokens(col("text")))
       .select(
         col("doc_id"),
@@ -69,7 +69,8 @@ object TextQueries {
   // argmax; emits the per-language scores alongside the prediction.
   private def langId(s: SparkSession, d: String): DataFrame = {
     val withScores = langMarkers.foldLeft(
-      Tables.documents(s, d).withColumn("toks", tokens(col("text")))) {
+      Tables.parallelize(Tables.documents(s, d))
+        .withColumn("toks", tokens(col("text")))) {
       case (df, (lang, markers)) =>
         df.withColumn(s"score_$lang", markerCount("toks", markers).cast("long"))
     }
@@ -114,7 +115,7 @@ object TextQueries {
   // Corpus-level rollup: token totals per (label, source) — the grouped
   // shape a curation pipeline reports on.
   private def langAgg(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.parallelize(Tables.documents(s, d))
       .withColumn("toks", tokens(col("text")))
       .groupBy(col("lang"), col("source"))
       .agg(
