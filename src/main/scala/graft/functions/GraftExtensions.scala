@@ -1,0 +1,21 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Engine extension pack (SURVEY §4.2): registers the native functions so
+  * they are usable from SQL and `expr(...)`. Installed via
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` (see
+  * [[graft.GraftSession]]) or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("json_unwrap"),
+      new ExpressionInfo(classOf[JsonUnwrap].getName, "json_unwrap"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JsonUnwrap(exprs.head)))
+  }
+}

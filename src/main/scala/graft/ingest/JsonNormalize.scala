@@ -31,11 +31,19 @@ object JsonNormalize {
       unescaped).otherwise(c)
   }
 
+  /** P2, native form: single-pass codegen'd Catalyst expression
+    * ([[graft.functions.JsonUnwrap]]) — same semantics as
+    * [[unwrapDoubleEncoded]] without the regex engine. */
+  def unwrapNative(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.JsonUnwrap(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
+
   /** P1: tolerant parse. PERMISSIVE from_json → null struct on corrupt
     * input; caller filters nulls (the reference drops silently,
     * `TelematicsViolationDeriverJob.java:111-114`). */
   def parseTolerant(c: Column, schema: StructType): Column =
-    from_json(unwrapDoubleEncoded(c), schema, Map("mode" -> "PERMISSIVE"))
+    from_json(unwrapNative(c), schema, Map("mode" -> "PERMISSIVE"))
 
   /** P15/P16: key default — missing/blank device_uuid → "unknown-device"
     * (`/root/reference/mqttToKafka.js:60-64`). */

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into the `private[sql]` Column↔Expression converters —
+  * Spark 4 moved Column onto ColumnNode, so third-party Catalyst
+  * expressions need this (the standard extension-library pattern:
+  * declare a shim inside the org.apache.spark.sql namespace). */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

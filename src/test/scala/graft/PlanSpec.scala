@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan audits (the 100 TB design gates): broadcast joins for
+  * dims, parquet filter/column pushdown, bounded shuffle counts, no
+  * cartesian products where a key join exists. These assert the *plan*,
+  * so a regression that silently de-optimizes a query fails CI even
+  * though results stay correct. */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def planString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Shuffle exchanges in the rendered plan (AQE's inputPlan field holds
+    * the pre-EnsureRequirements tree, so a tree walk undercounts; the
+    * rendered string always shows the planned exchanges). Broadcast
+    * exchanges are deliberately not counted — broadcasting a dim is the
+    * desired alternative to shuffling. */
+  private def countShuffles(p: SparkPlan): Int =
+    "(?m)^.*\\bExchange (hash|range|RoundRobin|SinglePartition)".r
+      .findAllIn(p.toString).size
+
+  test("q2 star join broadcasts the dimension tables") {
+    val s = planString("q2_revenue_by_nation")
+    assert(s.contains("BroadcastHashJoin"), s"no broadcast join in:\n$s")
+  }
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val s = planString("q1_pricing_summary")
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed to scan:\n$s")
+  }
+
+  test("q1 prunes columns: scan reads only the 7 needed") {
+    val s = planString("q1_pricing_summary")
+    assert(!s.contains("l_orderkey"), "scan did not prune l_orderkey")
+    assert(s.contains("l_returnflag"))
+  }
+
+  test("viol_derive is map-only: zero shuffles (matches the Flink topology)") {
+    assert(countShuffles(plan("viol_derive")) == 0)
+  }
+
+  test("status_derive is map-only: zero shuffles") {
+    assert(countShuffles(plan("status_derive")) == 0)
+  }
+
+  test("sessionize needs exactly one shuffle (key partitioning)") {
+    val p = plan("sessionize")
+    assert(countShuffles(p) == 1, p.toString)
+  }
+
+  test("minhash signatures reuse window partitioning: <= 2 shuffles") {
+    // parallelize round-robin + the doc-key shuffle; the groupBy must NOT
+    // add a third exchange on top of the window's
+    val sigs = graft.dedup.MinHashLSH.signatures(
+      Tables.documents(spark, sf), "doc_id", "text")
+    assert(countShuffles(sigs.queryExecution.executedPlan) <= 2,
+      sigs.queryExecution.executedPlan.toString)
+  }
+
+  test("q3 top-k plans TakeOrderedAndProject, not a global sort") {
+    val s = planString("q3_top_orders")
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("whole-stage codegen covers the derivation path") {
+    // codegen stages render as "*(n) Op" in the plan string
+    val s = planString("viol_derive")
+    assert(s.contains("*(1)"), s)
+  }
+}
