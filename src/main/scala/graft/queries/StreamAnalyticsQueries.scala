@@ -126,10 +126,68 @@ object StreamAnalyticsQueries {
       |  SELECT user_id, 'purchase_only' AS cohort FROM (SELECT * FROM p EXCEPT SELECT * FROM e))
       |SELECT cohort, COUNT(*) AS n_users FROM tagged GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------- q14_sliding_agg
+  // Sliding event-time windows (1 h window, 15 min slide): each event
+  // lands in 4 windows. Spark plans this as a single generate + shuffle;
+  // the DuckDB mirror expands the 4 offsets explicitly.
+  private def sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        window(col("ts"), "1 hour", "15 minutes").getField("start").as("w_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 2))).cast("double").as("sum_value"))
+
+  private val slidingSql =
+    """WITH ex AS (
+      |  SELECT event_type, value, ts,
+      |    time_bucket(INTERVAL 15 MINUTE, ts)
+      |      - unnest(range(0, 4)) * INTERVAL 15 MINUTE AS w_start
+      |  FROM events)
+      |SELECT w_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+      |FROM ex
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------- asof_latest_order
+  // As-of join: state of the customer's latest order at each event time
+  // (union+window composition, AsOfJoin.backward). DuckDB's native
+  // ASOF JOIN is the oracle. Right side deduped per (key, ts) with a
+  // deterministic max-orderkey tiebreak.
+  private def asof(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val rk = Window.partitionBy(col("user_id"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val ord = Tables.orders(s, d)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice"))
+      .withColumn("__rk", row_number().over(rk))
+      .filter(col("__rk") === 1).drop("__rk")
+    graft.plans.AsOfJoin.backward(ev, ord, "user_id", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"))
+  }
+
+  private val asofSql =
+    """WITH ord AS (
+      |  SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM (
+      |    SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+      |      ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+      |                         ORDER BY o_orderkey DESC) AS rn
+      |    FROM orders) WHERE rn = 1)
+      |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+      |FROM events e
+      |ASOF JOIN ord o
+      |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("detect_delta_speed", deltaSpeed, Some(deltaSpeedSql)),
     QueryDef("detect_geofence", geofence, Some(geofenceSql)),
     QueryDef("q11_set_ops", setOps, Some(setOpsSql)),
     QueryDef("q12_json_props", jsonProps, Some(jsonPropsSql)),
-    QueryDef("q13_tumbling_agg", tumbling, Some(tumblingSql)))
+    QueryDef("q13_tumbling_agg", tumbling, Some(tumblingSql)),
+    QueryDef("q14_sliding_agg", sliding, Some(slidingSql)),
+    QueryDef("asof_latest_order", asof, Some(asofSql)))
 }
