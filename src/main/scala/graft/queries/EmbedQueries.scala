@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.embed.Similarity
+import graft.embed.{RpLsh, Similarity}
 
 /** Similarity-search operator exposure over `embeddings` (SURVEY §7.5). */
 object EmbedQueries {
@@ -32,10 +32,12 @@ object EmbedQueries {
 
   // -------------------------------------------------- embed_cosine_pairs
   // IVF-style blocked near-dup: pairs within the same coarse cell
-  // (label) with cosine >= 0.9.
+  // (label) with cosine >= 0.35 (the corpus has no engineered near-dups;
+  // max pairwise cosine is ~0.51, so the threshold sits where real
+  // result sets exist).
   private def cosinePairs(s: SparkSession, d: String): DataFrame =
     Similarity.cosinePairsBlocked(
-      Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.9)
+      Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.35)
 
   private val cosinePairsSql =
     s"""WITH ${Similarity.duckdbQuantizedCte}
@@ -44,9 +46,30 @@ object EmbedQueries {
        |    / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
        |FROM qv a JOIN qv b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE CAST(${Similarity.duckdbDot("a.q", "b.q")} AS DOUBLE)
-       |    / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) >= 0.9""".stripMargin
+       |    / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) >= CAST(0.35 AS DOUBLE)""".stripMargin
+
+  // ----------------------------------------------------------- ann_rp_lsh
+  // Global (unblocked) ANN: random-hyperplane bucket candidates, exact
+  // quantized-cosine verification at 0.35 (see embed_cosine_pairs note;
+  // LSH recall at this angle is partial BY DESIGN - the oracle mirrors
+  // the identical candidate generation, so results still hash-match).
+  private def annRpLsh(s: SparkSession, d: String): DataFrame =
+    RpLsh.annPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)
+
+  private val annRpLshSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |${RpLsh.duckdbCandidateCte},
+       |scored AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(${Similarity.duckdbDot("a.q", "b.q")} AS DOUBLE)
+       |      / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
+       |  FROM rp_cand c
+       |  JOIN qv a ON a.vec_id = c.a_id
+       |  JOIN qv b ON b.vec_id = c.b_id)
+       |SELECT a_id, b_id, cos FROM scored WHERE cos >= CAST(0.35 AS DOUBLE)""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_topk", knnTopK, Some(knnTopKSql)),
-    QueryDef("embed_cosine_pairs", cosinePairs, Some(cosinePairsSql)))
+    QueryDef("embed_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
+    QueryDef("ann_rp_lsh", annRpLsh, Some(annRpLshSql)))
 }
