@@ -182,7 +182,46 @@ object StreamAnalyticsQueries {
       |ASOF JOIN ord o
       |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate""".stripMargin
 
+  // ---------------------------------------------------- q15_kmv_distinct
+  // KMV distinct sketch (custom typed Aggregator) next to the exact
+  // count. The portable hash makes the k-th minimum — and the estimate —
+  // a pure function of the distinct set, so the sketch itself is
+  // hash-checkable in DuckDB (rank-64 window mirror).
+  private def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch(64))
+    Tables.events(s, d)
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(concat('u', cast(user_id AS string))), 1, 15), 16, 10) AS bigint)"))
+      .groupBy(col("event_type"))
+      .agg(
+        kmv(col("h")).as("est_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+  }
+
+  private val kmvDistinctSql =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST(concat('0x', substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, hv,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |est AS (
+      |  SELECT event_type,
+      |    CASE WHEN MAX(n) < 64 THEN CAST(MAX(n) AS DOUBLE)
+      |         ELSE 63 * CAST(1152921504606846976 AS DOUBLE)
+      |              / MAX(CASE WHEN rn = 64 THEN hv END) END AS est_users
+      |  FROM r GROUP BY event_type),
+      |ex AS (
+      |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      |  FROM events GROUP BY event_type)
+      |SELECT est.event_type, est.est_users, ex.exact_users
+      |FROM est JOIN ex ON est.event_type = ex.event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q15_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     QueryDef("detect_delta_speed", deltaSpeed, Some(deltaSpeedSql)),
     QueryDef("detect_geofence", geofence, Some(geofenceSql)),
     QueryDef("q11_set_ops", setOps, Some(setOpsSql)),

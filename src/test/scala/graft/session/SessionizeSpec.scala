@@ -78,6 +78,29 @@ class SessionizeSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ST1a streaming: session_window works in append mode with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val sessions = Sessionize.bySessionWindow(
+      input.toDF().toDF("device_uuid", "sec")
+        .withColumn("ts", timestamp_seconds($"sec"))
+        .withWatermark("ts", "0 seconds"),
+      "device_uuid", "ts")
+    val q = sessions.writeStream.format("memory").queryName("sessW")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(("d1", 1000L), ("d1", 1100L))
+      q.processAllAvailable()
+      input.addData(("d1", 99000L)) // watermark passes 1100+300 → emit
+      q.processAllAvailable()
+      val got = spark.table("sessW")
+        .select($"device_uuid", unix_timestamp($"start_ts"),
+          unix_timestamp($"end_ts"), $"n_touches")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(got == Seq(("d1", 1000L, 1100L, 2L)))
+    } finally q.stop()
+  }
+
   test("ST1b: within-batch gap larger than TTL splits sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StatusEvent]
