@@ -220,7 +220,47 @@ object StreamAnalyticsQueries {
       |SELECT est.event_type, est.est_users, ex.exact_users
       |FROM est JOIN ex ON est.event_type = ex.event_type""".stripMargin
 
+  // ---------------------------------------------------- range_join_sessions
+  // Point-in-interval range join: each event located inside its user's
+  // gap-session interval (bucketized equi-join + residual filter — NOT
+  // the O(n·m) nested loop Spark would plan for a raw BETWEEN join).
+  // Every event lands in exactly one of its user's sessions, so row
+  // count == event count — a self-checking property the oracle verifies.
+  private def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    val sessions = graft.session.Sessionize
+      .bySessionWindow(Tables.events(s, d), "user_id", "ts")
+    graft.plans.RangeJoin.pointInInterval(
+      ev, sessions, "user_id", "ts", "start_ts", "end_ts")
+      .select(col("event_id"), col("user_id"), col("start_ts"),
+        col("end_ts"), col("n_touches"))
+  }
+
+  private val rangeJoinSql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 300 SECOND
+      |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+      |    COUNT(*) AS n_touches
+      |  FROM numbered GROUP BY user_id, session_id)
+      |SELECT e.event_id, e.user_id, s.start_ts, s.end_ts, s.n_touches
+      |FROM events e
+      |JOIN sessions s
+      |  ON e.user_id = s.user_id
+      | AND e.ts >= s.start_ts AND e.ts <= s.end_ts""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("range_join_sessions", rangeJoin, Some(rangeJoinSql)),
     QueryDef("q15_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     QueryDef("detect_delta_speed", deltaSpeed, Some(deltaSpeedSql)),
     QueryDef("detect_geofence", geofence, Some(geofenceSql)),
