@@ -17,5 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JsonUnwrap].getName, "json_unwrap"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         JsonUnwrap(exprs.head)))
+    // custom physical operator: bounded-heap per-key top-k
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -255,7 +255,31 @@ object Relational {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------ topk_per_key
+  // The custom bounded-heap operator (TopKPerKeyNode/Exec, planned by
+  // TopKPerKeyStrategy via GraftExtensions): top-3 lineitems per
+  // supplier by price, total-ordered with key tiebreaks. Oracle is the
+  // equivalent window formulation.
+  private def topkPerKey(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopK.perKey(
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
+      keys = Seq("l_suppkey"),
+      orderBy = Seq(("l_extendedprice", false), ("l_orderkey", true),
+        ("l_linenumber", true)),
+      k = 3)
+
+  private val topkPerKeySql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+      |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |        ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |      FROM lineitem)
+      |WHERE rn <= 3""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("topk_per_key", topkPerKey, Some(topkPerKeySql)),
     QueryDef("q1_pricing_summary", q1, Some(q1Sql)),
     QueryDef("q2_revenue_by_nation", q2, Some(q2Sql)),
     QueryDef("q3_top_orders", q3, Some(q3Sql)),
