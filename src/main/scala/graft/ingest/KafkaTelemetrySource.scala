@@ -43,7 +43,18 @@ object KafkaTelemetrySource {
   /** Kafka record → parsed telemetry rows. Carries the broker ingest
     * time (`kafka_ts`) for the monotonic latency variant (ST4/§7.6.7).
     * Tolerant parse: unwrap double-encoding, PERMISSIVE, drop nulls. */
-  def parsedTelemetry(kafkaDf: DataFrame): DataFrame = {
+  def parsedTelemetry(kafkaDf: DataFrame): DataFrame =
+    taggedTelemetry(kafkaDf)
+      .filter(col("t").isNotNull && col("t.__corrupt").isNull) // P1 drop
+      .select((TelemetrySchema.telemetry.fieldNames.toSeq
+        .map(f => col(s"t.$f")) :+ col("kafka_ts")): _*)
+
+  /** One-pass tagged form for dead-letter routing (O5 improvement — the
+    * reference logs-and-drops; we keep the raw bytes). PERMISSIVE
+    * from_json marks malformed input via columnNameOfCorruptRecord
+    * (`t.__corrupt` non-null ⇒ corrupt) rather than nulling the struct;
+    * split with filters inside a foreachBatch for single-pass semantics. */
+  def taggedTelemetry(kafkaDf: DataFrame): DataFrame = {
     val base =
       if (kafkaDf.columns.contains("timestamp"))
         kafkaDf.select(col("value").cast("string").as("raw"),
@@ -51,11 +62,21 @@ object KafkaTelemetrySource {
       else
         kafkaDf.select(col("value").cast("string").as("raw"),
           current_timestamp().as("kafka_ts"))
-    base
-      .select(JsonNormalize
-        .parseTolerant(col("raw"), TelemetrySchema.telemetry).as("t"),
-        col("kafka_ts"))
-      .filter(col("t").isNotNull)              // P1 drop-on-null
-      .select(col("t.*"), col("kafka_ts"))
+    val schemaWithCorrupt = org.apache.spark.sql.types.StructType(
+      TelemetrySchema.telemetry.fields :+
+        org.apache.spark.sql.types.StructField("__corrupt",
+          org.apache.spark.sql.types.StringType))
+    base.select(
+      from_json(JsonNormalize.unwrapNative(col("raw")), schemaWithCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "__corrupt")).as("t"),
+      col("raw"), col("kafka_ts"))
   }
+
+  /** Corrupt records only (non-blank input that failed the tolerant
+    * parse) — route to a dead-letter sink instead of silently dropping. */
+  def deadLetters(tagged: DataFrame): DataFrame =
+    tagged
+      .filter(col("t.__corrupt").isNotNull && trim(col("raw")) =!= "")
+      .select(col("raw"), col("kafka_ts"))
 }

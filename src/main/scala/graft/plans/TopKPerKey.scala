@@ -35,13 +35,23 @@ case class TopKPerKeyNode(k: Int, keys: Seq[Expression],
     copy(child = newChild)
 }
 
+/** `partial = true` is the map-side combine: it runs on the child's
+  * existing partitioning (no distribution requirement) and keeps each
+  * partition's per-key top-k — a superset of every key's global top-k —
+  * so the exchange ships ≤ partitions·keys·k rows instead of n. The
+  * final (partial = false) instance declares ClusteredDistribution and
+  * produces the exact result. Mirrors partial/final aggregation. */
 case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
-                          order: Seq[SortOrder], child: SparkPlan)
+                          order: Seq[SortOrder], child: SparkPlan,
+                          partial: Boolean = false)
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    (if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+     else ClusteredDistribution(keys)) :: Nil
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
@@ -80,7 +90,10 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
 object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(k, keys, order, child) =>
-      TopKPerKeyExec(k, keys, order, planLater(child)) :: Nil
+      // partial below the (EnsureRequirements-inserted) exchange, exact
+      // final above it — the partial/final aggregation shape
+      TopKPerKeyExec(k, keys, order,
+        TopKPerKeyExec(k, keys, order, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }

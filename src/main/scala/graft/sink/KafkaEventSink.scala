@@ -21,10 +21,12 @@ import graft.derive.{StatusDeriver, ViolationDeriver}
   */
 object KafkaEventSink {
 
-  /** events → Kafka record shape (key, value) with device_uuid key. */
+  /** events → Kafka record shape (key, value) with device_uuid key
+    * (missing/blank → "unknown-device", P16, mqttToKafka.js:60-64). */
   def toKafkaRecords(events: DataFrame): DataFrame =
     events.select(
-      col("device_uuid").cast("string").as("key"),
+      graft.ingest.JsonNormalize
+        .deviceKeyOrDefault(col("device_uuid").cast("string")).as("key"),
       to_json(struct(events.columns.map(col): _*),
         Map("ignoreNullFields" -> "true")).as("value"))
 

@@ -71,6 +71,13 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(statuses.size == 2) // d2, d3 on battery
   }
 
+  test("dead letters: corrupt non-blank inputs are captured, not dropped") {
+    val tagged = KafkaTelemetrySource.taggedTelemetry(inputs.toDF("value"))
+    val dead = KafkaTelemetrySource.deadLetters(tagged)
+      .select($"raw").as[String].collect().toSeq
+    assert(dead == Seq("corrupt {{{"))
+  }
+
   test("Kafka record shape: device_uuid key, null fields omitted from JSON") {
     val events = Seq(("violation", "d1", 5L, null.asInstanceOf[String]))
       .toDF("event_type", "device_uuid", "timestamp", "vehicle_id")

@@ -25,10 +25,15 @@ class TopKPerKeySpec extends SparkTestBase {
     assert(custom == Seq(("a", 2), ("a", 4), ("b", 5), ("b", 6), ("c", 7)))
   }
 
-  test("plans TopKPerKeyExec with one hash exchange, no sort") {
+  test("plans partial below and final above one hash exchange, no sort") {
     val p = TopK.perKey(df, Seq("k"), Seq(("v", false), ("id", true)), 2)
       .queryExecution.executedPlan.toString
-    assert(p.contains("TopKPerKey"), p)
+    assert(p.contains("TopKPerKeyPartial"), p)
+    assert("TopKPerKey ".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+    // exchange must sit between partial (below) and final (above)
+    assert(p.indexOf("TopKPerKey ") < p.indexOf("Exchange"), p)
+    assert(p.indexOf("Exchange") < p.indexOf("TopKPerKeyPartial"), p)
     assert(!p.contains("Sort "), s"unexpected sort in:\n$p")
   }
 
