@@ -77,4 +77,27 @@ class PlanSpec extends SparkTestBase {
     val s = planString("viol_derive")
     assert(s.contains("*(1)"), s)
   }
+
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    // the 100 TB co-location story: pre-bucketed fact/dim join needs no
+    // shuffle at read time — both sides' bucketing satisfies the join's
+    // distribution requirement
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+      Tables.customer(spark, sf).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+      val j = spark.table("b_orders").join(spark.table("b_customer"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      assert(countShuffles(j.queryExecution.executedPlan) == 0,
+        j.queryExecution.executedPlan.toString)
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
 }
