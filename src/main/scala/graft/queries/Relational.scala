@@ -278,7 +278,22 @@ object Relational {
       |      FROM lineitem)
       |WHERE rn <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- q16
+  // CUBE grouping sets (all 4 combinations of the two dimensions).
+  private def q16(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        decSum(col("o_totalprice"), 2).as("total"))
+
+  private val q16Sql =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |  ${decSumSql("o_totalprice", 2)} AS total
+       |FROM orders
+       |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q16_cube", q16, Some(q16Sql)),
     QueryDef("topk_per_key", topkPerKey, Some(topkPerKeySql)),
     QueryDef("q1_pricing_summary", q1, Some(q1Sql)),
     QueryDef("q2_revenue_by_nation", q2, Some(q2Sql)),
