@@ -37,9 +37,18 @@ object ViolationDeriver {
     */
   def apply(telemetry: DataFrame): DataFrame = {
     telemetry
-      // F1: validity gate (Java:124)
-      .filter(col("device_uuid").isNotNull && col("timestamp") > 0)
-      // A1: explode violations[]; missing/null array → no rows (F3)
+      // A1: explode violations[]; missing/null array → no rows (F3).
+      // NOTE (F1/F6): unlike the status branch, the reference does NOT
+      // apply the (device_uuid, payload-ts) gate to violations — the
+      // `deviceUuid != null && ts > 0` check at
+      // `TelematicsViolationDeriverJob.java:124` wraps only the status
+      // branch; violations (`:143-183`) are emitted unconditionally and
+      // the *consumer* drops events with falsy
+      // device_uuid/violation_type/timestamp (`kafkaConsumer.js:195-198`).
+      // We compose deriver+consumer: gate on device_uuid and the
+      // COALESCED event timestamp (below), so a violation whose own
+      // ts > 0 survives a payload ts <= 0 exactly as it does end-to-end
+      // in the reference.
       .select(col("*"), explode(col("violations")).as("v"))
       // F5: allowlist (Java:98-102,151-154)
       .filter(col("v.type").isin(TelemetrySchema.allowedViolationTypes: _*))
@@ -59,5 +68,10 @@ object ViolationDeriver {
         ).as("details"),
         col("mqtt_sent_at_ms")
       )
+      // F6: consumer-side validity (kafkaConsumer.js:195-198) — JS
+      // `!deviceUuid || !ts` drops null/empty device and ts === 0 (a
+      // negative ts is truthy in JS and survives; `=!= 0` mirrors that).
+      .filter(col("device_uuid").isNotNull && col("device_uuid") =!= "" &&
+        col("timestamp") =!= 0)
   }
 }

@@ -23,34 +23,38 @@ object AsOfJoin {
   /** Inner backward as-of join. `payloadCols` are taken from `right`;
     * left rows with no prior right match are dropped. `right` must be
     * unique per (key, rightTs) — pre-dedupe with a deterministic
-    * tiebreak if not (ties would make the match engine-dependent). */
+    * tiebreak if not (ties would make the match engine-dependent).
+    *
+    * All payload columns travel as ONE struct carried by a single
+    * `last(ignoreNulls)` — so the matched right row stays atomic (the
+    * output never mixes payload values from different right rows) and a
+    * right row whose payload column is legitimately NULL still matches.
+    */
   def backward(left: DataFrame, right: DataFrame, keyCol: String,
                leftTs: String, rightTs: String,
                payloadCols: Seq[String]): DataFrame = {
     val leftOnly = left.columns.toSeq.filterNot(_ == keyCol)
-    def nullAs(df: DataFrame, c: String): Column =
-      lit(null).cast(df.schema(c).dataType).as(c)
+    val payloadType =
+      right.select(struct(payloadCols.map(col): _*)).schema.head.dataType
 
     val rightSide = right.select(
       Seq(col(keyCol), col(rightTs).cast("timestamp").as("__ts"),
-        lit(0).as("__tag")) ++
-        payloadCols.map(col) ++
-        leftOnly.map(c => nullAs(left, c)): _*)
+        lit(0).as("__tag"),
+        struct(payloadCols.map(col): _*).as("__payload")) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val leftSide = left.select(
       Seq(col(keyCol), col(leftTs).cast("timestamp").as("__ts"),
-        lit(1).as("__tag")) ++
-        payloadCols.map(c => nullAs(right, c)) ++
+        lit(1).as("__tag"),
+        lit(null).cast(payloadType).as("__payload")) ++
         leftOnly.map(col): _*)
 
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(rightSide.unionByName(leftSide)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried
-      .filter(col("__tag") === 1 &&
-        payloadCols.map(col(_).isNotNull).reduce(_ && _))
-      .select((keyCol +: leftOnly).map(col) ++ payloadCols.map(col): _*)
+    rightSide.unionByName(leftSide)
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1 && col("__payload").isNotNull)
+      .select((keyCol +: leftOnly).map(col) ++
+        payloadCols.map(c => col("__payload").getField(c).as(c)): _*)
   }
 }

@@ -33,14 +33,17 @@ object PipelineQueries {
         col("details.delta_speed").as("delta_speed"),
         col("mqtt_sent_at_ms"))
 
+  // Gate semantics mirror ViolationDeriver: no payload-level gate on the
+  // violation branch (the reference applies deviceUuid/ts only to the
+  // status branch); instead the consumer's F6 check on the COALESCED
+  // event timestamp + device_uuid (kafkaConsumer.js:195-198).
   private val violDeriveSql =
     s"""WITH $cte,
        |exploded AS (
        |  SELECT device_uuid, vehicle_id, account_id, ts_sec, mqtt_sent_at_ms,
        |    lon, lat, speed_kph, v_accel_y, v_delta,
        |    UNNEST(v_ts) AS v_ts_e, UNNEST(v_type) AS v_type_e
-       |  FROM telemetry
-       |  WHERE device_uuid IS NOT NULL AND ts_sec > 0)
+       |  FROM telemetry)
        |SELECT 'violation' AS event_type, v_type_e AS violation_type,
        |  device_uuid, vehicle_id, account_id,
        |  CASE WHEN v_ts_e > 0 THEN v_ts_e ELSE ts_sec END AS timestamp,
@@ -48,7 +51,9 @@ object PipelineQueries {
        |  v_accel_y AS accel_y, speed_kph, v_delta AS delta_speed,
        |  mqtt_sent_at_ms
        |FROM exploded
-       |WHERE v_type_e IN ('harsh_brake', 'harsh_accel')""".stripMargin
+       |WHERE v_type_e IN ('harsh_brake', 'harsh_accel')
+       |  AND device_uuid IS NOT NULL AND device_uuid != ''
+       |  AND (CASE WHEN v_ts_e > 0 THEN v_ts_e ELSE ts_sec END) != 0""".stripMargin
 
   // ------------------------------------------------------ status_derive
   private def statusDerive(s: SparkSession, d: String): DataFrame =
@@ -79,12 +84,13 @@ object PipelineQueries {
     s"""WITH $cte,
        |exploded AS (
        |  SELECT device_uuid, ts_sec,
-       |    UNNEST(v_type) AS v_type_e
-       |  FROM telemetry
-       |  WHERE device_uuid IS NOT NULL AND ts_sec > 0)
+       |    UNNEST(v_ts) AS v_ts_e, UNNEST(v_type) AS v_type_e
+       |  FROM telemetry)
        |SELECT v_type_e AS violation_type, COUNT(*) AS n
        |FROM exploded
        |WHERE v_type_e IN ('harsh_brake', 'harsh_accel')
+       |  AND device_uuid IS NOT NULL AND device_uuid != ''
+       |  AND (CASE WHEN v_ts_e > 0 THEN v_ts_e ELSE ts_sec END) != 0
        |GROUP BY 1""".stripMargin
 
   // -------------------------------------------------------- sessionize
@@ -134,14 +140,15 @@ object PipelineQueries {
        |exploded AS (
        |  SELECT device_uuid, ts_sec, mqtt_sent_at_ms,
        |    UNNEST(v_ts) AS v_ts_e, UNNEST(v_type) AS v_type_e
-       |  FROM telemetry
-       |  WHERE device_uuid IS NOT NULL AND ts_sec > 0),
+       |  FROM telemetry),
        |evts AS (
        |  SELECT v_type_e AS violation_type,
        |    (CASE WHEN v_ts_e > 0 THEN v_ts_e ELSE ts_sec END) * 1000 + 250
        |      - mqtt_sent_at_ms AS latency_ms
        |  FROM exploded
-       |  WHERE v_type_e IN ('harsh_brake', 'harsh_accel'))
+       |  WHERE v_type_e IN ('harsh_brake', 'harsh_accel')
+       |    AND device_uuid IS NOT NULL AND device_uuid != ''
+       |    AND (CASE WHEN v_ts_e > 0 THEN v_ts_e ELSE ts_sec END) != 0)
        |SELECT violation_type, COUNT(*) AS n,
        |  MIN(latency_ms) AS min_ms, MAX(latency_ms) AS max_ms
        |FROM evts

@@ -77,7 +77,7 @@ object StreamAnalyticsQueries {
   private val jsonPropsSql =
     """SELECT event_type,
       |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events

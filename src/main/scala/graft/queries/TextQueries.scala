@@ -127,8 +127,8 @@ object TextQueries {
   private def langAggSql = {
     val toks = tokensSql("text")
     s"""SELECT lang, source, COUNT(*) AS n_docs,
-       |  SUM(CAST(len($toks) AS BIGINT)) AS total_tokens,
-       |  SUM(n_chars) AS total_chars,
+       |  CAST(SUM(CAST(len($toks) AS BIGINT)) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        |  MAX(len($toks)) AS max_tokens
        |FROM documents
        |GROUP BY lang, source""".stripMargin

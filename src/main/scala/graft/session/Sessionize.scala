@@ -112,8 +112,18 @@ object Sessionize {
     open match {
       case Some(s) =>
         state.update(s)
-        // close when watermark passes end + gap (Redis EX refresh on touch)
-        state.setTimeoutTimestamp((s.end + gapSeconds) * 1000L)
+        // Close when watermark passes end + gap (Redis EX refresh on
+        // touch). The watermark is global across devices; on Spark ≥ 3.4
+        // flatMapGroupsWithState late-filters input below it
+        // (SPARK-40925), so end+gap normally lands above the watermark.
+        // Clamp one ms past it anyway: an at-or-below timeout timestamp
+        // makes Spark throw and kill the query, and restored state /
+        // filterless paths can still produce one. Semantically the clamp
+        // is "expire at the first opportunity" — what the Redis TTL does
+        // for an already-stale session. (In batch the watermark is -1
+        // and timeouts never fire, so this is a no-op there.)
+        val target = (s.end + gapSeconds) * 1000L
+        state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1L))
       case None =>
         if (state.exists) state.remove()
     }

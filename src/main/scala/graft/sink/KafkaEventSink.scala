@@ -67,29 +67,52 @@ object KafkaEventSink {
   * read-merge-write keyed by `keyCols` (swap for Delta/Iceberg MERGE in
   * production — the call shape is identical). */
 object EventStoreSink {
+  import org.apache.hadoop.fs.{FileSystem, Path}
 
   def appendParquet(batch: DataFrame, path: String): Unit =
     batch.write.mode("append").parquet(path)
 
+  private def hadoopFs(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** Read the store, recovering from a crash mid-promote: a promote
+    * renames the live generation aside to `path_old` before moving the
+    * new one in, so if `path` is missing the previous generation is
+    * still intact at `path_old` (the in-flight batch is lost but the
+    * streaming checkpoint replays it — no prior row is ever lost). */
+  def readStore(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val fs = hadoopFs(spark)
+    if (fs.exists(new Path(path))) spark.read.parquet(path)
+    else if (fs.exists(new Path(path + "_old"))) spark.read.parquet(path + "_old")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Promote `tmp` to `path` without a window in which both the old and
+    * new generation are unreachable: old is renamed aside, not deleted,
+    * until the new generation is live. Single-writer (the streaming
+    * sink); concurrent readers should go through [[readStore]]. */
+  private def promote(fs: FileSystem, tmp: String, path: String): Unit = {
+    val dst = new Path(path); val old = new Path(path + "_old")
+    fs.delete(old, true) // stale backup from a completed promote
+    if (fs.exists(dst)) fs.rename(dst, old)
+    fs.rename(new Path(tmp), dst)
+    fs.delete(old, true)
+  }
+
   /** Idempotent replace-on-key upsert: final state per key equals the
     * reference's final Mongo doc (§7.6.5 — equivalence on final state,
-    * not write sequence). */
+    * not write sequence). O(store) per call — fine for small stores and
+    * tests; the scale path is [[BucketStore]] (cost ∝ touched buckets). */
   def upsertParquet(spark: SparkSession, batch: DataFrame, path: String,
                     keyCols: Seq[String]): Unit = {
-    val existing =
-      try spark.read.parquet(path)
-      catch { case _: Exception => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+    val existing = readStore(spark, path, batch.schema)
     val merged = existing
       .join(batch.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
       .unionByName(batch)
-    // write to a temp dir then swap, so a crash never truncates the store
     val tmp = path + "_tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    promote(hadoopFs(spark), tmp, path)
   }
 }

@@ -58,10 +58,16 @@ class DeriverPropertySpec extends SparkTestBase {
   test("property: event counts match closed-form expectations") {
     for (seed <- 1L to 5L) {
       val recs = sample(seed, 40)
-      val valid = recs.filter(r => r.dev.isDefined && r.ts > 0)
-      val expectedViolations = valid
+      // Violations gate on the COALESCED ts at the consumer (JS !ts:
+      // only 0 is falsy — negative survives); status gates on payload
+      // ts > 0 at the deriver. Here every element carries v.ts = r.ts,
+      // so coalesced = r.ts (v.ts when > 0, else payload ts = r.ts).
+      val expectedViolations = recs
+        .filter(r => r.dev.isDefined && r.ts != 0)
         .map(_.vTypes.count(TelemetrySchema.allowedViolationTypes.contains)).sum
-      val expectedStatus = valid.count(_.power.equalsIgnoreCase("battery"))
+      val expectedStatus = recs
+        .filter(r => r.dev.isDefined && r.ts > 0)
+        .count(_.power.equalsIgnoreCase("battery"))
       val (v, s) = derive(recs)
       assert(v.count() == expectedViolations, s"violations, seed=$seed")
       assert(s.count() == expectedStatus, s"status, seed=$seed")

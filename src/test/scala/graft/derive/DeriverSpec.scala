@@ -77,12 +77,22 @@ class DeriverSpec extends SparkTestBase {
     assert(ViolationDeriver(parse(rows)).count() == 0)
   }
 
-  test("F1: missing device_uuid or non-positive timestamp drops the record") {
+  test("F1/F6: device gate + coalesced-ts gate (reference composition)") {
+    // The reference gates violations at the CONSUMER on the coalesced
+    // event timestamp (kafkaConsumer.js:195-198), not at the deriver on
+    // the payload timestamp (Java:124 wraps only the status branch). So
+    // a violation whose own ts > 0 survives payload ts = 0 / absent.
     val rows = Seq(
       s"""{"timestamp":5,"violations":[{"type":"harsh_brake","timestamp":5}]}""",
       s"""{"device_uuid":"d","timestamp":0,"violations":[{"type":"harsh_brake","timestamp":5}]}""",
       s"""{"device_uuid":"d","violations":[{"type":"harsh_brake","timestamp":5}]}""")
-    assert(ViolationDeriver(parse(rows)).count() == 0)
+    assert(ViolationDeriver(parse(rows)).count() == 2) // only no-device drops
+
+    // but a violation with NO usable timestamp at all (v.ts absent,
+    // payload ts 0) is dropped by the consumer's !ts check
+    val noTs = Seq(
+      s"""{"device_uuid":"d","timestamp":0,"violations":[{"type":"harsh_brake"}]}""")
+    assert(ViolationDeriver(parse(noTs)).count() == 0)
   }
 
   test("P7: violation timestamp 0/absent falls back to payload timestamp") {

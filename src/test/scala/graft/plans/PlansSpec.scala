@@ -35,6 +35,20 @@ class PlansSpec extends SparkTestBase {
       8 -> "b", 9 -> "b", 10 -> "b"))
   }
 
+  test("asof backward: matched right row stays atomic with NULL payload cols") {
+    // r2 has p2 = NULL; the left row at ts 300 must take BOTH payload
+    // values from r2 (p1="x2", p2=null) — never p2 carried from r1.
+    val left = Seq((1L, ts(300), "e")).toDF("k", "ts", "ev")
+    val right = Seq(
+      (1L, ts(100), "x1", Option("y1")),
+      (1L, ts(200), "x2", Option.empty[String]))
+      .toDF("k", "rts", "p1", "p2")
+    val out = AsOfJoin.backward(left, right, "k", "ts", "rts", Seq("p1", "p2"))
+      .select($"ev", $"p1", $"p2").as[(String, String, Option[String])]
+      .collect().toSeq
+    assert(out == Seq(("e", "x2", None)))
+  }
+
   test("salted join equals plain join") {
     val left = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d"), (1, "e"))
       .toDF("k", "v")

@@ -101,6 +101,39 @@ class SessionizeSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ST1b streaming: stale touch below the watermark does not kill the query") {
+    // The watermark is global across devices, so a lagging device's touch
+    // can arrive far below it. On Spark ≥ 3.4 flatMapGroupsWithState
+    // filters such late rows before the state function (SPARK-40925) —
+    // the stale touch is silently dropped, mirroring the reference's
+    // Redis path where a touch on an expired key just re-creates and
+    // re-expires it. The timeout clamp in Sessionize.sessionFlatMap is
+    // defense-in-depth for paths without that filtering. Either way the
+    // query must survive.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatusEvent]
+    val sessions = Sessionize.stateful(
+      input.toDS()
+        .withColumn("event_ts", timestamp_seconds($"timestamp"))
+        .withWatermark("event_ts", "0 seconds")
+        .as[StatusEvent])
+    val q = sessions.writeStream.format("memory").queryName("sessStale")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(touch("d3", 99000))
+      q.processAllAvailable()
+      input.addData(touch("d1", 1000)) // stale: far below watermark
+      q.processAllAvailable()          // must not throw
+      input.addData(touch("d3", 200000), touch("d3", 300000))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)
+      val got = spark.table("sessStale").as[SessionDoc].collect()
+      // d1's stale touch was late-filtered: no d1 session, d3 closed by ttl
+      assert(!got.exists(_.device_uuid == "d1"))
+      assert(got.exists(s => s.device_uuid == "d3" && s.closed_by == "ttl"))
+    } finally q.stop()
+  }
+
   test("ST1b: within-batch gap larger than TTL splits sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StatusEvent]
