@@ -39,7 +39,13 @@ object MinHashLSH {
                          rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** docs(idCol, textCol) → (id, sh: distinct shingles, sig: array[16]).
+  /** docs(idCol, textCol) → (id, sh: distinct shingle HASHES, sig: array[16]).
+    *
+    * `sh` carries the 64-bit portable hashes of the shingles, not the
+    * strings: the verify stage ships each document's shingle set through
+    * a shuffle twice, and Jaccard over the hash sets is computed
+    * identically by the oracle (same md5-based hash both sides) at ~10×
+    * less shuffle volume than string sets.
     *
     * Deliberately a ROW pipeline, not array higher-order functions:
     * posexplode tokens → `lead` window builds trigrams → ONE groupBy
@@ -72,7 +78,7 @@ object MinHashLSH {
     tri
       .withColumn("hs", expr(portableModHashSparkSql("s")))
       .groupBy(col(idCol))
-      .agg(collect_set(col("s")).as("sh"), minAggs: _*)
+      .agg(collect_set(col("hs")).as("sh"), minAggs: _*)
       .withColumn("sig", array(hashParams.indices.map(i => col(s"__m$i")): _*))
       .select(col(idCol), col("sh"), col("sig"))
   }
@@ -107,7 +113,10 @@ object MinHashLSH {
   }
 
   /** Exact n-gram Jaccard over candidate pairs only (the verify stage).
-    * `docsSh` must carry (idCol, sh) from [[signatures]]. */
+    * `docsSh` must carry (idCol, sh) from [[signatures]] — the distinct
+    * shingle-hash sets, which give the same Jaccard as the string sets
+    * (both engines hash identically) at a fraction of the shuffle
+    * volume. */
   def verifiedPairs(candidates: DataFrame, docsSh: DataFrame, idCol: String,
                     threshold: Double): DataFrame = {
     val a = docsSh.select(col(idCol).as("a_id"), col("sh").as("a_sh"))
@@ -124,8 +133,9 @@ object MinHashLSH {
 
   // ------------------------------------------------------------ oracle
 
-  /** DuckDB CTEs reproducing shingles + signatures bit-for-bit from the
-    * `documents` view. Exposes `sigs(doc_id, sh, sig)`. */
+  /** DuckDB CTEs reproducing shingle hashes + signatures bit-for-bit
+    * from the `documents` view. Exposes `sigs(doc_id, sh, sig)` with
+    * `sh` = distinct shingle-hash list (mirroring [[signatures]]). */
   def duckdbSignatureCte: String = {
     val toks = TextFunctions.tokensSql("text")
     val sh   = TextFunctions.shinglesSql("toks", ShingleN)
@@ -138,10 +148,10 @@ object MinHashLSH {
        |shing AS (
        |  SELECT doc_id, list_distinct($sh) AS sh FROM tok),
        |hashed AS (
-       |  SELECT doc_id, sh, list_transform(sh, s -> $hash) AS h
+       |  SELECT doc_id, list_distinct(list_transform(sh, s -> $hash)) AS h
        |  FROM shing WHERE len(sh) > 0),
        |sigs AS (
-       |  SELECT doc_id, sh, [
+       |  SELECT doc_id, h AS sh, [
        |      $sigList
        |    ] AS sig
        |  FROM hashed)""".stripMargin

@@ -16,12 +16,12 @@ import org.apache.spark.sql.functions._
   * it makes ranking itself reproducible (float cosines computed in
   * different orders are not).
   *
-  * Scale notes: the quantized vector pass is map-only. Top-k per query
-  * is a `row_number` window over (query, score) — Spark plans partial
-  * top-k per partition before the shuffle when k is a filter on
-  * row_number. All-pairs near-dup must never be n²: [[cosinePairsBlocked]]
-  * joins only within a coarse-quantizer cell (the `label` column here;
-  * a real IVF assignment at 100 TB), which bounds candidates per cell.
+  * Scale notes: the quantized vector pass is map-only. [[knn]] broadcasts
+  * the (guarded-small) query side and bounds the shuffle with the custom
+  * per-key top-k operator's map-side heaps. All-pairs near-dup must never
+  * be n²: [[cosinePairsBlocked]] joins only within a coarse-quantizer
+  * cell (the `label` column here; a real IVF assignment at 100 TB),
+  * which bounds candidates per cell.
   */
 object Similarity {
   val Scale = 1048576L // 2^20
@@ -45,22 +45,42 @@ object Similarity {
     dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
 
   /** Brute-force cosine top-k neighbors for each query vector.
-    * `queries`/`candidates` both (idCol, embCol); excludes self-pairs. */
+    * `queries`/`candidates` both (idCol, embCol); excludes self-pairs.
+    *
+    * Scale shape: the compare cost |Q|·|C| is inherent to exact brute
+    * force, so the plan keeps everything else linear in |C| —
+    * 1. the query side is BROADCAST (guarded by `maxQueries`): the
+    *    candidate side streams map-only, never shuffled or materialized;
+    * 2. per-query top-k runs through [[graft.plans.TopK.perKey]], whose
+    *    physical operator keeps bounded k-heaps per partition (map-side
+    *    partial) so the single exchange ships ≤ partitions·|Q|·k scored
+    *    rows — not |Q|·|C| — and never sort-spills;
+    * 3. ranks are assigned by a window over the surviving |Q|·k rows,
+    *    reusing the top-k exchange's partitioning (no extra shuffle).
+    * For large |Q| use [[RpLsh.annPairs]] (bucketed ANN) instead —
+    * exceeding the guard throws rather than silently planning a
+    * cluster-killing join. */
   def knn(queries: DataFrame, candidates: DataFrame, idCol: String,
-          embCol: String, k: Int): DataFrame = {
+          embCol: String, k: Int, maxQueries: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val nQueries = queries.limit(maxQueries + 1).count()
+    require(nQueries <= maxQueries,
+      s"Similarity.knn broadcasts the query side; got > $maxQueries query " +
+        "vectors. Raise maxQueries only if they fit in executor memory, " +
+        "or use RpLsh.annPairs (bucketed ANN) as the scale path.")
     val q = quantized(queries, idCol, embCol)
       .select(col(idCol).as("query_id"), col("q").as("qa"), col("nq").as("na"))
     val c = quantized(candidates, idCol, embCol)
       .select(col(idCol).as("neighbor_id"), col("q").as("qb"), col("nq").as("nb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    q.crossJoin(c)
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", dotQ("qa", "qb"))
       .withColumn("cos", cosine(col("dot"), col("na"), col("nb")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val top = graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(("cos", false), ("neighbor_id", true)), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    top.withColumn("rk", row_number().over(w))
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
   }
 

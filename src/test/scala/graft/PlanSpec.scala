@@ -78,6 +78,15 @@ class PlanSpec extends SparkTestBase {
     assert(s.contains("*(1)"), s)
   }
 
+  test("knn broadcasts the query side and bounds the shuffle with top-k heaps") {
+    val s = planString("knn_topk")
+    assert(!s.contains("CartesianProduct"), s"cartesian product in:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast in:\n$s")
+    assert(s.contains("TopKPerKeyPartial"),
+      s"no map-side partial top-k in:\n$s")
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     // the 100 TB co-location story: pre-bucketed fact/dim join needs no
     // shuffle at read time — both sides' bucketing satisfies the join's
