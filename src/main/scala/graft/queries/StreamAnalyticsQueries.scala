@@ -259,9 +259,45 @@ object StreamAnalyticsQueries {
       |  ON e.user_id = s.user_id
       | AND e.ts >= s.start_ts AND e.ts <= s.end_ts""".stripMargin
 
+  // ------------------------------------------------------- q17_tdigest
+  // Mergeable t-digest quantiles (custom typed Aggregator) per
+  // event_type. At oracle scale no buffer overflows, so the digest's
+  // nearest-rank answer IS the exact order statistic ((n*p) DIV 100)+1
+  // — hash-checkable against a ranked DuckDB mirror (same
+  // exact-regime-pinning trick as q15's KMV); the compressed regime is
+  // property-tested in TDigestSpec. At 100 TB the digest ships O(δ)
+  // centroids per group through the shuffle instead of sorting the
+  // group (q9's window form).
+  private def tdigestQ(s: SparkSession, d: String): DataFrame = {
+    val td = udaf(new graft.functions.TDigestSketch.Quantiles(Seq(50, 95, 99)))
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(td(col("value")).as("qs"), count(lit(1)).as("n"))
+      .select(col("event_type"),
+        col("qs").getItem(0).as("p50"),
+        col("qs").getItem(1).as("p95"),
+        col("qs").getItem(2).as("p99"),
+        col("n"))
+  }
+
+  private val tdigestSql =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type,
+      |  MAX(CASE WHEN rn = ((n * 50) // 100) + 1 THEN value END) AS p50,
+      |  MAX(CASE WHEN rn = ((n * 95) // 100) + 1 THEN value END) AS p95,
+      |  MAX(CASE WHEN rn = ((n * 99) // 100) + 1 THEN value END) AS p99,
+      |  MAX(n) AS n
+      |FROM ranked
+      |GROUP BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("range_join_sessions", rangeJoin, Some(rangeJoinSql)),
     QueryDef("q15_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
+    QueryDef("q17_tdigest", tdigestQ, Some(tdigestSql)),
     QueryDef("detect_delta_speed", deltaSpeed, Some(deltaSpeedSql)),
     QueryDef("detect_geofence", geofence, Some(geofenceSql)),
     QueryDef("q11_set_ops", setOps, Some(setOpsSql)),
