@@ -93,7 +93,7 @@ object EventStoreSink {
     * new generation are unreachable: old is renamed aside, not deleted,
     * until the new generation is live. Single-writer (the streaming
     * sink); concurrent readers should go through [[readStore]]. */
-  private def promote(fs: FileSystem, tmp: String, path: String): Unit = {
+  private[sink] def promote(fs: FileSystem, tmp: String, path: String): Unit = {
     val dst = new Path(path); val old = new Path(path + "_old")
     fs.delete(old, true) // stale backup from a completed promote
     if (fs.exists(dst)) fs.rename(dst, old)

@@ -1,0 +1,117 @@
+package graft.sink
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+import graft.schema.TelemetryModel.{SessionDoc, StatusEvent}
+import graft.session.Sessionize
+
+/** K4 scale path: bucketed upsert rewrites only touched hash buckets. */
+class BucketStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val N = 8
+
+  test("replace-on-key, keeps unrelated rows, idempotent replay") {
+    val dir = Files.createTempDirectory("bstore").toString + "/docs"
+    val b1 = Seq(("d1", 10L, 1L), ("d2", 20L, 1L)).toDF("dev", "end_ts", "v")
+    BucketStore.upsert(spark, b1, dir, Seq("dev"), N)
+    val b2 = Seq(("d2", 99L, 2L), ("d3", 30L, 1L)).toDF("dev", "end_ts", "v")
+    BucketStore.upsert(spark, b2, dir, Seq("dev"), N)
+    def state() = BucketStore.read(spark, dir, b1.schema, N)
+      .select($"dev", $"end_ts", $"v").as[(String, Long, Long)]
+      .collect().sorted.toSeq
+    assert(state() == Seq(("d1", 10L, 1L), ("d2", 99L, 2L), ("d3", 30L, 1L)))
+    BucketStore.upsert(spark, b2, dir, Seq("dev"), N) // replay
+    assert(state() == Seq(("d1", 10L, 1L), ("d2", 99L, 2L), ("d3", 30L, 1L)))
+  }
+
+  test("untouched buckets are not rewritten (cost ∝ touched buckets)") {
+    val dir = Files.createTempDirectory("bstore2").toString + "/docs"
+    val big = (1 to 200).map(i => (s"dev-$i", i.toLong, 1L))
+      .toDF("dev", "end_ts", "v")
+    BucketStore.upsert(spark, big, dir, Seq("dev"), N)
+
+    def listing(b: Int): Seq[(String, Long)] = {
+      val d = new File(s"$dir/b$b")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).sorted.toSeq
+    }
+    val before = (0 until N).map(listing)
+
+    // one key → exactly one touched bucket
+    val touched = spark.range(1).select(
+      pmod(hash(lit("dev-7")), lit(N)).as("b")).as[Int].head()
+    BucketStore.upsert(spark,
+      Seq(("dev-7", 999L, 2L)).toDF("dev", "end_ts", "v"),
+      dir, Seq("dev"), N)
+
+    (0 until N).foreach { b =>
+      if (b == touched) assert(listing(b) != before(b), s"b$b not rewritten")
+      else assert(listing(b) == before(b), s"untouched b$b was rewritten")
+    }
+    val got = BucketStore.read(spark, dir, big.schema, N)
+    assert(got.count() == 200)
+    assert(got.filter($"dev" === "dev-7").select($"end_ts")
+      .as[Long].head() == 999L)
+  }
+
+  test("crash mid-promote: the _old generation still serves reads") {
+    val dir = Files.createTempDirectory("bstore3").toString + "/docs"
+    val b1 = Seq(("d1", 10L, 1L)).toDF("dev", "end_ts", "v")
+    BucketStore.upsert(spark, b1, dir, Seq("dev"), N)
+    val b = spark.range(1).select(
+      pmod(hash(lit("d1")), lit(N)).as("b")).as[Int].head()
+    // simulate a crash after "rename live aside" but before "promote new"
+    assert(new File(s"$dir/b$b").renameTo(new File(s"$dir/b${b}_old")))
+    val got = BucketStore.read(spark, dir, b1.schema, N)
+      .select($"dev", $"end_ts").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("d1", 10L)))
+    // the next upsert heals the bucket
+    BucketStore.upsert(spark, b1, dir, Seq("dev"), N)
+    assert(new File(s"$dir/b$b").exists())
+  }
+
+  test("status stream -> stateful sessions -> bucketed store (3.2 end-to-end)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("bsess").toString + "/sessions"
+    val input = MemoryStream[StatusEvent]
+    val sessions = Sessionize.stateful(
+      input.toDS()
+        .withColumn("event_ts", timestamp_seconds($"timestamp"))
+        .withWatermark("event_ts", "0 seconds")
+        .as[StatusEvent])
+    var schema: org.apache.spark.sql.types.StructType = null
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SessionDoc], _: Long) =>
+        schema = batch.toDF().schema
+        BucketStore.upsert(spark, batch.toDF(), dir,
+          Seq("device_uuid", "start_timestamp"), N)
+      }
+      .start()
+    try {
+      def touch(d: String, t: Long) =
+        StatusEvent("device_status", "cable-unplugged", "touch", d, t, None, None)
+      input.addData(touch("d1", 1000), touch("d1", 1100))
+      q.processAllAvailable()
+      input.addData(touch("d1", 5000))
+      q.processAllAvailable()
+      input.addData(touch("d1", 99999))
+      q.processAllAvailable()
+      val got = BucketStore.read(spark, dir, schema, N)
+        .select($"device_uuid", $"start_timestamp", $"end_timestamp",
+          $"n_touches", $"closed_by")
+        .as[(String, Long, Long, Long, String)].collect().sorted.toSeq
+      assert(got == Seq(
+        ("d1", 1000L, 1100L, 2L, "ttl"),
+        ("d1", 5000L, 5000L, 1L, "ttl")))
+    } finally q.stop()
+  }
+}
