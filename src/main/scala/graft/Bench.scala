@@ -40,7 +40,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Streaming E2E latency at two triggers, next to the reference's
+    // published 8 ms p50 / 26 ms p95 (BASELINE.md) — measured, not
+    // declared. SPARK_GRAFT_LATENCY=0 skips (e.g. quick local loops).
+    val latJson =
+      if (sys.env.get("SPARK_GRAFT_LATENCY").contains("0")) ""
+      else {
+        val per = Seq(100L, 1000L).map { trig =>
+          val (p50, p95, n) = graft.metrics.LatencyBench.run(spark, trig)
+          s""""trigger_${trig}ms":{"p50_ms":$p50,"p95_ms":$p95,"n":$n}"""
+        }.mkString(",")
+        s""","latency":{$per,"reference_e2e":{"p50_ms":8,"p95_ms":26}}"""
+      }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$latJson}""")
     spark.stop()
   }
 }

@@ -94,6 +94,32 @@ object FileLog {
     if (key == null) 0
     else (java.util.Arrays.hashCode(key) & Int.MaxValue) % numPartitions
 
+  /** Driver-side producer client (single writer per topic): appends one
+    * committed segment per call — the send+flush of a Kafka producer.
+    * Records route by key hash exactly like the DSv2 write path, so
+    * per-key ordering holds across both producers. */
+  def produce(root: String, topic: String,
+              records: Seq[(Array[Byte], Array[Byte])],
+              numPartitions: Int = 4): Unit =
+    records.groupBy(r => route(r._1, numPartitions)).foreach { case (p, recs) =>
+      val dir = partDir(root, topic, p)
+      dir.mkdirs()
+      val base = endOffset(dir)
+      val tmp = new File(dir, s".tmp-${UUID.randomUUID()}")
+      val out = new DataOutputStream(new FileOutputStream(tmp))
+      val nowMicros = System.currentTimeMillis() * 1000L
+      recs.foreach { case (k, v) =>
+        def blob(b: Array[Byte]): Unit =
+          if (b == null) out.writeInt(-1)
+          else { out.writeInt(b.length); out.write(b) }
+        blob(k); blob(v); out.writeLong(nowMicros)
+      }
+      out.close()
+      Files.move(tmp.toPath,
+        new File(dir, f"$SegmentPrefix$base%020d-${recs.length}").toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+
   /** Options helper: topic is required; partitions has a default. */
   def topicOf(o: CaseInsensitiveStringMap): String = {
     require(o.containsKey("topic"), "filelog requires option 'topic'")
