@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextFunctions._
+
+/** Corpus-curation operators a training-data pipeline runs before any
+  * model sees a token (SURVEY §7.5 extension surface): deterministic
+  * sampling, per-stratum quotas, sequence packing, vocabulary stats and
+  * heavy hitters. Everything keys off the portable md5 hash so the
+  * result is a pure function of the data — reproducible across engines
+  * (oracle-gated) and across cluster runs, which is what makes a sample
+  * or a data mix auditable.
+  */
+object CurationQueries {
+
+  // ---------------------------------------------------------- samp_hash
+  // Deterministic Bernoulli sample: keep a doc iff hash(salt, id) lands
+  // under the rate. Map-only (no shuffle, no RNG state); the SAME rows
+  // are selected on any cluster, any partitioning, any engine — unlike
+  // df.sample(), whose selection depends on partition layout. At 100 TB
+  // this composes with pushdown: the filter runs at the scan.
+  private def sampHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(portableHash(concat(lit("samp"), col("doc_id"))) % 100 < 10)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  private val sampHashSql =
+    s"""SELECT doc_id, lang, source, n_chars
+       |FROM documents
+       |WHERE ${portableHashSql("concat('samp', CAST(doc_id AS VARCHAR))")} % 100 < 10""".stripMargin
+
+  // --------------------------------------------------------- samp_quota
+  // Per-stratum quota (uniform without replacement): N docs per lang,
+  // drawn by ascending hash — the curation move that caps any one
+  // stratum's contribution to a mix. Runs through the custom TopKPerKey
+  // operator: bounded k-heaps per partition, one exchange, no per-group
+  // sort (the window form would sort every stratum fully).
+  private val QuotaN = 12
+  private def sampQuota(s: SparkSession, d: String): DataFrame = {
+    val withH = Tables.documents(s, d)
+      .withColumn("h", portableHash(concat(lit("quota"), col("doc_id"))))
+      .select(col("lang"), col("doc_id"), col("source"), col("h"))
+    graft.plans.TopK.perKey(withH, Seq("lang"),
+      Seq(("h", true), ("doc_id", true)), QuotaN)
+  }
+
+  private val sampQuotaSql =
+    s"""WITH hashed AS (
+       |  SELECT lang, doc_id, source,
+       |    ${portableHashSql("concat('quota', CAST(doc_id AS VARCHAR))")} AS h
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+       |  FROM hashed)
+       |SELECT lang, doc_id, source, h FROM ranked WHERE rn <= $QuotaN""".stripMargin
+
+  // -------------------------------------------------------- pack_chunks
+  // Sequence packing: concatenate docs (per source, in doc_id order)
+  // into fixed token-budget chunks — the pre-tokenization step that
+  // turns a corpus into training sequences. A doc belongs to the chunk
+  // where its START lands: chunk = (cumsum − n_tok) DIV budget. Pure
+  // integer window arithmetic → deterministic and engine-identical.
+  // One shuffle on source; at scale the per-source sort is the packing
+  // order contract (doc_id), not an optimization artifact.
+  private val ChunkBudget = 512L
+  private def packChunks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("chunk_id", expr(s"(cum - n_tok) DIV $ChunkBudget"))
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("chunk_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  private def packChunksSql = {
+    val toks = tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |                     ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT source, (cum - n_tok) // $ChunkBudget AS chunk_id,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  // -------------------------------------------------------- vocab_topk
+  // Global vocabulary head: top-50 tokens by frequency. Partial
+  // (map-side) aggregation collapses each partition to its distinct
+  // tokens before the shuffle, and the final top-k is
+  // TakeOrderedAndProject — no global sort of the vocabulary.
+  private def vocabTopK(s: SparkSession, d: String): DataFrame =
+    Tables.parallelize(Tables.documents(s, d))
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  private def vocabTopKSql = {
+    val toks = tokensSql("text")
+    s"""SELECT token, COUNT(*) AS n
+       |FROM (SELECT UNNEST($toks) AS token FROM documents)
+       |GROUP BY 1
+       |ORDER BY n DESC, token
+       |LIMIT 50""".stripMargin
+  }
+
+  // --------------------------------------------------------- heavy_cms
+  // Count-min sketch heavy-hitter estimates: d=4 hash rows × w=256
+  // buckets over token occurrences, estimate = min over rows of the
+  // bucket count — state is 1024 longs per corpus regardless of
+  // vocabulary size (the mergeable alternative to an exact token
+  // count at 100 TB). Probed against a fixed token list next to the
+  // exact counts, so the oracle checks the sketch AND the estimate's
+  // one-sidedness (est >= exact always). Fixed hashes → the sketch is
+  // a pure function of the data, bit-identical in DuckDB.
+  private val CmsRows = 4
+  private val CmsWidth = 256
+  private val CmsProbes = Seq(
+    "the", "a", "data", "table", "row", "value", "spark", "key", "scan", "join")
+
+  private def heavyCms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.parallelize(Tables.documents(s, d))
+      .select(explode(tokens(col("text"))).as("t"))
+    val rb = (0 until CmsRows).map(r => struct(lit(r).as("r"),
+      (portableHash(concat(lit(s"cms${r}_"), col("t"))) % CmsWidth).as("b")))
+    val cms = toks
+      .select(explode(array(rb: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val probes = CmsProbes.toDF("token")
+      .select(col("token"), explode(array((0 until CmsRows).map(r =>
+        struct(lit(r).as("r"),
+          (portableHash(concat(lit(s"cms${r}_"), col("token"))) % CmsWidth).as("b"))): _*)).as("rb"))
+      .select(col("token"), col("rb.r").as("r"), col("rb.b").as("b"))
+    val est = probes.join(broadcast(cms), Seq("r", "b"))
+      .groupBy(col("token")).agg(min(col("c")).as("est"))
+    val exact = toks.filter(col("t").isin(CmsProbes: _*))
+      .groupBy(col("t").as("token")).agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("token"))
+      .select(col("token"), col("est"), col("exact"))
+  }
+
+  private def heavyCmsSql = {
+    val toks = tokensSql("text")
+    def bucket(tcol: String, r: Int) =
+      s"${portableHashSql(s"concat('cms${r}_', $tcol)")} % $CmsWidth"
+    val pairRows = (0 until CmsRows).map(r =>
+      s"SELECT t, $r AS r, ${bucket("t", r)} AS b FROM tok").mkString("\n  UNION ALL\n  ")
+    val probeRows = CmsProbes.flatMap(t => (0 until CmsRows).map(r =>
+      s"SELECT '$t' AS token, $r AS r, ${bucket(s"'$t'", r)} AS b"))
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH tok AS (
+       |  SELECT UNNEST($toks) AS t FROM documents),
+       |pairs AS (
+       |  $pairRows),
+       |cms AS (
+       |  SELECT r, b, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+       |probes AS (
+       |  $probeRows),
+       |est AS (
+       |  SELECT token, MIN(c) AS est
+       |  FROM probes JOIN cms USING (r, b) GROUP BY 1),
+       |exact AS (
+       |  SELECT t AS token, COUNT(*) AS exact
+       |  FROM tok
+       |  WHERE t IN (${CmsProbes.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY 1)
+       |SELECT token, est, exact FROM est JOIN exact USING (token)""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("samp_hash", sampHash, Some(sampHashSql)),
+    QueryDef("samp_quota", sampQuota, Some(sampQuotaSql)),
+    QueryDef("pack_chunks", packChunks, Some(packChunksSql)),
+    QueryDef("vocab_topk", vocabTopK, Some(vocabTopKSql)),
+    QueryDef("heavy_cms", heavyCms, Some(heavyCmsSql)))
+}

@@ -68,8 +68,50 @@ object EmbedQueries {
        |  JOIN qv b ON b.vec_id = c.b_id)
        |SELECT a_id, b_id, cos FROM scored WHERE cos >= CAST(0.35 AS DOUBLE)""".stripMargin
 
+  // ----------------------------------------------------------- ivf_assign
+  // Real IVF coarse quantization: assign every vector to its nearest of
+  // k=8 seed centroids (vec_id < 8) by integer-quantized cosine, ties to
+  // the lowest seed id. The seed table is broadcast (8 rows — a bounded
+  // nested-loop, not an unguarded cross join), so assignment is map-only
+  // over the vectors; the rank-1 window then runs over exactly 8 scored
+  // rows per vector. At 100 TB this is THE cell-assignment pass that
+  // feeds blocked near-dup (embed_cosine_pairs) and IVF search: cells
+  // replace the label column with a data-derived partitioner.
+  private def ivfAssign(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), col("q"), col("nq"))
+    val seeds = qd.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed_id"), col("q").as("sq"), col("nq").as("snq"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("seed_id"))
+    qd.crossJoin(broadcast(seeds)) // bounded: 8 broadcast seed rows
+      .withColumn("dot", Similarity.dotQ("q", "sq"))
+      .withColumn("cos", Similarity.cosine(col("dot"), col("nq"), col("snq")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("seed_id").as("cell"), col("cos"))
+  }
+
+  private val ivfAssignSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, q AS sq, nq AS snq FROM qv WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT v.vec_id, s.seed_id,
+       |    CAST(${Similarity.duckdbDot("v.q", "s.sq")} AS DOUBLE)
+       |      / sqrt(CAST(v.nq AS DOUBLE) * CAST(s.snq AS DOUBLE)) AS cos
+       |  FROM qv v CROSS JOIN seeds s),
+       |ranked AS (
+       |  SELECT vec_id, seed_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                       ORDER BY cos DESC, seed_id) AS rn
+       |  FROM scored)
+       |SELECT vec_id, seed_id AS cell, cos FROM ranked WHERE rn = 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_topk", knnTopK, Some(knnTopKSql)),
     QueryDef("embed_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
-    QueryDef("ann_rp_lsh", annRpLsh, Some(annRpLshSql)))
+    QueryDef("ann_rp_lsh", annRpLsh, Some(annRpLshSql)),
+    QueryDef("ivf_assign", ivfAssign, Some(ivfAssignSql)))
 }

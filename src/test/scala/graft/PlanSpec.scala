@@ -87,6 +87,29 @@ class PlanSpec extends SparkTestBase {
       s"no map-side partial top-k in:\n$s")
   }
 
+  test("vocab_topk plans partial aggregation and TakeOrderedAndProject") {
+    val s = planString("vocab_topk")
+    assert(s.contains("TakeOrderedAndProject"), s"global sort in:\n$s")
+    assert(s.contains("partial_count") || s.contains("partial count"),
+      s"no map-side combine in:\n$s")
+  }
+
+  test("samp_quota runs through the custom partial/final top-k operator") {
+    val s = planString("samp_quota")
+    assert(s.contains("TopKPerKeyPartial") && s.contains("TopKPerKey"),
+      s"quota sampling not planned via TopKPerKey:\n$s")
+  }
+
+  test("samp_hash is map-only: zero shuffles") {
+    assert(countShuffles(plan("samp_hash")) == 0)
+  }
+
+  test("ivf_assign broadcasts the seed table (no shuffle of the vectors for scoring)") {
+    val s = planString("ivf_assign")
+    assert(s.contains("BroadcastNestedLoopJoin"), s"seeds not broadcast in:\n$s")
+    assert(!s.contains("CartesianProduct"), s"cartesian product in:\n$s")
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     // the 100 TB co-location story: pre-bucketed fact/dim join needs no
     // shuffle at read time — both sides' bucketing satisfies the join's
