@@ -140,12 +140,17 @@ object CurationQueries {
     import s.implicits._
     val toks = Tables.parallelize(Tables.documents(s, d))
       .select(explode(tokens(col("text"))).as("t"))
+    // pre-aggregate to distinct tokens FIRST (map-side combine + one
+    // vocabulary-sized shuffle), so the 4 md5 hashes run once per
+    // distinct token, not once per occurrence — at 100 TB the md5 cost
+    // scales with |vocab|, and the sketch update is a weighted sum
+    val counts = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
     val rb = (0 until CmsRows).map(r => struct(lit(r).as("r"),
       (portableHash(concat(lit(s"cms${r}_"), col("t"))) % CmsWidth).as("b")))
-    val cms = toks
-      .select(explode(array(rb: _*)).as("rb"))
+    val cms = counts
+      .select(explode(array(rb: _*)).as("rb"), col("cnt"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("cnt")).as("c"))
     val probes = CmsProbes.toDF("token")
       .select(col("token"), explode(array((0 until CmsRows).map(r =>
         struct(lit(r).as("r"),
@@ -153,8 +158,8 @@ object CurationQueries {
       .select(col("token"), col("rb.r").as("r"), col("rb.b").as("b"))
     val est = probes.join(broadcast(cms), Seq("r", "b"))
       .groupBy(col("token")).agg(min(col("c")).as("est"))
-    val exact = toks.filter(col("t").isin(CmsProbes: _*))
-      .groupBy(col("t").as("token")).agg(count(lit(1)).as("exact"))
+    val exact = counts.filter(col("t").isin(CmsProbes: _*))
+      .select(col("t").as("token"), col("cnt").as("exact"))
     est.join(exact, Seq("token"))
       .select(col("token"), col("est"), col("exact"))
   }
@@ -164,26 +169,27 @@ object CurationQueries {
     def bucket(tcol: String, r: Int) =
       s"${portableHashSql(s"concat('cms${r}_', $tcol)")} % $CmsWidth"
     val pairRows = (0 until CmsRows).map(r =>
-      s"SELECT t, $r AS r, ${bucket("t", r)} AS b FROM tok").mkString("\n  UNION ALL\n  ")
+      s"SELECT $r AS r, ${bucket("t", r)} AS b, cnt FROM counts")
+      .mkString("\n  UNION ALL\n  ")
     val probeRows = CmsProbes.flatMap(t => (0 until CmsRows).map(r =>
       s"SELECT '$t' AS token, $r AS r, ${bucket(s"'$t'", r)} AS b"))
       .mkString("\n  UNION ALL\n  ")
     s"""WITH tok AS (
        |  SELECT UNNEST($toks) AS t FROM documents),
+       |counts AS (
+       |  SELECT t, COUNT(*) AS cnt FROM tok GROUP BY 1),
        |pairs AS (
        |  $pairRows),
        |cms AS (
-       |  SELECT r, b, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+       |  SELECT r, b, CAST(SUM(cnt) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
        |probes AS (
        |  $probeRows),
        |est AS (
        |  SELECT token, MIN(c) AS est
        |  FROM probes JOIN cms USING (r, b) GROUP BY 1),
        |exact AS (
-       |  SELECT t AS token, COUNT(*) AS exact
-       |  FROM tok
-       |  WHERE t IN (${CmsProbes.map(t => s"'$t'").mkString(", ")})
-       |  GROUP BY 1)
+       |  SELECT t AS token, cnt AS exact FROM counts
+       |  WHERE t IN (${CmsProbes.map(t => s"'$t'").mkString(", ")}))
        |SELECT token, est, exact FROM est JOIN exact USING (token)""".stripMargin
   }
 

@@ -68,6 +68,41 @@ object DedupQueries {
        |  JOIN sigs b ON b.doc_id = c.b_id)
        |SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin
 
+  // --------------------------------------------------- dedup_components
+  // Canonicalization: near-dup verified pairs → connected components →
+  // (doc_id, canonical keeper = component min id). The step that turns
+  // pairwise similarity into an actual dedup decision. Oracle is a
+  // recursive-CTE transitive closure over the same pair graph.
+  private def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    val sigs = MinHashLSH.signatures(Tables.documents(s, d), "doc_id", "text")
+      .persist()
+    val pairs = MinHashLSH.verifiedPairs(
+      MinHashLSH.candidatePairs(sigs, "doc_id"), sigs, "doc_id", 0.5)
+    graft.dedup.Components.minLabel(pairs, "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("root").as("canonical_id"))
+  }
+
+  private def dedupComponentsSql =
+    s"""WITH RECURSIVE ${MinHashLSH.duckdbSignatureCte},
+       |${MinHashLSH.duckdbCandidateCte},
+       |verified AS (
+       |  SELECT c.a_id, c.b_id
+       |  FROM cands c
+       |  JOIN sigs a ON a.doc_id = c.a_id
+       |  JOIN sigs b ON b.doc_id = c.b_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM verified
+       |  UNION
+       |  SELECT b_id, a_id FROM verified),
+       |reach (id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+       |SELECT id AS doc_id, MIN(r) AS canonical_id
+       |FROM reach GROUP BY id""".stripMargin
+
   // ------------------------------------------------------ dedup_simhash
   private def simhashQ(s: SparkSession, d: String): DataFrame =
     SimHash.simhash(Tables.documents(s, d), "doc_id", "text")
@@ -80,5 +115,6 @@ object DedupQueries {
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_minhash_lsh", minhashCands, Some(minhashCandsSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QueryDef("dedup_components", dedupComponents, Some(dedupComponentsSql)),
     QueryDef("dedup_simhash", simhashQ, Some(simhashSql)))
 }

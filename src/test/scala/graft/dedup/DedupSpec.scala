@@ -26,6 +26,17 @@ class DedupSpec extends SparkTestBase {
     assert(out(3L) == Seq.empty)
   }
 
+  test("components: min-label fixpoint over chains and separate clusters") {
+    // 1-2-3 is a chain (needs 2 propagation rounds), 10-11 and 4-5 are
+    // separate pairs; every node must label with its component minimum
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 4L))
+      .toDF("a_id", "b_id")
+    val got = Components.minLabel(edges, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("minhash: exact dup has est_sim 1.0 and identical signature") {
     val sigs = MinHashLSH.signatures(docs, "doc_id", "text")
     val cands = MinHashLSH.candidatePairs(sigs, "doc_id")
