@@ -26,17 +26,20 @@ import org.apache.spark.sql.functions._
 object Similarity {
   val Scale = 1048576L // 2^20
 
-  /** (id, embedding: array<float>) → (id, q: array<bigint>, nq: bigint). */
+  /** (id, embedding: array<float>) → (id, q: array<bigint>, nq: bigint).
+    * The norm uses the native [[graft.functions.IntDot]] codegen
+    * expression (self-dot) — the `aggregate(transform(...))` HOF form it
+    * replaces evaluated interpreted and serialized across task threads. */
   def quantized(embeds: DataFrame, idCol: String, embCol: String): DataFrame =
     graft.Tables.parallelize(embeds)
       .withColumn("q", expr(
         s"transform($embCol, x -> cast(floor(cast(x AS double) * cast($Scale AS double)) AS bigint))"))
-      .withColumn("nq", expr(
-        "aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v)"))
+      .withColumn("nq", expr("int_dot(q, q)"))
 
-  /** Integer dot product of two quantized arrays (column expression). */
-  def dotQ(a: String, b: String) = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+  /** Integer dot product of two quantized arrays — native codegen
+    * expression ([[graft.functions.IntDot]], registered as SQL
+    * `int_dot` by `GraftExtensions`). */
+  def dotQ(a: String, b: String) = expr(s"int_dot($a, $b)")
 
   /** Cosine from integer dot + norms: one deterministic double division. */
   def cosine(dot: org.apache.spark.sql.Column,

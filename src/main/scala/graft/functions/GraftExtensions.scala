@@ -17,6 +17,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JsonUnwrap].getName, "json_unwrap"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         JsonUnwrap(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[IntDot].getName, "int_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        IntDot(exprs.head, exprs(1))))
     // custom physical operator: bounded-heap per-key top-k
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
