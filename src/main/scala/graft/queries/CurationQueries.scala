@@ -193,10 +193,77 @@ object CurationQueries {
        |SELECT token, est, exact FROM est JOIN exact USING (token)""".stripMargin
   }
 
+  // ------------------------------------------------------ mix_interleave
+  // Balanced mixture interleave: round-robin documents across sources —
+  // position = rank within source, ties across sources broken by source
+  // name — so a training reader consuming the sequence head sees every
+  // source represented proportionally from the first batch, not one
+  // source's corpus first. Pure window arithmetic, deterministic; one
+  // shuffle per window.
+  private def mixInterleave(s: SparkSession, d: String): DataFrame = {
+    val perSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val global = Window.orderBy(col("rn"), col("source"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rn", row_number().over(perSrc))
+      // pos <= 100 implies rn <= 100, so prune BEFORE the global window:
+      // the unpartitioned (single-partition) window then runs over at
+      // most 100 × |sources| rows no matter the corpus size — the
+      // keyed shuffle did the heavy lifting, the total order is bounded
+      .filter(col("rn") <= 100)
+      .withColumn("pos", row_number().over(global))
+      .filter(col("pos") <= 100)
+      .select(col("pos"), col("source"), col("doc_id"))
+  }
+
+  private val mixInterleaveSql =
+    """WITH r AS (
+      |  SELECT source, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY rn, source) AS pos
+      |  FROM r)
+      |SELECT pos, source, doc_id FROM g WHERE pos <= 100""".stripMargin
+
+  // ---------------------------------------------------- quality_deciles
+  // Decile binning of a per-doc quality signal (n_chars here) with a
+  // doc_id tiebreak so the NTILE assignment is a total-order function —
+  // the bucketing step behind "train on the top-N% by quality".
+  // SCALE NOTE: exact global NTILE is definitionally a total sort
+  // (Spark: range-partition + sort; the single-partition window below is
+  // the oracle-checkable small form). The 100 TB path computes decile
+  // BOUNDARIES from the mergeable t-digest (q17) and buckets map-only
+  // against the broadcast boundaries — same contract, approximate
+  // edges; keep this form as the exactness gate.
+  private def qualityDeciles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+  }
+
+  private val qualityDecilesSql =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |    NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      |  FROM documents)
+      |SELECT decile, COUNT(*) AS n_docs,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM t
+      |GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("samp_hash", sampHash, Some(sampHashSql)),
     QueryDef("samp_quota", sampQuota, Some(sampQuotaSql)),
     QueryDef("pack_chunks", packChunks, Some(packChunksSql)),
     QueryDef("vocab_topk", vocabTopK, Some(vocabTopKSql)),
-    QueryDef("heavy_cms", heavyCms, Some(heavyCmsSql)))
+    QueryDef("heavy_cms", heavyCms, Some(heavyCmsSql)),
+    QueryDef("mix_interleave", mixInterleave, Some(mixInterleaveSql)),
+    QueryDef("quality_deciles", qualityDeciles, Some(qualityDecilesSql)))
 }
