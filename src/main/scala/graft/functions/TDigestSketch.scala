@@ -29,6 +29,19 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object TDigestSketch {
 
+  /** The 100 TB companion to exact NTILE binning (see
+    * `CurationQueries.quality_deciles`): quantile BOUNDARIES come from
+    * the mergeable digest (one aggregation), then bucketing is this
+    * map-only literal when-chain — no global sort, no single-partition
+    * window, stays inside whole-stage codegen. Bucket = 1 + number of
+    * boundaries ≤ value (boundaries ascending). */
+  def bucketColumn(value: org.apache.spark.sql.Column,
+                   boundaries: Seq[Double]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    boundaries.sorted.map(b => when(value >= b, 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+  }
+
   /** Digest state. `means`/`weights` are compressed centroids sorted by
     * mean; `raw` is the unfolded tail. Arrays (not growable buffers)
     * keep the ExpressionEncoder trivial; partial aggregation keeps each

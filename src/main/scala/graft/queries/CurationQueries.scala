@@ -258,7 +258,76 @@ object CurationQueries {
       |FROM t
       |GROUP BY 1""".stripMargin
 
+  // -------------------------------------------------------- shard_sizes
+  // Deterministic shard assignment for training output: shard =
+  // hash(id) % N, so any engine reproduces the same shard membership
+  // and a re-run never reshuffles examples between shards (stable
+  // data-order contract for resumable training). The query reports the
+  // shard-level balance stats a writer job would emit; the write itself
+  // is `df.withColumn("shard", ...).write.partitionBy("shard")`.
+  private val NumShards = 16
+  private def shardSizes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("shard",
+        portableHash(concat(lit("shard"), col("doc_id"))) % NumShards)
+      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("shard_tokens"))
+
+  private def shardSizesSql = {
+    val toks = tokensSql("text")
+    s"""SELECT ${portableHashSql("concat('shard', CAST(doc_id AS VARCHAR))")} % $NumShards AS shard,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(len($toks) AS BIGINT)) AS BIGINT) AS shard_tokens
+       |FROM documents
+       |GROUP BY 1""".stripMargin
+  }
+
+  // ----------------------------------------------------------- decontam
+  // Benchmark decontamination report: flag documents sharing any of the
+  // corpus' top-K shingles with an "eval set" (here: the top-5 shingles
+  // themselves, computed in-query — in production the eval side is a
+  // broadcast list of benchmark n-gram hashes). Semi-join on 64-bit
+  // shingle hashes: the document side never ships text, and the eval
+  // side is broadcast — the standard decontamination shape at scale.
+  private def decontam(s: SparkSession, d: String): DataFrame = {
+    val withSh = Tables.parallelize(Tables.documents(s, d))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", shingles("toks", 3))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .withColumn("h", portableHash(col("g")))
+    val topShingles = withSh.groupBy(col("h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("h"))
+      .limit(5)
+      .select(col("h"))
+    withSh.join(broadcast(topShingles), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_hits"))
+  }
+
+  private def decontamSql = {
+    val toks = tokensSql("text")
+    val sh   = shinglesSql("toks", 3)
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, UNNEST($sh) AS gg FROM t),
+       |g AS (
+       |  SELECT doc_id, ${portableHashSql("gg")} AS h FROM g0),
+       |top5 AS (
+       |  SELECT h FROM (
+       |    SELECT h, COUNT(*) AS n FROM g GROUP BY 1
+       |    ORDER BY n DESC, h LIMIT 5))
+       |SELECT doc_id, COUNT(DISTINCT h) AS n_hits
+       |FROM g JOIN top5 USING (h)
+       |GROUP BY 1""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("shard_sizes", shardSizes, Some(shardSizesSql)),
+    QueryDef("decontam", decontam, Some(decontamSql)),
     QueryDef("samp_hash", sampHash, Some(sampHashSql)),
     QueryDef("samp_quota", sampQuota, Some(sampQuotaSql)),
     QueryDef("pack_chunks", packChunks, Some(packChunksSql)),

@@ -30,6 +30,28 @@ object DedupQueries {
       |FROM documents
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------- dedup_prefix
+  // Leading-k-token fingerprint dedup: catches boilerplate families
+  // (shared headers/templates) that full-content hashing misses and
+  // MinHash only scores partially. Hash is over the first 10 tokens —
+  // one md5 of ≤ ~100 bytes per doc, one shuffle on the digest.
+  private def dedupPrefix(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("fp", md5(concat_ws(" ", slice(col("toks"), 1, 10))))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+
+  private def dedupPrefixSql = {
+    val toks = TextFunctions.tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents)
+       |SELECT md5(array_to_string(toks[1:10], ' ')) AS fp,
+       |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+       |FROM t
+       |GROUP BY 1""".stripMargin
+  }
+
   // -------------------------------------------------- dedup_minhash_lsh
   // LSH candidate generation: signatures are map-only; the only shuffle
   // groups (band, bucket) keys. Candidate count scales with true
@@ -113,6 +135,7 @@ object DedupQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("dedup_prefix", dedupPrefix, Some(dedupPrefixSql)),
     QueryDef("dedup_minhash_lsh", minhashCands, Some(minhashCandsSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_components", dedupComponents, Some(dedupComponentsSql)),

@@ -58,6 +58,28 @@ class TDigestSpec extends SparkTestBase {
     }
   }
 
+  test("digest boundaries + map-only bucketing approximate exact deciles") {
+    // the production decile path: boundaries from the COMPRESSED digest,
+    // then a map-only bucket column — each decile's share must stay
+    // within a point of 10% even though the digest is approximate
+    val agg = new Quantiles((10 to 90 by 10).toSeq, compression = 200,
+      rawCap = 256)
+    val xs = data(20000, seed = 23)
+    val st = xs.grouped(1000).toList
+      .map(_.foldLeft(agg.zero)(agg.reduce)).reduceLeft(agg.merge)
+    val boundaries = agg.finish(st)
+    val df = xs.toSeq.toDF("v")
+      .withColumn("bucket", TDigestSketch.bucketColumn($"v", boundaries))
+    val counts = df.groupBy($"bucket").count()
+      .as[(Int, Long)].collect().toMap
+    assert(counts.keySet == (1 to 10).toSet)
+    // each boundary's nearest-rank error is ~a centroid's mass (≲1% of n
+    // at δ=200); a bucket is bounded by two boundaries, so its share can
+    // be off by both errors combined — allow 2 × 1% × n = 400
+    counts.values.foreach { n =>
+      assert(math.abs(n - 2000L) < 400, s"decile share off: $counts") }
+  }
+
   test("spark agg matches the exact window formulation") {
     val xs = data(4000, seed = 17)
     val df = xs.zipWithIndex.toSeq
