@@ -110,6 +110,15 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct"), s"cartesian product in:\n$s")
   }
 
+  test("q17 t-digest aggregates partially below the exchange") {
+    // the digest must combine map-side (partial states merge) — a plan
+    // that ships raw rows to a single final agg would defeat the sketch
+    val s = planString("q17_tdigest")
+    assert(s.contains("ObjectHashAggregate"), s"no object agg in:\n$s")
+    assert("partial".r.findFirstIn(s.toLowerCase).isDefined,
+      s"no partial aggregation in:\n$s")
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     // the 100 TB co-location story: pre-bucketed fact/dim join needs no
     // shuffle at read time — both sides' bucketing satisfies the join's
