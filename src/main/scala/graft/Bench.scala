@@ -47,11 +47,15 @@ object Bench {
     val latJson =
       if (sys.env.get("SPARK_GRAFT_LATENCY").contains("0")) ""
       else {
+        def num(x: Double) = if (x.isNaN) "null" else x.toString // JSON-safe
         val per = Seq(100L, 1000L).map { trig =>
           val (p50, p95, n) = graft.metrics.LatencyBench.run(spark, trig)
-          s""""trigger_${trig}ms":{"p50_ms":$p50,"p95_ms":$p95,"n":$n}"""
+          s""""trigger_${trig}ms":{"p50_ms":${num(p50)},"p95_ms":${num(p95)},"n":$n}"""
         }.mkString(",")
-        s""","latency":{$per,"reference_e2e":{"p50_ms":8,"p95_ms":26}}"""
+        val (cp50, cp95, cn) = graft.metrics.LatencyBench.runContinuous(spark)
+        val cont =
+          s""""continuous_status_path":{"p50_ms":${num(cp50)},"p95_ms":${num(cp95)},"n":$cn}"""
+        s""","latency":{$per,$cont,"reference_e2e":{"p50_ms":8,"p95_ms":26}}"""
       }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$latJson}""")

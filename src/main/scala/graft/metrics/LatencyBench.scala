@@ -93,4 +93,61 @@ object LatencyBench {
 
   private def pct(sorted: IndexedSeq[Long], p: Int): Double =
     sorted((sorted.length * p) / 100 min (sorted.length - 1)).toDouble
+
+  /** Sink-side latency buffer for the continuous-mode run: ForeachWriter
+    * instances run on executor threads — one JVM in local mode, so a
+    * static queue observes every record (measurement harness only). */
+  val contLats = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]
+
+  /** Continuous-processing experiment — what Spark's record-at-a-time
+    * mode actually reaches vs the reference's 8 ms p50, measured rather
+    * than declared. Continuous mode supports only map-like operators:
+    * the status branch (F1/F2 gates + projection — StatusDeriver's plan
+    * shape, here with the send-time column carried per ST4) qualifies;
+    * the violation branch (explode), the demux (foreachBatch), and
+    * everything stateful do NOT run continuous — so this number is the
+    * floor for a subset of the pipeline, not a drop-in latency fix.
+    * Returns (p50Ms, p95Ms, n) or NaNs if the mode rejects the plan. */
+  def runContinuous(spark: SparkSession,
+                    durationMs: Long = 12000): (Double, Double, Int) = {
+    import spark.implicits._
+    contLats.clear()
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", "10").load()
+      .select(concat(
+        lit("""{"device_uuid":"dev-"""), col("value") % 8,
+        lit("""","timestamp":"""), expr("unix_millis(timestamp) div 1000"),
+        lit(""","mqtt_sent_at_ms":"""), unix_millis(col("timestamp")),
+        lit(""","dashcam_power_source":"battery"}""")).as("value"))
+    val parsed = raw
+      .select(JsonNormalize.parseTolerant($"value", TelemetrySchema.telemetry).as("t"))
+      .filter($"t".isNotNull).select("t.*")
+    val status = parsed
+      .filter($"device_uuid".isNotNull && $"timestamp" > 0)
+      .filter(lower($"dashcam_power_source") === "battery")
+      .select($"device_uuid", $"timestamp", $"mqtt_sent_at_ms")
+
+    try {
+      val q = status.writeStream
+        .trigger(Trigger.Continuous("1 second"))
+        .foreach(new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+          override def open(partitionId: Long, epochId: Long): Boolean = true
+          override def process(r: org.apache.spark.sql.Row): Unit =
+            contLats.add(System.currentTimeMillis() -
+              r.getAs[Long]("mqtt_sent_at_ms"))
+          override def close(errorOrNull: Throwable): Unit = ()
+        })
+        .start()
+      try Thread.sleep(durationMs) finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val all = contLats.iterator().asScala.map(_.longValue()).toIndexedSeq
+      val steady = all.drop(all.size / 2).sorted
+      if (steady.isEmpty) (Double.NaN, Double.NaN, 0)
+      else (pct(steady, 50), pct(steady, 95), steady.size)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[latency] continuous mode rejected: ${e.getMessage}")
+        (Double.NaN, Double.NaN, 0)
+    }
+  }
 }
