@@ -259,6 +259,30 @@ object StreamAnalyticsQueries {
       |  ON e.user_id = s.user_id
       | AND e.ts >= s.start_ts AND e.ts <= s.end_ts""".stripMargin
 
+  // --------------------------------------------------- skew_salted_join
+  // The salted skew join driven through the correctness gate: events
+  // (fact, potentially hot user keys) ⋈ customer (replicable dim) on the
+  // key, salted 8 ways, aggregated per market segment. Salting splits
+  // each hot key across 8 sub-keys — every task gets 1/8 of the hot
+  // key's rows — at the cost of 8× dim build rows; results are provably
+  // identical to the plain join (the oracle IS the plain join).
+  private def skewSalted(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("value"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.plans.SkewJoin.saltedInner(ev, cust, "user_id", 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 2))).cast("double").as("sum_value"))
+  }
+
+  private val skewSaltedSql =
+    """SELECT c.c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+      |FROM events e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------- q17_tdigest
   // Mergeable t-digest quantiles (custom typed Aggregator) per
   // event_type. At oracle scale no buffer overflows, so the digest's
@@ -298,6 +322,7 @@ object StreamAnalyticsQueries {
     QueryDef("range_join_sessions", rangeJoin, Some(rangeJoinSql)),
     QueryDef("q15_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     QueryDef("q17_tdigest", tdigestQ, Some(tdigestSql)),
+    QueryDef("skew_salted_join", skewSalted, Some(skewSaltedSql)),
     QueryDef("detect_delta_speed", deltaSpeed, Some(deltaSpeedSql)),
     QueryDef("detect_geofence", geofence, Some(geofenceSql)),
     QueryDef("q11_set_ops", setOps, Some(setOpsSql)),

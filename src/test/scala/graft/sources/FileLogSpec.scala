@@ -149,6 +149,26 @@ class FileLogSpec extends SparkTestBase {
     assert(buf.toSeq == Seq("new1"))
   }
 
+  test("orphaned staging files from a crashed writer are invisible to readers") {
+    val root = newRoot()
+    produce(root, "t5", Seq(("k", "real1"), ("k", "real2")))
+    // simulate a task that crashed after staging but before commit
+    val pdir = new java.io.File(s"$root/t5/p${FileLog.route("k".getBytes, 2)}")
+    val orphan = new java.io.File(pdir, ".tmp-dead-task")
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(orphan))
+    out.writeInt(1); out.write("x".getBytes); out.writeInt(4)
+    out.write("lost".getBytes); out.writeLong(0L); out.close()
+
+    val got = readTopic(root, "t5")
+      .select($"value".cast("string")).as[String].collect().sorted.toSeq
+    assert(got == Seq("real1", "real2")) // orphan never surfaces
+    // and offsets remain contiguous for subsequent appends
+    produce(root, "t5", Seq(("k", "real3")))
+    val offs = readTopic(root, "t5").select($"offset").as[Long]
+      .collect().sorted.toSeq
+    assert(offs == Seq(0L, 1L, 2L))
+  }
+
   test("streaming sink: writeStream into a topic with epoch markers") {
     val root = newRoot()
     implicit val sqlCtx = spark.sqlContext
