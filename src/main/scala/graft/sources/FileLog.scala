@@ -208,12 +208,20 @@ class FileLogScan(options: CaseInsensitiveStringMap) extends Scan {
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new FileLogMicroBatchStream(root, topic, n,
-      Option(options.get("startingOffsets")).getOrElse("latest"))
+      Option(options.get("startingOffsets")).getOrElse("latest"),
+      Option(options.get("maxOffsetsPerTrigger")).map(_.toLong))
 }
 
+/** `maxOffsetsPerTrigger` mirrors the Kafka source's admission control:
+  * each micro-batch admits at most that many records, distributed
+  * proportionally to each partition's backlog — the backpressure knob
+  * that keeps a catch-up read from planning one giant batch. */
 class FileLogMicroBatchStream(root: String, topic: String, n: Int,
-                              startingOffsets: String)
-    extends MicroBatchStream {
+                              startingOffsets: String,
+                              maxOffsetsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxRows}
 
   override def initialOffset(): Offset = startingOffsets match {
     case "earliest" => FileLogOffset((0 until n).map(_ -> 0L).toMap)
@@ -221,6 +229,43 @@ class FileLogMicroBatchStream(root: String, topic: String, n: Int,
   }
 
   override def latestOffset(): Offset = FileLogOffset.current(root, topic, n)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxOffsetsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset =
+    FileLogOffset.current(root, topic, n)
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[FileLogOffset]
+    val avail = FileLogOffset.current(root, topic, n)
+    limit match {
+      case r: ReadMaxRows =>
+        val backlog = (0 until n).map(p =>
+          p -> (avail.parts.getOrElse(p, 0L) - start.parts.getOrElse(p, 0L)))
+        val total = backlog.map(_._2).sum
+        if (total <= r.maxRows()) avail
+        else {
+          // proportional split of the admission budget across backlogs;
+          // floors can under-admit, so hand out the remainder
+          // deterministically by partition index
+          val admitted = scala.collection.mutable.Map(
+            backlog.map { case (p, b) =>
+              p -> (b * r.maxRows() / total) }: _*)
+          var left = r.maxRows() - admitted.values.sum
+          backlog.foreach { case (p, b) =>
+            if (left > 0 && admitted(p) < b) {
+              val extra = math.min(left, b - admitted(p))
+              admitted(p) += extra; left -= extra
+            }
+          }
+          FileLogOffset((0 until n).map(p =>
+            p -> (start.parts.getOrElse(p, 0L) + admitted(p))).toMap)
+        }
+      case _: ReadAllAvailable => avail
+      case _ => avail
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     FileLogOffset.parse(json)

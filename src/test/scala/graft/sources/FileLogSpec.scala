@@ -149,6 +149,27 @@ class FileLogSpec extends SparkTestBase {
     assert(buf.toSeq == Seq("new1"))
   }
 
+  test("maxOffsetsPerTrigger caps each micro-batch (admission control)") {
+    val root = newRoot()
+    produce(root, "t6", (1 to 20).map(i => (s"k$i", s"v$i")))
+    val batchSizes = mutable.Buffer[Long]()
+    val q = spark.readStream.format("filelog")
+      .option("path", root).option("topic", "t6")
+      .option("numPartitions", "2").option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", "6")
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("flmax").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val n = b.count()
+        if (n > 0) batchSizes.synchronized { batchSizes += n }; ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batchSizes.sum == 20, s"lost records: $batchSizes")
+    assert(batchSizes.forall(_ <= 6), s"batch over the cap: $batchSizes")
+    assert(batchSizes.length >= 4, s"too few batches: $batchSizes")
+  }
+
   test("orphaned staging files from a crashed writer are invisible to readers") {
     val root = newRoot()
     produce(root, "t5", Seq(("k", "real1"), ("k", "real2")))
