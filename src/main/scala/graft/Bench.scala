@@ -58,7 +58,20 @@ object Bench {
         s""","latency":{$per,$cont,"reference_e2e":{"p50_ms":8,"p95_ms":26}}"""
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$latJson}""")
-    spark.stop()
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$latJson}"""
+
+    // The metric line must be the FINAL stdout act: round 2's driver
+    // artifact lost all numbers because the continuous-latency teardown
+    // logs pages of TaskKilled/RejectedExecution warnings after this
+    // point, pushing the JSON out of the driver's bounded tail capture.
+    // Silence logging entirely, stop Spark (streaming queries are
+    // already stopped by LatencyBench), THEN print.
+    spark.sparkContext.setLogLevel("OFF")
+    try spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+    catch { case _: Throwable => () }
+    try spark.stop() catch { case _: Throwable => () }
+    println(json)
+    System.out.flush()
   }
 }

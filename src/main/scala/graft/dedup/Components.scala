@@ -25,41 +25,67 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Round bound: min-label propagation converges in diameter(G) rounds,
+    * and near-dup graphs are shallow cliques (2–3 rounds). A graph that
+    * needs more than this many rounds is adversarially chain-shaped —
+    * abort loudly (each round is a full join+agg pass; an unbounded loop
+    * on hostile input would burn the cluster silently) and point at the
+    * O(log n) star-contraction swap-in. */
+  val MaxRounds = 64
+
   /** edges(aCol, bCol) → (id, root): every node labeled with its
     * component's minimum id. Only nodes present in edges appear. */
-  def minLabel(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def minLabel(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    minLabelCounted(edges, aCol, bCol, MaxRounds)._1
+
+  /** [[minLabel]] plus the number of propagation rounds executed —
+    * observable so tests can pin rounds = O(diameter), and callers can
+    * monitor convergence on production graphs. */
+  def minLabelCounted(edges: DataFrame, aCol: String, bCol: String,
+                      maxRounds: Int = MaxRounds): (DataFrame, Int) = {
     val a = col(aCol); val b = col(bCol)
     val sym = edges.select(a.as("src"), b.as("dst"))
       .union(edges.select(b.as("src"), a.as("dst")))
       .distinct()
       .persist()
+    // Lineage MUST be truncated every round, not just cached: each
+    // round's plan references `labels` twice (through nbrMin and the
+    // outer join), so an un-truncated logical plan tree DOUBLES per
+    // round — 2^rounds nodes, and the driver OOMs stringifying/
+    // re-optimizing it long before data is a problem. localCheckpoint
+    // materializes the round eagerly and replaces the plan with a
+    // LogicalRDD scan (executor-local storage; on a real cluster with
+    // executor loss in play, set a checkpoint dir and swap in
+    // .checkpoint() — same contract, reliable storage).
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("root", col("id"))
-      .persist()
-    // materialized `updated` of the previous round — its successor
-    // labels read THROUGH it, so it stays cached until the next round
-    // has materialized (unpersisting earlier would silently recompute
-    // the whole lineage each round: quadratic blowup)
-    var retired: DataFrame = null
+      .localCheckpoint()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"Components.minLabel did not converge in $maxRounds rounds — " +
+            "the duplicate graph has a pathological long-chain structure " +
+            "(diameter > maxRounds). Swap in alternating large-star/" +
+            "small-star contraction (same min-id contract, O(log n) " +
+            "rounds) or raise maxRounds deliberately.")
       val nbrMin = sym
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("root")).as("nmin"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("root"),
-          least(col("root"), coalesce(col("nmin"), col("root"))).as("next"))
-        .persist()
       // (measured: a pointer-doubling hop join per round costs more than
       // the rounds it saves on near-dup graphs, which are shallow —
       // chains barely exist, so min-propagation converges in 2-3 rounds)
-      changed = updated.filter(col("next") < col("root")).count() // materializes
-      if (retired != null) retired.unpersist()
-      retired = updated
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("root"),
+          least(col("root"), coalesce(col("nmin"), col("root"))).as("next"))
+        .localCheckpoint() // eager: materializes + truncates lineage
+      changed = updated.filter(col("next") < col("root")).count()
       labels = updated.select(col("id"), col("next").as("root"))
     }
     sym.unpersist()
-    labels
+    (labels, rounds)
   }
 }

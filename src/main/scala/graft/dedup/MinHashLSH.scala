@@ -106,8 +106,14 @@ object MinHashLSH {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
       .distinct()
+      // expanded element_at sum, not aggregate(zip_with(...)): HOF
+      // lambdas evaluate interpreted and serialize across task threads
+      // (see signatures() — same measured rationale); the 16-term sum
+      // stays inside whole-stage codegen
       .withColumn("est_sim",
-        expr(s"aggregate(zip_with(a_sig, b_sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+        expr((1 to NumHashes)
+          .map(i => s"IF(element_at(a_sig, $i) = element_at(b_sig, $i), 1, 0)")
+          .mkString(" + "))
           .cast("double") / NumHashes)
       .select(col("a_id"), col("b_id"), col("est_sim"))
   }

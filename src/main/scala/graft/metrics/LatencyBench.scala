@@ -138,7 +138,11 @@ object LatencyBench {
           override def close(errorOrNull: Throwable): Unit = ()
         })
         .start()
-      try Thread.sleep(durationMs) finally q.stop()
+      // Killing continuous-mode tasks floods the log with TaskKilled /
+      // RejectedExecutionException warnings (async, can land seconds
+      // later and bury the bench's stdout contract) — mute around stop.
+      try Thread.sleep(durationMs)
+      finally { spark.sparkContext.setLogLevel("OFF"); q.stop() }
       import scala.jdk.CollectionConverters._
       val all = contLats.iterator().asScala.map(_.longValue()).toIndexedSeq
       val steady = all.drop(all.size / 2).sorted

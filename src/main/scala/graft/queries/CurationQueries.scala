@@ -92,7 +92,7 @@ object CurationQueries {
        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
        |                     ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM t)
-       |SELECT source, (cum - n_tok) // $ChunkBudget AS chunk_id,
+       |SELECT source, CAST((cum - n_tok) // $ChunkBudget AS BIGINT) AS chunk_id,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens,
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
@@ -258,6 +258,57 @@ object CurationQueries {
       |FROM t
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------- quality_deciles_digest
+  // The 100 TB decile path: boundaries from ONE mergeable t-digest
+  // aggregation (O(δ) state per partition, no sort), then a map-only
+  // bucket assignment against the collected boundaries — the collect is
+  // 9 doubles by design, the broadcast-boundaries pattern. No global
+  // NTILE sort, no single-partition window anywhere in the plan
+  // (PlanSpec asserts this). Oracle trick (q17's exact-regime pinning):
+  // at verify scale the digest never compresses, so each boundary IS the
+  // exact nearest-rank order statistic ((n·p) DIV 100)+1, which DuckDB
+  // reproduces with a ranked mirror; bucket = 1 + #(boundaries ≤ value).
+  // Semantics vs exact NTILE: ties of the same value land in the same
+  // bucket here (boundary rule), where NTILE splits them by rowcount —
+  // both forms stay oracle-gated, this one is the production route.
+  private val DecilePs = Seq(10, 20, 30, 40, 50, 60, 70, 80, 90)
+  private def qualityDecilesDigest(s: SparkSession, d: String): DataFrame = {
+    val td = udaf(new graft.functions.TDigestSketch.Quantiles(DecilePs))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("double").as("v"))
+    val bounds: Seq[Double] =
+      docs.agg(td(col("v")).as("bs")).head().getSeq[Double](0)
+    docs
+      .groupBy(graft.functions.TDigestSketch.bucketColumn(col("v"), bounds)
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("v")).cast("long").as("min_chars"),
+        max(col("v")).cast("long").as("max_chars"))
+  }
+
+  private val qualityDecilesDigestSql = {
+    val boundCols = DecilePs.map(p =>
+      s"MAX(CASE WHEN rn = ((n * $p) // 100) + 1 THEN CAST(n_chars AS DOUBLE) END) AS b$p")
+      .mkString(",\n       |    ")
+    val bucketExpr = DecilePs.map(p =>
+      s"CASE WHEN CAST(d.n_chars AS DOUBLE) >= b.b$p THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ranked AS (
+       |  SELECT n_chars,
+       |    ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+       |    COUNT(*) OVER () AS n
+       |  FROM documents),
+       |b AS (
+       |  SELECT
+       |    $boundCols
+       |  FROM ranked)
+       |SELECT CAST(1 + $bucketExpr AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+       |FROM documents d CROSS JOIN b
+       |GROUP BY 1""".stripMargin
+  }
+
   // -------------------------------------------------------- shard_sizes
   // Deterministic shard assignment for training output: shard =
   // hash(id) % N, so any engine reproduces the same shard membership
@@ -343,5 +394,7 @@ object CurationQueries {
     QueryDef("vocab_topk", vocabTopK, Some(vocabTopKSql)),
     QueryDef("heavy_cms", heavyCms, Some(heavyCmsSql)),
     QueryDef("mix_interleave", mixInterleave, Some(mixInterleaveSql)),
-    QueryDef("quality_deciles", qualityDeciles, Some(qualityDecilesSql)))
+    QueryDef("quality_deciles", qualityDeciles, Some(qualityDecilesSql)),
+    QueryDef("quality_deciles_digest", qualityDecilesDigest,
+      Some(qualityDecilesDigestSql)))
 }

@@ -32,7 +32,10 @@ object TextQueries {
         length(col("text")).cast("long").as("n_chars_m"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_types"),
-        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("sum_tok_len"),
+        // sum(length(tok)) == length of the empty-separator join — a
+        // codegen'd ConcatWs instead of an interpreted aggregate() lambda
+        // (HOFs serialize across task threads; see MinHashLSH.signatures)
+        length(concat_ws("", col("toks"))).cast("long").as("sum_tok_len"),
         markerCount("toks", stopwords).cast("long").as("n_stop"))
       .withColumn("avg_tok_len",
         col("sum_tok_len").cast("double") / col("n_tokens"))

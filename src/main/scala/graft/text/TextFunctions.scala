@@ -54,11 +54,19 @@ object TextFunctions {
   def portableHashSql(s: String): String =
     s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
 
-  /** Count of tokens (array column `toksCol`) in a fixed marker set
-    * (stopword counting, language scoring). */
+  /** Count of tokens (array column `toksCol`) in a fixed marker set,
+    * with multiplicity (stopword counting, language scoring).
+    *
+    * Built as Σ_m (size − size(array_remove(toks, m))) rather than
+    * `size(filter(toks, t -> t IN (...)))`: `filter` is a higher-order
+    * function (CodegenFallback — interpreted, lambda evaluation
+    * serializes across task threads in one JVM), while `array_remove`
+    * is a plain codegen'd collection expression; the marker sets are
+    * small fixed lists so the expansion is a handful of terms. */
   def markerCount(toksCol: String, markers: Seq[String]): Column = {
-    val inList = markers.map(m => s"'$m'").mkString(", ")
-    expr(s"size(filter($toksCol, t -> t IN ($inList)))")
+    val terms = markers.map(m =>
+      s"(size($toksCol) - size(array_remove($toksCol, '$m')))")
+    expr(terms.mkString(" + "))
   }
 
   def markerCountSql(toksSql: String, markers: Seq[String]): String = {

@@ -119,6 +119,17 @@ class PlanSpec extends SparkTestBase {
       s"no partial aggregation in:\n$s")
   }
 
+  test("quality_deciles_digest has no window and no single-partition exchange") {
+    // the scale path for deciles: boundaries via one mergeable digest
+    // aggregation, bucketing as a map-only when-chain — unlike the exact
+    // NTILE twin there must be NO Window operator and NO
+    // Exchange SinglePartition anywhere in the plan
+    val s = planString("quality_deciles_digest")
+    assert(!s.contains("Window"), s"window operator in digest path:\n$s")
+    assert(!s.contains("Exchange SinglePartition"),
+      s"single-partition exchange in digest path:\n$s")
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     // the 100 TB co-location story: pre-bucketed fact/dim join needs no
     // shuffle at read time — both sides' bucketing satisfies the join's

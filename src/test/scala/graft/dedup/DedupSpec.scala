@@ -37,6 +37,31 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("components: round count is O(diameter) on a pathological chain") {
+    // a 17-node path (diameter 16) — the worst shape for min-label
+    // propagation: the label crosses one hop per round. Pins the cost
+    // model the scale note documents: rounds ≤ diameter + 1 (the +1 is
+    // the fixpoint-detection round), NOT O(log n) (that's the
+    // star-contraction upgrade) and NOT quadratic.
+    val chain = (0L until 16L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (labels, rounds) = Components.minLabelCounted(chain, "a_id", "b_id")
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == (0L to 16L).map(_ -> 0L).toMap)
+    assert(rounds <= 17, s"expected <= diameter+1 rounds, took $rounds")
+    assert(rounds >= 16, s"a 16-hop chain cannot converge in $rounds rounds")
+  }
+
+  test("components: exceeding the round cap aborts loudly, not silently") {
+    // adversarial guard: a chain deeper than maxRounds must throw the
+    // documented error (pointing at star-contraction), never loop on
+    val chain = (0L until 8L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      Components.minLabelCounted(chain, "a_id", "b_id", maxRounds = 3)._1
+        .collect()
+    }
+    assert(e.getMessage.contains("star"))
+  }
+
   test("minhash: exact dup has est_sim 1.0 and identical signature") {
     val sigs = MinHashLSH.signatures(docs, "doc_id", "text")
     val cands = MinHashLSH.candidatePairs(sigs, "doc_id")
