@@ -84,7 +84,8 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     top.withColumn("rk", row_number().over(w))
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rk").cast("long").as("rk"))
   }
 
   /** All-pairs cosine ≥ threshold within a coarse-partition cell

@@ -213,7 +213,7 @@ object CurationQueries {
       .filter(col("rn") <= 100)
       .withColumn("pos", row_number().over(global))
       .filter(col("pos") <= 100)
-      .select(col("pos"), col("source"), col("doc_id"))
+      .select(col("pos").cast("long").as("pos"), col("source"), col("doc_id"))
   }
 
   private val mixInterleaveSql =
@@ -241,7 +241,7 @@ object CurationQueries {
     val w = Window.orderBy(col("n_chars"), col("doc_id"))
     Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"))
-      .withColumn("decile", ntile(10).over(w))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("n_chars")).as("min_chars"),

@@ -117,7 +117,8 @@ object Relational {
     Tables.customer(s, d)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
-      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("rk"))
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        col("rk").cast("long").as("rk"))
   }
 
   private val q4Sql =
