@@ -52,10 +52,22 @@ object Bench {
           val (p50, p95, n) = graft.metrics.LatencyBench.run(spark, trig)
           s""""trigger_${trig}ms":{"p50_ms":${num(p50)},"p95_ms":${num(p95)},"n":$n}"""
         }.mkString(",")
+        // Stateful sessionize path measured twice: the operator +
+        // exactly-once machinery alone (100 ms trigger), and with the
+        // BucketStore merge sink at a 250 ms trigger matched to the
+        // sink's service rate (a heavy sink under a faster trigger only
+        // measures backlog growth; the store's production swap-in is a
+        // MERGE-capable table format).
+        val (so50, so95, son) =
+          graft.metrics.LatencyBench.runStateful(spark, 100L, withStore = false)
+        val (sp50, sp95, sn) = graft.metrics.LatencyBench.runStateful(spark, 250L)
+        val stateful =
+          s""""stateful_session_path":{"p50_ms":${num(so50)},"p95_ms":${num(so95)},"n":$son,"trigger_ms":100},""" +
+            s""""stateful_session_store_path":{"p50_ms":${num(sp50)},"p95_ms":${num(sp95)},"n":$sn,"trigger_ms":250}"""
         val (cp50, cp95, cn) = graft.metrics.LatencyBench.runContinuous(spark)
         val cont =
           s""""continuous_status_path":{"p50_ms":${num(cp50)},"p95_ms":${num(cp95)},"n":$cn}"""
-        s""","latency":{$per,$cont,"reference_e2e":{"p50_ms":8,"p95_ms":26}}"""
+        s""","latency":{$per,$stateful,$cont,"reference_e2e":{"p50_ms":8,"p95_ms":26}}"""
       }
 
     val json =

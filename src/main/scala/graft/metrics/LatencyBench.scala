@@ -94,6 +94,123 @@ object LatencyBench {
   private def pct(sorted: IndexedSeq[Long], p: Int): Double =
     sorted((sorted.length * p) / 100 min (sorted.length - 1)).toDouble
 
+  /** STATEFUL-path E2E latency — the reference's entry-point 2
+    * (`kafkaConsumer.js:238-350`) pipeline: status events over the
+    * filelog transport → `Sessionize.stateful` (flatMapGroupsWithState
+    * with per-device session state) → `BucketStore` upsert, i.e. the
+    * exactly-once stateful chain, not just the map-only derive that
+    * [[run]] measures.
+    *
+    * Measured on explicit-`clear` closes: the producer records wall
+    * clock when it appends each device's clear record (a per-device
+    * FIFO — sessions for one device close in order), and the sink takes
+    * now − clearSentAt AFTER the batch's BucketStore upsert completes —
+    * so a sample covers produce → offset discovery → trigger wait →
+    * parse → state update + emit → durable store upsert. Event
+    * timestamps are a synthetic strictly-increasing per-tick counter
+    * (clean watermark advance; wall clock rides only in the recorded
+    * send times), with each device's touch→clear 4 event-seconds apart
+    * so in-batch sort order can never interleave them.
+    *
+    * `withStore=false` drops the BucketStore upsert from the sink,
+    * isolating the stateful operator + exactly-once machinery from the
+    * parquet-store merge price (whose production swap-in is a
+    * MERGE-capable table format) — Bench publishes both numbers so the
+    * decomposition is measured, not asserted.
+    */
+  def runStateful(spark: SparkSession, triggerMs: Long,
+                  sendEveryMs: Long = 50,
+                  durationMs: Long = 15000,
+                  withStore: Boolean = true): (Double, Double, Int) = {
+    import spark.implicits._
+    import graft.schema.TelemetryModel.{SessionDoc, StatusEvent}
+    import graft.sources.FileLog
+
+    val root = java.nio.file.Files.createTempDirectory("latstate").toString
+    val topic = s"status.lat.$triggerMs"
+    val store = s"$root/session_store"
+    val NumDevices = 4
+    val baseTs = 1700000000L
+
+    def statusJson(dev: String, ts: Long, action: String): String =
+      s"""{"event_type":"device_status","status_type":"cable-unplugged",""" +
+        s""""action":"$action","device_uuid":"$dev","timestamp":$ts}"""
+
+    val clearSentAt = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]]
+    (0 until NumDevices).foreach(i => clearSentAt.put(s"sd-$i",
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]))
+
+    @volatile var producing = true
+    val producer = new Thread(() => {
+      var tick = 0L
+      while (producing) {
+        val dev = s"sd-${tick % NumDevices}"
+        val action = if (((tick / NumDevices) % 2) == 0L) "touch" else "clear"
+        val ts = baseTs + tick // strictly increasing event seconds
+        if (action == "clear")
+          clearSentAt.get(dev).add(System.currentTimeMillis())
+        FileLog.produce(root, topic, Seq(
+          (dev.getBytes("UTF-8"),
+            statusJson(dev, ts, action).getBytes("UTF-8"))),
+          numPartitions = 2)
+        tick += 1
+        Thread.sleep(sendEveryMs)
+      }
+    })
+
+    val raw = spark.readStream.format("filelog")
+      .option("path", root).option("topic", topic)
+      .option("numPartitions", "2").option("startingOffsets", "earliest")
+      .load()
+    val statusSchema = org.apache.spark.sql.Encoders.product[StatusEvent].schema
+    val events = raw
+      .select(from_json($"value".cast("string"), statusSchema).as("e"))
+      .select("e.*")
+      .withColumn("event_ts", timestamp_seconds($"timestamp"))
+      .withWatermark("event_ts", "0 seconds")
+      .as[StatusEvent]
+
+    val lats = mutable.Buffer[Long]()
+    // Stateful queries commit one state-store delta per shuffle
+    // partition per batch; 32 partitions for a 4-device stream is pure
+    // per-batch overhead (8× the fsync'd commits). Sizing shuffle
+    // partitions to the keyspace is the standard stateful-streaming
+    // knob — the partition count is captured at query start, so restore
+    // the session default right after.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = graft.session.Sessionize.stateful(events).writeStream
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SessionDoc], _: Long) =>
+        // collect ONCE and upsert the localized rows: every action on
+        // the foreachBatch Dataset re-executes the stateful micro-batch
+        // plan (state store reads included), so feeding `batch` itself
+        // to the upsert would run the pipeline three times per trigger
+        val docs = batch.collect()
+        if (withStore && docs.nonEmpty)
+          graft.sink.BucketStore.upsert(spark,
+            spark.createDataset(docs.toIndexedSeq).toDF(), store,
+            Seq("device_uuid", "start_timestamp"), numBuckets = 8)
+        val now = System.currentTimeMillis()
+        val sample = docs.filter(_.closed_by == "clear").flatMap { d =>
+          Option(clearSentAt.get(d.device_uuid).poll()).map(now - _.longValue())
+        }
+        lats.synchronized { lats ++= sample }
+        ()
+      }
+      .start()
+    spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    producer.start()
+    try Thread.sleep(durationMs)
+    finally { producing = false; producer.join(); q.stop() }
+
+    val steady = lats.synchronized { lats.drop(lats.size / 2).sorted.toIndexedSeq }
+    if (steady.isEmpty) (Double.NaN, Double.NaN, 0)
+    else (pct(steady, 50), pct(steady, 95), steady.size)
+  }
+
   /** Sink-side latency buffer for the continuous-mode run: ForeachWriter
     * instances run on executor threads — one JVM in local mode, so a
     * static queue observes every record (measurement harness only). */

@@ -39,10 +39,12 @@ object BucketStore {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dir = bucketDir(path, b)
+    // explicit schema: inference would pay a footer-read job per bucket
+    // per upsert (the caller always knows the store schema)
     if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
-      spark.read.parquet(dir)
+      spark.read.schema(schema).parquet(dir)
     else if (fs.exists(new org.apache.hadoop.fs.Path(dir + "_old")))
-      spark.read.parquet(dir + "_old")
+      spark.read.schema(schema).parquet(dir + "_old")
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
@@ -63,9 +65,16 @@ object BucketStore {
       .unionByName(batch)
       .withColumn("__bucket", bc)
 
-    // one job writes every touched bucket's new generation...
+    // one job writes every touched bucket's new generation. Repartition
+    // on the bucket column first: otherwise every shuffle partition that
+    // holds rows of a bucket emits its own part-file (32 fragments per
+    // bucket per batch — compounding small-files fragmentation that
+    // every later read of the bucket pays for). One task per touched
+    // bucket writes one coherent file; a bucket too big for one task is
+    // a numBuckets sizing problem, not a write-parallelism one.
     val tmpRoot = path + "_tmp"
-    merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmpRoot)
+    merged.repartition(touched.length, col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(tmpRoot)
     // ...then each bucket promotes independently via rename-aside
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
