@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextFunctions._
+
+/** Document fingerprinting + repetition analysis + term weighting over
+  * `documents` — the remaining text-curation operators from SURVEY §7.5
+  * (rolling-hash fingerprinting, Gopher-style repetition filters,
+  * TF-IDF term extraction). All hashing is the portable md5 scheme so
+  * every query has a bit-exact DuckDB mirror.
+  *
+  * Scale shapes:
+  *  - fingerprints: map + one doc-keyed window shuffle + one
+  *    fingerprint-keyed join, candidates ∝ shared-fingerprint
+  *    collisions (df-capped) — never all-pairs;
+  *  - repetition: two doc-keyed aggregations (the second reuses the
+  *    first's partitioning);
+  *  - tf-idf: two keyed aggregations + a broadcast scalar, top-k via
+  *    the custom TopKPerKey physical operator (no per-doc sort).
+  */
+object FingerprintQueries {
+
+  /** Shared row-pipeline n-gram builder: (doc_id, s) one row per n-gram
+    * occurrence. posexplode → `lead` window → concat; whole-stage
+    * codegen, ONE shuffle keyed by doc (see MinHashLSH.signatures for
+    * the measured HOF-vs-row rationale). */
+  private def ngramRows(docs: DataFrame, n: Int): DataFrame = {
+    val toks = Tables.parallelize(docs)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "w")))
+    val wspec = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val withLeads = toks.select(
+      col("doc_id") +: col("w") +:
+        (1 until n).map(k => lead(col("w"), k).over(wspec).as(s"w$k")): _*)
+    withLeads
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc_id"), concat_ws(" ",
+        col("w") +: (1 until n).map(k => col(s"w$k")): _*).as("s"))
+  }
+
+  // ------------------------------------------------------ doc_fingerprint
+  // Mod-p selection over rolling k-gram hashes (Manber's approximate
+  // fingerprints / MOSS-family): keep the k-grams whose portable hash
+  // ≡ 0 (mod SelP) as the document's fingerprints, then report document
+  // pairs sharing ≥ MinShared fingerprints. Deterministic on any
+  // engine/partitioning (selection is a pure function of content), and
+  // the candidate join is keyed by fingerprint with a document-frequency
+  // cap — ubiquitous boilerplate fingerprints (df > MaxDf) are dropped
+  // exactly like LSH stop-buckets, so no fingerprint fans out
+  // quadratically.
+  private val FpN = 3
+  private val SelP = 4
+  private val MinShared = 2
+  private val MaxDf = 50
+
+  private def docFingerprint(s: SparkSession, d: String): DataFrame = {
+    val fps = ngramRows(Tables.documents(s, d), FpN)
+      .select(col("doc_id"), portableHash(col("s")).as("h"))
+      .filter(pmod(col("h"), lit(SelP)) === 0)
+      .distinct()
+    val kept = fps.join(
+      fps.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, MaxDf)).select("h"),
+      "h")
+    kept.select(col("h"), col("doc_id").as("a_id"))
+      .join(kept.select(col("h"), col("doc_id").as("b_id")), "h")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinShared)
+  }
+
+  private val docFingerprintSql = {
+    val toks = tokensSql("text")
+    val sh = shinglesSql("toks", FpN)
+    s"""WITH tok AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest($sh) AS s FROM tok),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, ${portableHashSql("s")} AS h FROM grams
+       |  WHERE ${portableHashSql("s")} % $SelP = 0),
+       |kept AS (
+       |  SELECT doc_id, h FROM fp
+       |  WHERE h IN (SELECT h FROM fp GROUP BY h
+       |              HAVING COUNT(*) BETWEEN 2 AND $MaxDf))
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+       |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= $MinShared""".stripMargin
+  }
+
+  // ------------------------------------------------------------ rep_ngram
+  // Gopher/C4-family repetition metrics per document: the fraction of
+  // token bigrams taken by the single most frequent bigram, and the
+  // fraction of tokens that are repeats of an earlier type. Docs
+  // failing either threshold get keep=false — the standard
+  // high-repetition filter before training. Two aggregations, both
+  // keyed by doc (the bigram groupBy reuses the window's partitioning).
+  private val TopBigramMax = 0.2
+  private val RepTokenMax = 0.7
+
+  private def repNgram(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bigramTop = ngramRows(docs, 2)
+      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
+    // no parallelize: per-row array work is cheap enough that the
+    // local-test widening shuffle isn't worth it on this branch
+    val tokStats = docs
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"))
+    tokStats.join(bigramTop, "doc_id")
+      .withColumn("top_bigram_ratio",
+        col("top_bigram_n").cast("double") / col("n_bigrams"))
+      .withColumn("rep_token_ratio",
+        (col("n_tokens") - col("n_types")).cast("double") / col("n_tokens"))
+      .withColumn("keep",
+        col("top_bigram_ratio") <= TopBigramMax &&
+          col("rep_token_ratio") <= RepTokenMax)
+  }
+
+  private val repNgramSql = {
+    val toks = tokensSql("text")
+    val bigrams = shinglesSql("toks", 2)
+    s"""WITH tok AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest($bigrams) AS s FROM tok),
+       |bg AS (
+       |  SELECT doc_id, s, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+       |bgtop AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |    CAST(MAX(c) AS BIGINT) AS top_bigram_n
+       |  FROM bg GROUP BY 1),
+       |ts AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+       |  FROM tok WHERE len(toks) >= 2)
+       |SELECT ts.doc_id, n_tokens, n_types, n_bigrams, top_bigram_n,
+       |  CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_ratio,
+       |  CAST(n_tokens - n_types AS DOUBLE) / n_tokens AS rep_token_ratio,
+       |  (CAST(top_bigram_n AS DOUBLE) / n_bigrams <= $TopBigramMax AND
+       |   CAST(n_tokens - n_types AS DOUBLE) / n_tokens <= $RepTokenMax)
+       |    AS keep
+       |FROM ts JOIN bgtop ON ts.doc_id = bgtop.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ tfidf_top_terms
+  // Per-document top-3 terms by a rarity-weighted term frequency:
+  // score = tf · (N+1) / (df+1). Deliberately a RATIONAL weight, not
+  // ln-idf: one IEEE division is bit-identical across engines where
+  // libm log implementations need not be — same ordering semantics for
+  // the top-k, exact-match safe. df and N come from the data (one
+  // aggregation + one broadcast scalar); the top-3 runs through the
+  // custom TopKPerKey operator (bounded heaps, no per-doc sort), ties
+  // broken by term for determinism.
+  private def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = Tables.parallelize(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * (col("n_docs") + 1)).cast("double") / (col("df") + 1))
+      .select(col("doc_id"), col("term"), col("tf"), col("score"))
+    graft.plans.TopK.perKey(scored, Seq("doc_id"),
+      Seq(("score", false), ("term", true)), 3)
+  }
+
+  private val tfidfTopTermsSql = {
+    val toks = tokensSql("text")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toks) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, tf.term AS term, tf,
+       |    CAST(tf * ((SELECT COUNT(*) FROM documents) + 1) AS DOUBLE)
+       |      / (df + 1) AS score
+       |  FROM tf JOIN df ON tf.term = df.term),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term) AS rn
+       |  FROM scored)
+       |SELECT doc_id, term, tf, score FROM ranked WHERE rn <= 3""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
+    QueryDef("rep_ngram", repNgram, Some(repNgramSql)),
+    QueryDef("tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)))
+}

@@ -130,6 +130,27 @@ class PlanSpec extends SparkTestBase {
       s"single-partition exchange in digest path:\n$s")
   }
 
+  test("tfidf_top_terms runs through the custom top-k operator, no window sort") {
+    val s = planString("tfidf_top_terms")
+    assert(s.contains("TopKPerKey"), s"custom top-k not planned:\n$s")
+    assert(!s.contains("Window"), s"per-doc window sort crept in:\n$s")
+  }
+
+  test("doc_fingerprint joins on the fingerprint key, never all-pairs") {
+    val s = planString("doc_fingerprint")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in fingerprint path:\n$s")
+  }
+
+  test("rep_ngram reuses the doc partitioning across its aggregations") {
+    // window (doc) -> groupBy(doc, bigram) -> groupBy(doc): hash
+    // partitioning on doc_id satisfies all three, so the whole bigram
+    // pipeline needs ONE shuffle; + one for the token-stats join side
+    val n = countShuffles(plan("rep_ngram"))
+    assert(n <= 2, s"expected <= 2 shuffles, got $n")
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     // the 100 TB co-location story: pre-bucketed fact/dim join needs no
     // shuffle at read time — both sides' bucketing satisfies the join's
