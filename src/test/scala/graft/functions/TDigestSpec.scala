@@ -46,8 +46,8 @@ class TDigestSpec extends SparkTestBase {
     val st = xs.grouped(1000).toList
       .map(_.foldLeft(agg.zero)(agg.reduce))
       .reduceLeft(agg.merge)
-    assert(st.means.length + st.raw.length < 2000,
-      s"state not bounded: ${st.means.length} centroids + ${st.raw.length} raw")
+    assert(st.means.length + st.rawLen < 2000,
+      s"state not bounded: ${st.means.length} centroids + ${st.rawLen} raw")
     val sorted = xs.sorted
     val got = agg.finish(st)
     ps.zip(got).foreach { case (p, v) =>
