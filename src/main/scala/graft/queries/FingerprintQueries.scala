@@ -156,6 +156,51 @@ object FingerprintQueries {
        |FROM ts JOIN bgtop ON ts.doc_id = bgtop.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------ lm_rare_bigrams
+  // Corpus-LM quality proxy without transcendentals: train bigram
+  // counts on the corpus itself (one aggregation), then score each
+  // document by the fraction of its bigram occurrences that are
+  // corpus-rare (count ≤ RareMax). High rare-fraction ≈ high LM
+  // surprise ≈ noisy/garbled text — the integer-exact stand-in for
+  // perplexity filtering (an actual log-prob sum is not bit-portable
+  // across libm implementations; a count ratio is). Shapes: bigram
+  // window (doc-keyed) → corpus counts (bigram-keyed) → join (reuses
+  // the counts partitioning) → per-doc rollup.
+  private val RareMax = 3
+  private val RareRatioMax = 0.1
+
+  private def lmRareBigrams(s: SparkSession, d: String): DataFrame = {
+    val grams = ngramRows(Tables.documents(s, d), 2)
+    val counts = grams.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+    grams.join(counts, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt") <= RareMax, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ratio",
+        col("n_rare").cast("double") / col("n_bigrams"))
+      .withColumn("keep", col("rare_ratio") <= RareRatioMax)
+  }
+
+  private val lmRareBigramsSql = {
+    val toks = tokensSql("text")
+    val bigrams = shinglesSql("toks", 2)
+    s"""WITH tok AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest($bigrams) AS s FROM tok),
+       |counts AS (
+       |  SELECT s, COUNT(*) AS cnt FROM grams GROUP BY 1)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(CASE WHEN cnt <= $RareMax THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_rare,
+       |  CAST(SUM(CASE WHEN cnt <= $RareMax THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS rare_ratio,
+       |  (CAST(SUM(CASE WHEN cnt <= $RareMax THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*)) <= $RareRatioMax AS keep
+       |FROM grams JOIN counts USING (s)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------ tfidf_top_terms
   // Per-document top-3 terms by a rarity-weighted term frequency:
   // score = tf · (N+1) / (df+1). Deliberately a RATIONAL weight, not
@@ -204,5 +249,6 @@ object FingerprintQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     QueryDef("rep_ngram", repNgram, Some(repNgramSql)),
+    QueryDef("lm_rare_bigrams", lmRareBigrams, Some(lmRareBigramsSql)),
     QueryDef("tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)))
 }
