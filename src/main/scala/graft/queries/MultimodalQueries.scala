@@ -54,7 +54,95 @@ object MultimodalQueries {
       |  md5(substring(text, CAST(i * 100 + 1 AS INT), 100)) AS frame_hash
       |FROM ex""".stripMargin
 
+  // ------------------------------------------------------- mm_frame_vbow
+  // The composed multimodal pipeline: frame sampling (mapPartitions
+  // codec seam) → per-frame embedding (FakeCodec stand-in for a vision
+  // model: 8 integer components hashed from the frame content) →
+  // nearest-codebook quantization (8 data-derived seed vectors,
+  // broadcast; exact integer squared-L2, ties to lowest seed rank) →
+  // per-media visual bag-of-words rollup. This is the
+  // frame→embed→quantize→BoW shape a video curation pipeline runs at
+  // scale: decode/embed map-only behind the codec seam, an 8-row
+  // broadcast, ONE shuffle for the rollup. Deterministic end to end, so
+  // the DuckDB mirror checks every stage through the final counts.
+  private val VbowDim = 8
+  private val VbowMod = 256
+  private val VbowSeeds = 8
+
+  private def comp(hashCol: org.apache.spark.sql.Column, k: Int) =
+    pmod(graft.text.TextFunctions.portableHash(
+      concat(hashCol, lit(s"_$k"))), lit(VbowMod)).cast("int")
+
+  private def mmFrameVbow(s: SparkSession, d: String): DataFrame = {
+    val frames = Multimodal.sampleFrames(
+      Tables.parallelize(Tables.documents(s, d))
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")),
+      "doc_id", "blob").toDF()
+    val embedded = frames.select(
+      col("id") +: col("frame_idx") +:
+        (0 until VbowDim).map(k => comp(col("frame_hash"), k).as(s"c$k")): _*)
+    // codebook: the VbowSeeds lexicographically-smallest distinct frame
+    // hashes (data-derived like ivf_assign's seeds; tiny + broadcast)
+    val seeds = frames.select(col("frame_hash")).distinct()
+      .orderBy(col("frame_hash")).limit(VbowSeeds)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("frame_hash"))))
+      .select(col("rk") +:
+        (0 until VbowDim).map(k => comp(col("frame_hash"), k).as(s"s$k")): _*)
+    val dist = (0 until VbowDim)
+      .map(k => (col(s"c$k") - col(s"s$k")) * (col(s"c$k") - col(s"s$k")))
+      .reduce(_ + _)
+    embedded.crossJoin(broadcast(seeds))
+      .withColumn("d2", dist.cast("long"))
+      .groupBy(col("id"), col("frame_idx"))
+      .agg(min(struct(col("d2"), col("rk"))).as("best"))
+      .select(col("id"), col("best.rk").as("cell"))
+      .groupBy(col("id"), col("cell"))
+      .agg(count(lit(1)).as("n_frames"))
+      .withColumn("cell", col("cell").cast("long"))
+  }
+
+  private val mmFrameVbowSql = {
+    def compSql(h: String, k: Int) =
+      s"${graft.text.TextFunctions.portableHashSql(s"concat($h, '_$k')")} % $VbowMod"
+    val fcomps = (0 until VbowDim).map(k =>
+      s"CAST(${compSql("frame_hash", k)} AS INT) AS c$k").mkString(",\n    ")
+    val scomps = (0 until VbowDim).map(k =>
+      s"CAST(${compSql("frame_hash", k)} AS INT) AS s$k").mkString(",\n    ")
+    val dist = (0 until VbowDim)
+      .map(k => s"(c$k - s$k) * (c$k - s$k)").mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT doc_id, text, LEAST(8, length(text) // 100) AS n_frames
+       |  FROM documents),
+       |frames AS (
+       |  SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
+       |    md5(substring(text, CAST(i * 100 + 1 AS INT), 100)) AS frame_hash
+       |  FROM (SELECT doc_id, text, unnest(range(0, n_frames)) AS i FROM b)),
+       |embedded AS (
+       |  SELECT id, frame_idx,
+       |    $fcomps
+       |  FROM frames),
+       |seedh AS (
+       |  SELECT frame_hash,
+       |    ROW_NUMBER() OVER (ORDER BY frame_hash) AS rk
+       |  FROM (SELECT DISTINCT frame_hash FROM frames
+       |        ORDER BY frame_hash LIMIT $VbowSeeds)),
+       |seeds AS (
+       |  SELECT rk,
+       |    $scomps
+       |  FROM seedh),
+       |assigned AS (
+       |  SELECT id, frame_idx, rk,
+       |    ROW_NUMBER() OVER (PARTITION BY id, frame_idx
+       |      ORDER BY CAST($dist AS BIGINT), rk) AS pick
+       |  FROM embedded CROSS JOIN seeds)
+       |SELECT id, CAST(rk AS BIGINT) AS cell, COUNT(*) AS n_frames
+       |FROM assigned WHERE pick = 1
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("mm_decode_meta", mmDecode, Some(mmDecodeSql)),
-    QueryDef("mm_sample_frames", mmFrames, Some(mmFramesSql)))
+    QueryDef("mm_sample_frames", mmFrames, Some(mmFramesSql)),
+    QueryDef("mm_frame_vbow", mmFrameVbow, Some(mmFrameVbowSql)))
 }
