@@ -57,11 +57,15 @@ object Components {
     // LogicalRDD scan (executor-local storage; on a real cluster with
     // executor loss in play, set a checkpoint dir and swap in
     // .checkpoint() — same contract, reliable storage).
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("root", col("id"))
+    // Init fuses propagation round 1: label₀ = min(id, min(neighbors))
+    // is exactly what the first loop iteration would compute from
+    // root=id, for one aggregation instead of a join+agg round.
+    var labels = sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("root"))
+      .select(col("src").as("id"), col("root"))
       .localCheckpoint()
     var changed = 1L
-    var rounds = 0
+    var rounds = 1 // the fused init IS round 1 — keeps rounds = hops+1
     while (changed > 0) {
       rounds += 1
       if (rounds > maxRounds)

@@ -137,8 +137,33 @@ object TextQueries {
        |GROUP BY lang, source""".stripMargin
   }
 
+  // ---------------------------------------------------- pivot_lang_counts
+  // PIVOT surface: doc counts per source crosstabbed over an explicit
+  // language list. Explicit pivot values keep the schema static (a
+  // values-discovery pivot runs an extra distinct job and makes the
+  // output schema data-dependent — wrong for a library operator);
+  // absent combinations harmonize to 0 on both engines.
+  private val pivotLangs = Seq("de", "en", "es", "fr", "zh")
+
+  private def pivotLangCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .pivot("lang", pivotLangs)
+      .agg(count(lit(1)))
+      .na.fill(0L, pivotLangs)
+
+  private val pivotLangCountsSql = {
+    val cols = pivotLangs.map(l =>
+      s"COUNT(CASE WHEN lang = '$l' THEN 1 END) AS $l").mkString(",\n  ")
+    s"""SELECT source,
+       |  $cols
+       |FROM documents
+       |GROUP BY source""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_stats", textStats, Some(textStatsSql)),
     QueryDef("lang_id", langId, Some(langIdSql)),
-    QueryDef("text_lang_agg", langAgg, Some(langAggSql)))
+    QueryDef("text_lang_agg", langAgg, Some(langAggSql)),
+    QueryDef("pivot_lang_counts", pivotLangCounts, Some(pivotLangCountsSql)))
 }

@@ -151,6 +151,26 @@ class PlanSpec extends SparkTestBase {
     assert(n <= 2, s"expected <= 2 shuffles, got $n")
   }
 
+  test("partitioned layout prunes partitions at the scan (time-series layout)") {
+    // the biggest 100 TB lever for the telemetry tables: a layout
+    // partitioned on the routing column must turn an equality filter
+    // into directory pruning — the scan lists ONE partition, the
+    // filter never touches row data
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    SparkEntry.queries("viol_derive")(spark, sf)
+      .write.partitionBy("violation_type").mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("violation_type") === "harsh_brake")
+    val scan = back.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan"))
+    assert(scan.partitionFilters.nonEmpty, "no partition filters at scan")
+    assert(scan.metadata("PartitionFilters").contains("violation_type"),
+      s"filter not pushed to partitioning: ${scan.metadata("PartitionFilters")}")
+    val rows = back.count()
+    assert(rows > 0 && rows < SparkEntry.queries("viol_derive")(spark, sf).count())
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     // the 100 TB co-location story: pre-bucketed fact/dim join needs no
     // shuffle at read time — both sides' bucketing satisfies the join's
