@@ -309,6 +309,38 @@ object CurationQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  // -------------------------------------------------------- split_assign
+  // Deterministic train/val/test assignment: split = portable hash of
+  // the doc id into percent buckets (80/10/10), reported as per
+  // (lang, split) counts — the stratification report a training run
+  // records. Hash-stable: any engine, any partitioning, any subset of
+  // the corpus assigns every doc identically (the property that keeps
+  // eval sets fixed as the corpus grows). Map-only + one rollup.
+  private def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(portableHash(concat(lit("split"),
+      col("doc_id").cast("string"))), lit(100))
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+  }
+
+  private val splitAssignSql = {
+    val bucket =
+      s"${portableHashSql("concat('split', CAST(doc_id AS VARCHAR))")} % 100"
+    s"""WITH t AS (
+       |  SELECT lang, doc_id,
+       |    CASE WHEN $bucket < 80 THEN 'train'
+       |         WHEN $bucket < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT lang, split, COUNT(*) AS n_docs,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM t GROUP BY 1, 2""".stripMargin
+  }
+
   // -------------------------------------------------------- shard_sizes
   // Deterministic shard assignment for training output: shard =
   // hash(id) % N, so any engine reproduces the same shard membership
@@ -387,6 +419,7 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("shard_sizes", shardSizes, Some(shardSizesSql)),
+    QueryDef("split_assign", splitAssign, Some(splitAssignSql)),
     QueryDef("decontam", decontam, Some(decontamSql)),
     QueryDef("samp_hash", sampHash, Some(sampHashSql)),
     QueryDef("samp_quota", sampQuota, Some(sampQuotaSql)),
