@@ -109,9 +109,83 @@ object EmbedQueries {
        |  FROM scored)
        |SELECT vec_id, seed_id AS cell, cos FROM ranked WHERE rn = 1""".stripMargin
 
+  // ----------------------------------------------------------- ivf_search
+  // The IVF ANN search completing ivf_assign: vectors are indexed by
+  // their nearest cell; a query probes its nprobe=2 closest cells and
+  // re-ranks ONLY the vectors assigned there (exact quantized cosine,
+  // top-5, ties to lowest neighbor id via the custom TopKPerKey
+  // operator). This is the scale path for similarity search: the
+  // candidate join is keyed by cell — the cell IS the partitioner — so
+  // search cost is ∝ probed-cell population, never the corpus; recall
+  // vs brute-force knn_topk is the measured IVF tradeoff, and the
+  // oracle mirrors the identical candidate generation so results
+  // hash-match exactly.
+  private val IvfProbe = 2
+  private val IvfK = 5
+
+  private def ivfSearch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), col("q"), col("nq"))
+    val seeds = qd.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed_id"), col("q").as("sq"), col("nq").as("snq"))
+    def cellRank(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("seed_id"))
+      df.crossJoin(broadcast(seeds)) // bounded: 8 broadcast seed rows
+        .withColumn("dot", Similarity.dotQ("q", "sq"))
+        .withColumn("cos", Similarity.cosine(col("dot"), col("nq"), col("snq")))
+        .withColumn("rn", row_number().over(w))
+    }
+    val assign = cellRank(qd).filter(col("rn") === 1)
+      .select(col("vec_id"), col("seed_id").as("cell"), col("q"), col("nq"))
+    val probes = cellRank(qd.filter(col("vec_id") < 10))
+      .filter(col("rn") <= IvfProbe)
+      .select(col("vec_id").as("query_id"), col("seed_id").as("cell"),
+        col("q").as("qq"), col("nq").as("qnq"))
+    val scored = probes.join(assign, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("qdot", Similarity.dotQ("qq", "q"))
+      .withColumn("cos", Similarity.cosine(col("qdot"), col("qnq"), col("nq")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .distinct() // a neighbor can sit in both probed cells
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(("cos", false), ("neighbor_id", true)), IvfK)
+  }
+
+  private val ivfSearchSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, q AS sq, nq AS snq FROM qv WHERE vec_id < 8),
+       |cellranked AS (
+       |  SELECT v.vec_id, s.seed_id, v.q, v.nq,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |      CAST(${Similarity.duckdbDot("v.q", "s.sq")} AS DOUBLE)
+       |        / sqrt(CAST(v.nq AS DOUBLE) * CAST(s.snq AS DOUBLE)) DESC,
+       |      s.seed_id) AS rn
+       |  FROM qv v CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, seed_id AS cell, q, nq FROM cellranked WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, seed_id AS cell, q AS qq, nq AS qnq
+       |  FROM cellranked WHERE vec_id < 10 AND rn <= $IvfProbe),
+       |scored AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+       |    CAST(${Similarity.duckdbDot("p.qq", "a.q")} AS DOUBLE)
+       |      / sqrt(CAST(p.qnq AS DOUBLE) * CAST(a.nq AS DOUBLE)) AS cos
+       |  FROM probes p JOIN assign a ON p.cell = a.cell
+       |  WHERE p.query_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= $IvfK""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_topk", knnTopK, Some(knnTopKSql)),
     QueryDef("embed_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
     QueryDef("ann_rp_lsh", annRpLsh, Some(annRpLshSql)),
-    QueryDef("ivf_assign", ivfAssign, Some(ivfAssignSql)))
+    QueryDef("ivf_assign", ivfAssign, Some(ivfAssignSql)),
+    QueryDef("ivf_search", ivfSearch, Some(ivfSearchSql)))
 }
