@@ -199,8 +199,15 @@ object Relational {
   // discrete percentile: sorted[floor(n*p)] (mqtt_publish.js:84-96). A
   // rank/count window + pure-integer index arithmetic ((n*p) div 100) —
   // no floating point in index or interpolation, so the result is an
-  // actual data value, bit-exact in any engine. At scale this is one
-  // shuffle on the group key + per-partition sort.
+  // actual data value, bit-exact in any engine.
+  //
+  // SCALE CAVEAT: the window partitions on event_type (5 distinct
+  // values) — at 100 TB that is a full shuffle onto ≤5 partitions with
+  // a per-group total sort, a deliberate skew accepted ONLY because
+  // this query is the exactness twin of the reference's literal
+  // sorted[floor(n·p)] percentile. Production surfaces should route to
+  // q17_tdigest (mergeable O(δ) state, partial agg below the exchange)
+  // and keep this form as the small-N verification gate.
   private def q9(s: SparkSession, d: String): DataFrame = {
     val w  = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
     val wn = Window.partitionBy(col("event_type"))
