@@ -33,6 +33,44 @@ object CurationQueries {
        |FROM documents
        |WHERE ${portableHashSql("concat('samp', CAST(doc_id AS VARCHAR))")} % 100 < 10""".stripMargin
 
+  // ------------------------------------------------------- samp_weighted
+  // Size-k sample with inclusion probability ∝ weight (token count):
+  // the deterministic analogue of weighted reservoir sampling. Priority
+  // = hash(id) / weight — one IEEE division (bit-portable; the
+  // classical u^(1/w) key needs pow/log, which is not), smallest-k
+  // priorities win, ties broken by id. Map-only scoring + a bounded
+  // global top-k (TakeOrderedAndProject shape — k rows per partition
+  // to the driver, never a global sort). Heavier docs get
+  // proportionally smaller priorities, hence higher selection odds;
+  // determinism: same corpus → same sample on any engine/partitioning.
+  private val WeightedK = 40
+  private def sampWeighted(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", graft.text.TextFunctions.tokens(col("text")))
+      .withColumn("w", size(col("toks")).cast("long"))
+      .filter(col("w") > 0)
+      .withColumn("priority",
+        portableHash(concat(lit("wsamp"), col("doc_id"))).cast("double") /
+          col("w"))
+      .select(col("doc_id"), col("lang"), col("w"), col("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(WeightedK)
+
+  private val sampWeightedSql = {
+    val toks = graft.text.TextFunctions.tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len($toks) AS BIGINT) AS w
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, lang, w,
+       |    CAST(${portableHashSql("concat('wsamp', CAST(doc_id AS VARCHAR))")}
+       |      AS DOUBLE) / w AS priority
+       |  FROM t WHERE w > 0)
+       |SELECT doc_id, lang, w, priority
+       |FROM p ORDER BY priority, doc_id LIMIT $WeightedK""".stripMargin
+  }
+
   // --------------------------------------------------------- samp_quota
   // Per-stratum quota (uniform without replacement): N docs per lang,
   // drawn by ascending hash — the curation move that caps any one
@@ -423,6 +461,7 @@ object CurationQueries {
     QueryDef("decontam", decontam, Some(decontamSql)),
     QueryDef("samp_hash", sampHash, Some(sampHashSql)),
     QueryDef("samp_quota", sampQuota, Some(sampQuotaSql)),
+    QueryDef("samp_weighted", sampWeighted, Some(sampWeightedSql)),
     QueryDef("pack_chunks", packChunks, Some(packChunksSql)),
     QueryDef("vocab_topk", vocabTopK, Some(vocabTopKSql)),
     QueryDef("heavy_cms", heavyCms, Some(heavyCmsSql)),

@@ -151,6 +151,13 @@ class PlanSpec extends SparkTestBase {
     assert(n <= 2, s"expected <= 2 shuffles, got $n")
   }
 
+  test("samp_weighted plans a bounded top-k, not a global sort") {
+    val s = planString("samp_weighted")
+    assert(s.contains("TakeOrderedAndProject"), s"no bounded top-k in:\n$s")
+    assert(!s.contains("Exchange rangepartitioning"),
+      s"global sort exchange in:\n$s")
+  }
+
   test("partitioned layout prunes partitions at the scan (time-series layout)") {
     // the biggest 100 TB lever for the telemetry tables: a layout
     // partitioned on the routing column must turn an equality filter
