@@ -170,9 +170,14 @@ object FingerprintQueries {
   private val RareRatioMax = 0.1
 
   private def lmRareBigrams(s: SparkSession, d: String): DataFrame = {
+    // corpus count via a bigram-keyed window, not groupBy+self-join:
+    // the join form re-executes the whole n-gram pipeline for each
+    // branch (no shared-subtree reuse across an aggregate); the window
+    // reads the one pipeline once, same shuffle key
     val grams = ngramRows(Tables.documents(s, d), 2)
-    val counts = grams.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
-    grams.join(counts, "s")
+    grams
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("s"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("cnt") <= RareMax, 1L).otherwise(0L)).as("n_rare"))
@@ -212,15 +217,19 @@ object FingerprintQueries {
   // broken by term for determinism.
   private def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // N from parquet metadata (a count() against the scan — footer
+    // rowcounts, no data read; same pattern as the digest-boundary
+    // collect). df via a term-keyed window over the ONE tf pipeline —
+    // the tf-join-df form re-executes the token explode + aggregation
+    // for both branches.
+    val nDocs = docs.count()
     val tf = Tables.parallelize(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, "term")
-      .crossJoin(broadcast(n))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .withColumn("score",
-        (col("tf") * (col("n_docs") + 1)).cast("double") / (col("df") + 1))
+        (col("tf") * (nDocs + 1)).cast("double") / (col("df") + 1))
       .select(col("doc_id"), col("term"), col("tf"), col("score"))
     graft.plans.TopK.perKey(scored, Seq("doc_id"),
       Seq(("score", false), ("term", true)), 3)

@@ -130,10 +130,15 @@ class PlanSpec extends SparkTestBase {
       s"single-partition exchange in digest path:\n$s")
   }
 
-  test("tfidf_top_terms runs through the custom top-k operator, no window sort") {
+  test("tfidf_top_terms runs through the custom top-k operator, no global sort") {
+    // the df window is KEYED by term (fine — one shuffle, no skew sink);
+    // what must never appear: a per-doc rank window replacing TopKPerKey,
+    // a global sort, or a single-partition exchange
     val s = planString("tfidf_top_terms")
     assert(s.contains("TopKPerKey"), s"custom top-k not planned:\n$s")
-    assert(!s.contains("Window"), s"per-doc window sort crept in:\n$s")
+    assert(!s.contains("Exchange rangepartitioning"), s"global sort in:\n$s")
+    assert(!s.contains("Exchange SinglePartition"),
+      s"single-partition exchange in:\n$s")
   }
 
   test("doc_fingerprint joins on the fingerprint key, never all-pairs") {
