@@ -74,10 +74,14 @@ object MultimodalQueries {
       concat(hashCol, lit(s"_$k"))), lit(VbowMod)).cast("int")
 
   private def mmFrameVbow(s: SparkSession, d: String): DataFrame = {
+    // materialize the sampled frames once: they feed both the embedding
+    // branch and the codebook branch, and an un-truncated plan would
+    // re-run the mapPartitions sampler (the "decode" pass — the most
+    // expensive stage at real scale) for each
     val frames = Multimodal.sampleFrames(
       Tables.parallelize(Tables.documents(s, d))
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")),
-      "doc_id", "blob").toDF()
+      "doc_id", "blob").toDF().localCheckpoint()
     val embedded = frames.select(
       col("id") +: col("frame_idx") +:
         (0 until VbowDim).map(k => comp(col("frame_hash"), k).as(s"c$k")): _*)
