@@ -29,6 +29,9 @@ object Multimodal {
   case class ImageMeta(id: Long, n_bytes: Long, format: String,
                        width: Int, height: Int, luma: Double)
   case class Frame(id: Long, frame_idx: Int, frame_hash: String)
+  case class Resized(id: Long, width: Int, height: Int,
+                     new_width: Int, new_height: Int,
+                     resized_bytes: Long, resized_hash: String)
 
   /** STUB codec — deterministic fake standing in for libjpeg/FFmpeg.
     * Every output is pure arithmetic over the bytes so tests (and the
@@ -59,11 +62,24 @@ object Multimodal {
         Frame(id, i, md5Hex(slice))
       }
     }
+
+    /** Fake half-resolution resize: the "downscaled image" is the
+      * leading half of the bytes (a real codec decodes, scales, and
+      * re-encodes — this keeps the byte-level contract deterministic
+      * and oracle-checkable). Geometry halves with a floor of 1. */
+    def resize(id: Long, bytes: Array[Byte]): Resized = {
+      val m = decode(id, bytes)
+      val half = bytes.take(math.max(1, bytes.length / 2))
+      Resized(id, m.width, m.height,
+        math.max(1, m.width / 2), math.max(1, m.height / 2),
+        half.length.toLong, md5Hex(half))
+    }
   }
 
   private implicit val metaEnc: Encoder[ImageMeta] = Encoders.product[ImageMeta]
   private implicit val frameEnc: Encoder[Frame]    = Encoders.product[Frame]
   private implicit val binEnc: Encoder[BinaryRecord] = Encoders.product[BinaryRecord]
+  private implicit val resizedEnc: Encoder[Resized] = Encoders.product[Resized]
 
   /** df(idCol: long, binCol: binary) → typed image metadata. One codec
     * instantiation per partition (the mapPartitions batch shape). */
@@ -80,4 +96,11 @@ object Multimodal {
     df.select(col(idCol).as("id"), col(binCol).as("content"))
       .as[BinaryRecord]
       .mapPartitions(_.flatMap(r => FakeCodec.sampleFrames(r.id, r.content)))
+
+  /** df(idCol, binCol) → resize record per blob (map shape; the real
+    * codec re-encodes — plumbing identical). */
+  def resizeImages(df: DataFrame, idCol: String, binCol: String): Dataset[Resized] =
+    df.select(col(idCol).as("id"), col(binCol).as("content"))
+      .as[BinaryRecord]
+      .mapPartitions(_.map(r => FakeCodec.resize(r.id, r.content)))
 }

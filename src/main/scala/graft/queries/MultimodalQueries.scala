@@ -145,8 +145,40 @@ object MultimodalQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------- mm_resize
+  // Resize plumbing through the codec seam: map-only typed transform
+  // emitting the new geometry + the downscaled payload's length/hash.
+  // The DuckDB mirror reproduces the fake half-resolution re-encode
+  // byte-for-byte (ASCII corpus: varchar substring == byte slice).
+  private def mmResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.resizeImages(
+      Tables.parallelize(Tables.documents(s, d))
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")),
+      "doc_id", "blob")
+      .toDF()
+
+  private val mmResizeSql =
+    """WITH h AS (
+      |  SELECT doc_id, text,
+      |    CAST(length(text) AS BIGINT) AS n_bytes,
+      |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS hv
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, text, n_bytes,
+      |    CAST(64 + hv % 512 AS INT) AS width,
+      |    CAST(64 + (hv // 512) % 512 AS INT) AS height,
+      |    GREATEST(1, n_bytes // 2) AS half_len
+      |  FROM h)
+      |SELECT doc_id AS id, width, height,
+      |  CAST(GREATEST(1, width // 2) AS INT) AS new_width,
+      |  CAST(GREATEST(1, height // 2) AS INT) AS new_height,
+      |  CAST(half_len AS BIGINT) AS resized_bytes,
+      |  md5(substring(text, 1, CAST(half_len AS INT))) AS resized_hash
+      |FROM g""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("mm_decode_meta", mmDecode, Some(mmDecodeSql)),
     QueryDef("mm_sample_frames", mmFrames, Some(mmFramesSql)),
-    QueryDef("mm_frame_vbow", mmFrameVbow, Some(mmFrameVbowSql)))
+    QueryDef("mm_frame_vbow", mmFrameVbow, Some(mmFrameVbowSql)),
+    QueryDef("mm_resize", mmResize, Some(mmResizeSql)))
 }
