@@ -106,7 +106,7 @@ object FingerprintQueries {
   private val TopBigramMax = 0.2
   private val RepTokenMax = 0.7
 
-  private def repNgram(s: SparkSession, d: String): DataFrame = {
+  private[queries] def repNgram(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val bigramTop = ngramRows(docs, 2)
       .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
@@ -130,7 +130,7 @@ object FingerprintQueries {
           col("rep_token_ratio") <= RepTokenMax)
   }
 
-  private val repNgramSql = {
+  private[queries] val repNgramSql = {
     val toks = tokensSql("text")
     val bigrams = shinglesSql("toks", 2)
     s"""WITH tok AS (
@@ -169,7 +169,7 @@ object FingerprintQueries {
   private val RareMax = 3
   private val RareRatioMax = 0.1
 
-  private def lmRareBigrams(s: SparkSession, d: String): DataFrame = {
+  private[queries] def lmRareBigrams(s: SparkSession, d: String): DataFrame = {
     // corpus count via a bigram-keyed window, not groupBy+self-join:
     // the join form re-executes the whole n-gram pipeline for each
     // branch (no shared-subtree reuse across an aggregate); the window
@@ -186,7 +186,7 @@ object FingerprintQueries {
       .withColumn("keep", col("rare_ratio") <= RareRatioMax)
   }
 
-  private val lmRareBigramsSql = {
+  private[queries] val lmRareBigramsSql = {
     val toks = tokensSql("text")
     val bigrams = shinglesSql("toks", 2)
     s"""WITH tok AS (
@@ -255,9 +255,47 @@ object FingerprintQueries {
        |SELECT doc_id, term, tf, score FROM ranked WHERE rn <= 3""".stripMargin
   }
 
+  // ------------------------------------------------------ curation_funnel
+  // The composed curation gate: every document through BOTH quality
+  // filters (repetition + corpus-LM rarity), reported as a per-language
+  // funnel — total, survivors of each filter, survivors of all. This is
+  // the decision report an actual curation run publishes before
+  // training; operators compose as plain DataFrames (each filter's one
+  // pipeline, one join on doc id).
+  private def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    val rep = repNgram(s, d).select(col("doc_id"), col("keep").as("keep_rep"))
+    val lm = lmRareBigrams(s, d).select(col("doc_id"), col("keep").as("keep_lm"))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(rep, "doc_id").join(lm, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep_rep"), 1L).otherwise(0L)).as("n_keep_rep"),
+        sum(when(col("keep_lm"), 1L).otherwise(0L)).as("n_keep_lm"),
+        sum(when(col("keep_rep") && col("keep_lm"), 1L).otherwise(0L))
+          .as("n_keep_all"))
+  }
+
+  private val curationFunnelSql =
+    s"""WITH rep AS (
+       |  SELECT doc_id, keep AS keep_rep FROM ($repNgramSql)),
+       |lm AS (
+       |  SELECT doc_id, keep AS keep_lm FROM ($lmRareBigramsSql))
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN keep_rep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keep_rep,
+       |  CAST(SUM(CASE WHEN keep_lm THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keep_lm,
+       |  CAST(SUM(CASE WHEN keep_rep AND keep_lm THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_keep_all
+       |FROM documents d
+       |JOIN rep ON d.doc_id = rep.doc_id
+       |JOIN lm ON d.doc_id = lm.doc_id
+       |GROUP BY d.lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     QueryDef("rep_ngram", repNgram, Some(repNgramSql)),
     QueryDef("lm_rare_bigrams", lmRareBigrams, Some(lmRareBigramsSql)),
-    QueryDef("tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)))
+    QueryDef("tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
+    QueryDef("curation_funnel", curationFunnel, Some(curationFunnelSql)))
 }
