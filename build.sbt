@@ -14,6 +14,11 @@ run / fork := true
 // Forked run output goes straight to stdout, without sbt's "[info] "
 // log prefix — the bench/verify drivers parse the JSON line we print.
 run / outputStrategy := Some(StdoutOutput)
+// No trailing "[success] Total time: ..." line: the bench driver
+// captures a bounded stdout TAIL, and that line displaced the head of
+// round 3's metric JSON past parseability. The metric line must be the
+// final bytes on stdout.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -37,7 +37,11 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal seconds: the driver captures a bounded stdout tail, and
+    // round 3's full-precision line (~2.9 kB across 64 queries) was
+    // head-truncated past parseability. 1 ms resolution is plenty.
+    def sec3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
@@ -47,7 +51,7 @@ object Bench {
     val latJson =
       if (sys.env.get("SPARK_GRAFT_LATENCY").contains("0")) ""
       else {
-        def num(x: Double) = if (x.isNaN) "null" else x.toString // JSON-safe
+        def num(x: Double) = if (x.isNaN) "null" else math.round(x).toString // JSON-safe, whole ms
         val per = Seq(100L, 1000L).map { trig =>
           val (p50, p95, n) = graft.metrics.LatencyBench.run(spark, trig)
           s""""trigger_${trig}ms":{"p50_ms":${num(p50)},"p95_ms":${num(p95)},"n":$n}"""
@@ -71,7 +75,7 @@ object Bench {
       }
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$latJson}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$latJson}"""
 
     // The metric line must be the FINAL stdout act: round 2's driver
     // artifact lost all numbers because the continuous-latency teardown

@@ -34,9 +34,12 @@ object Components {
   val MaxRounds = 64
 
   /** edges(aCol, bCol) → (id, root): every node labeled with its
-    * component's minimum id. Only nodes present in edges appear. */
-  def minLabel(edges: DataFrame, aCol: String, bCol: String): DataFrame =
-    minLabelCounted(edges, aCol, bCol, MaxRounds)._1
+    * component's minimum id. Only nodes present in edges appear.
+    * `maxRounds` raises the abort-loudly convergence cap for callers on
+    * deep-but-legitimate graphs without switching to the counted API. */
+  def minLabel(edges: DataFrame, aCol: String, bCol: String,
+               maxRounds: Int = MaxRounds): DataFrame =
+    minLabelCounted(edges, aCol, bCol, maxRounds)._1
 
   /** [[minLabel]] plus the number of propagation rounds executed —
     * observable so tests can pin rounds = O(diameter), and callers can

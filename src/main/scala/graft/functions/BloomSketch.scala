@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter semi-join pruning (SURVEY §2.10 custom-UDAF surface; the
+  * runtime-filter pattern for 100 TB joins): build a compact bit-set
+  * over the small side's join keys with a mergeable Aggregator, then
+  * prefilter the big side MAP-ONLY before the exact join — the shuffle
+  * then carries only rows that might match (false-positive rate ε),
+  * instead of the whole fact table. The exact join afterwards removes
+  * false positives, so the composition is value-identical to the plain
+  * join; the bloom only prunes.
+  *
+  * Design for Spark's execution model:
+  *  - bit positions are computed in the DATAFRAME domain
+  *    (`xxhash64(key, i) mod m` — codegen, no UDF), so the build
+  *    aggregator is pure bit-setting and the probe is the same column
+  *    expression on the other side: one hash definition, two uses;
+  *  - the build is a mergeable OR over fixed-size Array[Long] words —
+  *    partial aggregation below the exchange, constant state
+  *    (m/8 bytes) regardless of group size;
+  *  - the probe embeds the collected words as an array literal:
+  *    `element_at` + fixed shifts — whole-stage codegen end to end,
+  *    never a driver loop over rows. Collecting the single aggregated
+  *    row is bounded driver traffic (m/8 bytes — the IVF-centroid
+  *    pattern), and the literal ships to executors with the task
+  *    closure exactly like a broadcast small table.
+  *
+  * Spark's own runtime row-level filtering
+  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) injects this
+  * same shape automatically inside one query; this operator is the
+  * CROSS-JOB version — build once, prune many later queries (the
+  * blocklist / decontamination membership shape), which the built-in
+  * planner rule cannot express.
+  */
+object BloomSketch {
+
+  /** Default geometry: m = 2^16 bits (8 KB), k = 5 probes — ε ≈ 0.9 %
+    * at 5 k keys. Size m ≈ 10·n bits for the production key count. */
+  val DefaultBits = 1 << 16
+  val DefaultK = 5
+
+  /** The k bit positions of `key` as an array<int> column:
+    * pos_i = xxhash64(key, i) mod m. k independent seeded hashes —
+    * no 64-bit multiply, so ANSI overflow semantics are irrelevant. */
+  def positions(key: Column, mBits: Int = DefaultBits,
+                k: Int = DefaultK): Column =
+    array((0 until k).map(i =>
+      pmod(xxhash64(key, lit(i)), lit(mBits.toLong)).cast("int")): _*)
+
+  /** Membership test against collected filter words: AND over the k bit
+    * probes, each an `element_at` on the words literal + shifts — plain
+    * codegen'd expressions (shift amount is a column, hence
+    * `call_function`; the named function is the same codegen'd
+    * ShiftRight the Int-arg API builds). */
+  def mightContain(key: Column, words: Array[Long],
+                   mBits: Int = DefaultBits, k: Int = DefaultK): Column = {
+    val w = typedLit(words.toSeq)
+    (0 until k).map { i =>
+      val pos = pmod(xxhash64(key, lit(i)), lit(mBits.toLong)).cast("int")
+      val word = element_at(w, shiftright(pos, 6) + 1)
+      call_function("shiftright", word, pos.bitwiseAND(lit(63)))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
+  /** Mergeable build: input = the [[positions]] array, state = the bit
+    * words, merge = OR. Runs as ObjectHashAggregate with partials below
+    * the exchange; the state never grows past m/8 bytes. */
+  class Build(mBits: Int = DefaultBits)
+      extends Aggregator[Seq[Int], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](mBits >> 6)
+    override def reduce(b: Array[Long], pos: Seq[Int]): Array[Long] = {
+      val it = pos.iterator
+      while (it.hasNext) { val p = it.next(); b(p >> 6) |= 1L << (p & 63) }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Build the filter words for a key column in one aggregation and
+    * collect them (bounded: m/8 bytes). */
+  def buildFilter(df: org.apache.spark.sql.DataFrame, key: Column,
+                  mBits: Int = DefaultBits, k: Int = DefaultK): Array[Long] = {
+    import df.sparkSession.implicits._
+    df.select(positions(key, mBits, k).as("pos"))
+      .as[Seq[Int]]
+      .select(new Build(mBits).toColumn)
+      .head()
+  }
+}

@@ -44,13 +44,16 @@ object TDigestSketch {
 
   /** Digest state. `means`/`weights` are compressed centroids sorted by
     * mean; `raw` is the unfolded tail with `rawLen` live elements —
-    * the array over-allocates geometrically so the per-row append is
-    * amortized O(1) (a fresh full-copy per row measured as the q17
-    * bottleneck: ~len·8 bytes of garbage per input row). Only
+    * the array over-allocates geometrically (9/8 growth) so the per-row
+    * append is amortized O(1) (a fresh full-copy per row measured as
+    * the q17 bottleneck: ~len·8 bytes of garbage per input row). Only
     * `raw(0 until rawLen)` is meaningful; flush points compact. Arrays
-    * (not growable buffers) keep the ExpressionEncoder trivial, and the
-    * encoder only runs at spill/shuffle boundaries, where states have
-    * just been flushed — the dead tail it ships is bounded. */
+    * (not growable buffers) keep the ExpressionEncoder trivial. The
+    * encoder can run on any partial buffer (Spark serializes at the
+    * exchange/spill with no flush hook), so the over-allocation factor
+    * bounds the dead tail it ships: ≤ 1/8 of the live length (≤ 64 KB
+    * per group at the default rawCap) at ~9 amortized element-copies
+    * per append — the factor trades copy count against shuffled slack. */
   case class State(means: Array[Double], weights: Array[Long],
                    raw: Array[Double], rawLen: Int)
 
@@ -70,7 +73,8 @@ object TDigestSketch {
       val st =
         if (s.rawLen < s.raw.length) s
         else State(s.means, s.weights,
-          java.util.Arrays.copyOf(s.raw, math.max(16, s.raw.length * 2)),
+          java.util.Arrays.copyOf(s.raw,
+            math.max(16, s.raw.length + s.raw.length / 8)),
           s.rawLen)
       st.raw(st.rawLen) = x
       maybeCompress(State(st.means, st.weights, st.raw, st.rawLen + 1))

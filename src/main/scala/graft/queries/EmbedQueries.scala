@@ -182,10 +182,45 @@ object EmbedQueries {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= $IvfK""".stripMargin
 
+  // ---------------------------------------------------------- dedup_embed
+  // Embedding-cosine near-dup CANONICALIZATION: the blocked cosine pairs
+  // become edges, connected components assign every vector its
+  // component-minimum keeper — the same detection→decision composition
+  // as dedup_components, but over semantic (embedding) similarity
+  // instead of lexical shingles. Plans compose: blocked pair join
+  // (candidates ∝ Σ cell², never n²) → iterative min-label (one keyed
+  // join + agg per round, driver sees only counts). Oracle: recursive-
+  // CTE transitive closure over the identical edge set.
+  private def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+    val pairs = Similarity.cosinePairsBlocked(
+      Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.35)
+    graft.dedup.Components.minLabel(pairs, "a_id", "b_id")
+      .select(col("id").as("vec_id"), col("root").as("canonical_id"))
+  }
+
+  private val dedupEmbedSql =
+    s"""WITH RECURSIVE ${Similarity.duckdbQuantizedCte},
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM qv a JOIN qv b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE CAST(${Similarity.duckdbDot("a.q", "b.q")} AS DOUBLE)
+       |      / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) >= CAST(0.35 AS DOUBLE)),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION
+       |  SELECT b_id, a_id FROM pairs),
+       |reach (id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+       |SELECT id AS vec_id, MIN(r) AS canonical_id
+       |FROM reach GROUP BY id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_topk", knnTopK, Some(knnTopKSql)),
     QueryDef("embed_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
     QueryDef("ann_rp_lsh", annRpLsh, Some(annRpLshSql)),
     QueryDef("ivf_assign", ivfAssign, Some(ivfAssignSql)),
-    QueryDef("ivf_search", ivfSearch, Some(ivfSearchSql)))
+    QueryDef("ivf_search", ivfSearch, Some(ivfSearchSql)),
+    QueryDef("dedup_embed", dedupEmbed, Some(dedupEmbedSql)))
 }

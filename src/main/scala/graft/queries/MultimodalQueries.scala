@@ -150,6 +150,9 @@ object MultimodalQueries {
   // emitting the new geometry + the downscaled payload's length/hash.
   // The DuckDB mirror reproduces the fake half-resolution re-encode
   // byte-for-byte (ASCII corpus: varchar substring == byte slice).
+  // half_len is clamped by LEAST(n_bytes, ...) so an empty blob yields
+  // 0 resized bytes on both sides (Scala's bytes.take(1) of an empty
+  // array is empty; an unclamped GREATEST(1, 0) would report 1).
   private def mmResize(s: SparkSession, d: String): DataFrame =
     Multimodal.resizeImages(
       Tables.parallelize(Tables.documents(s, d))
@@ -167,7 +170,7 @@ object MultimodalQueries {
       |  SELECT doc_id, text, n_bytes,
       |    CAST(64 + hv % 512 AS INT) AS width,
       |    CAST(64 + (hv // 512) % 512 AS INT) AS height,
-      |    GREATEST(1, n_bytes // 2) AS half_len
+      |    LEAST(n_bytes, GREATEST(1, n_bytes // 2)) AS half_len
       |  FROM h)
       |SELECT doc_id AS id, width, height,
       |  CAST(GREATEST(1, width // 2) AS INT) AS new_width,

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+class BloomSpec extends SparkTestBase with Matchers {
+  import spark.implicits._
+
+  test("bloom: zero false negatives, false-positive rate near theory") {
+    val members = (0L until 4000L).map(_ * 7 + 3)
+    val nonMembers = (0L until 20000L).map(_ * 7 + 1) // disjoint residue
+    val words = BloomSketch.buildFilter(
+      members.toDF("k"), col("k"))
+
+    // every inserted key must pass — the invariant bloom_prune's
+    // correctness rests on (a false negative silently drops join rows)
+    val fn = members.toDF("k")
+      .filter(!BloomSketch.mightContain(col("k"), words))
+      .count()
+    fn shouldBe 0L
+
+    // ε at m=2^16, k=5, n=4000: (1 - e^(-kn/m))^k ≈ 0.26% — allow 4×
+    val fp = nonMembers.toDF("k")
+      .filter(BloomSketch.mightContain(col("k"), words))
+      .count()
+    fp.toDouble / nonMembers.size should be < 0.011
+  }
+
+  test("bloom: build aggregation merges across partitions") {
+    // the same filter must result no matter how the build side is
+    // partitioned (merge = OR is the mergeability contract)
+    val keys = (0L until 1000L).toDF("k")
+    val w1 = BloomSketch.buildFilter(keys.repartition(1), col("k"))
+    val w8 = BloomSketch.buildFilter(keys.repartition(8), col("k"))
+    w1.toSeq shouldBe w8.toSeq
+  }
+
+  test("bloom: probe filter stays codegen (no UDF, no interpreted HOF)") {
+    val words = BloomSketch.buildFilter((0L until 10L).toDF("k"), col("k"))
+    // spark.range, not a local Seq: Catalyst folds filters over a
+    // LocalRelation at optimization time, leaving no plan to inspect
+    val plan = spark.range(100).toDF("k")
+      .filter(BloomSketch.mightContain(col("k"), words))
+      .queryExecution.executedPlan.toString()
+    plan should not include "BatchEvalPython"
+    // treeString marks whole-stage-codegen membership with a "*(n)"
+    // prefix; the filter must sit inside the stage, not fall back
+    plan should include("*(1) Filter")
+  }
+}

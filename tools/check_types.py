@@ -46,8 +46,15 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         duck = {r[0]: r[1] for r in
                 con.execute(f"DESCRIBE ({sql})").fetchall()}
-        part = sorted(glob.glob(f"{out_dir}/{name}/part-*.parquet"))[0]
-        spark = {f.name: str(f.type) for f in pq.read_schema(part)}
+        parts = sorted(glob.glob(f"{out_dir}/{name}/part-*.parquet"))
+        if not parts:
+            # e.g. an empty-result query written with zero part files —
+            # report and keep auditing the rest instead of aborting
+            print(f"PART {name}: no part-*.parquet under {out_dir}/{name} "
+                  f"(duck cols: {sorted(duck)})")
+            bad += 1
+            continue
+        spark = {f.name: str(f.type) for f in pq.read_schema(parts[0])}
         for c in sorted(set(duck) | set(spark)):
             if c not in duck or c not in spark:
                 print(f"COLS {name}.{c}: duck={duck.get(c)} "
