@@ -48,30 +48,23 @@ object MinHashLSH {
     * less shuffle volume than string sets.
     *
     * Deliberately a ROW pipeline, not array higher-order functions:
-    * posexplode tokens → `lead` window builds trigrams → ONE groupBy
-    * computes the shingle set (collect_set) and all k min-hashes as
-    * codegen'd aggregates. Measured rationale: interpreted HOF lambdas
+    * zero-shuffle slice/arrays_zip trigram rows
+    * ([[TextFunctions.ngramRows]]) → ONE groupBy computes the shingle
+    * set (collect_set) and all k min-hashes as codegen'd aggregates.
+    * Measured rationale for rows-not-HOFs: interpreted HOF lambdas
     * (`transform`/`aggregate` have no doGenCode) not only evaluate
     * per-element with boxing, they serialize across task threads in a
     * single JVM — 5000 docs × 1.5 ms ran wall-serial at ~9 s on 32 cores.
-    * The row form is whole-stage-codegen end to end and needs ONE
-    * shuffle: the `lead` window partitions by doc id and the groupBy
-    * reuses that partitioning. Min over the multiset of trigram rows
-    * equals min over the distinct set, so no pre-dedup is needed;
-    * collect_set dedups the verify-stage shingle sets in the same agg. */
+    * The row form is whole-stage-codegen end to end, and because the
+    * gram rows of a document never leave its partition, the groupBy's
+    * partial aggregation finishes each doc map-side — the one exchange
+    * ships a single signature row per document, not the gram stream.
+    * Min over the multiset of trigram rows equals min over the distinct
+    * set, so no pre-dedup is needed; collect_set dedups the
+    * verify-stage shingle sets in the same agg. */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = graft.Tables.parallelize(docs)
-      .select(col(idCol), posexplode(TextFunctions.tokens(col(textCol)))
-        .as(Seq("i", "w")))
-    val wspec = Window.partitionBy(col(idCol)).orderBy(col("i"))
-    val leads = (1 until ShingleN).map(k => lead(col("w"), k).over(wspec))
-    val tri = toks
-      .select(col(idCol) +: col("w") +:
-        leads.zipWithIndex.map { case (c, k) => c.as(s"w${k + 1}") }: _*)
-      .filter(col(s"w${ShingleN - 1}").isNotNull)
-      .select(col(idCol), concat_ws(" ",
-        col("w") +: (1 until ShingleN).map(k => col(s"w$k")): _*).as("s"))
+    val tri = TextFunctions.ngramRows(
+      graft.Tables.parallelize(docs), idCol, textCol, ShingleN)
     val minAggs = hashParams.zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * hs + $b) % $P")).as(s"__m$i")
     }

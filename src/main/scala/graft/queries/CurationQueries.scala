@@ -413,19 +413,15 @@ object CurationQueries {
   // shingle hashes: the document side never ships text, and the eval
   // side is broadcast — the standard decontamination shape at scale.
   private def decontam(s: SparkSession, d: String): DataFrame = {
-    // trigram hashes via the posexplode + lead row pipeline (same shape
-    // as MinHashLSH.signatures) — the array-HOF shingle form evaluates
-    // interpreted and serializes across task threads (measured 19.7 s →
-    // ~1 s at sf0.1 for this query); persist: the shingle pass feeds
-    // both the top-K selection and the hit join
-    val wspec = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    val withSh = Tables.parallelize(Tables.documents(s, d))
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "w")))
-      .withColumn("w1", lead(col("w"), 1).over(wspec))
-      .withColumn("w2", lead(col("w"), 2).over(wspec))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"),
-        portableHash(concat_ws(" ", col("w"), col("w1"), col("w2"))).as("h"))
+    // trigram hashes via the zero-shuffle slice/arrays_zip row pipeline
+    // (TextFunctions.ngramRows, shared with MinHashLSH.signatures) —
+    // the array-HOF shingle form evaluates interpreted and serializes
+    // across task threads (measured 19.7 s → ~1 s at sf0.1 for this
+    // query); persist: the shingle pass feeds both the top-K selection
+    // and the hit join
+    val withSh = graft.text.TextFunctions
+      .ngramRows(Tables.parallelize(Tables.documents(s, d)), "doc_id", "text", 3)
+      .select(col("doc_id"), portableHash(col("s")).as("h"))
       .persist()
     val topShingles = withSh.groupBy(col("h"))
       .agg(count(lit(1)).as("n"))

@@ -24,22 +24,13 @@ import graft.text.TextFunctions._
   */
 object FingerprintQueries {
 
-  /** Shared row-pipeline n-gram builder: (doc_id, s) one row per n-gram
-    * occurrence. posexplode → `lead` window → concat; whole-stage
-    * codegen, ONE shuffle keyed by doc (see MinHashLSH.signatures for
-    * the measured HOF-vs-row rationale). */
-  private def ngramRows(docs: DataFrame, n: Int): DataFrame = {
-    val toks = Tables.parallelize(docs)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "w")))
-    val wspec = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    val withLeads = toks.select(
-      col("doc_id") +: col("w") +:
-        (1 until n).map(k => lead(col("w"), k).over(wspec).as(s"w$k")): _*)
-    withLeads
-      .filter(col(s"w${n - 1}").isNotNull)
-      .select(col("doc_id"), concat_ws(" ",
-        col("w") +: (1 until n).map(k => col(s"w$k")): _*).as("s"))
-  }
+  /** Shared n-gram rows: (doc_id, s) one row per n-gram occurrence —
+    * the zero-shuffle slice/arrays_zip builder
+    * ([[graft.text.TextFunctions.ngramRows]]; replaced the posexplode +
+    * `lead`-window form, which shuffled and sorted every token row). */
+  private def ngramRows(docs: DataFrame, n: Int): DataFrame =
+    graft.text.TextFunctions.ngramRows(
+      Tables.parallelize(docs), "doc_id", "text", n)
 
   // ------------------------------------------------------ doc_fingerprint
   // Mod-p selection over rolling k-gram hashes (Manber's approximate
@@ -108,7 +99,12 @@ object FingerprintQueries {
 
   private[queries] def repNgram(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // one explicit doc-keyed exchange that BOTH aggregations and the
+    // final join reuse (HashPartitioning(doc_id) satisfies the
+    // (doc_id, s) clustering) — without it each agg plans its own
+    // exchange of the near-distinct bigram stream
     val bigramTop = ngramRows(docs, 2)
+      .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
@@ -173,8 +169,10 @@ object FingerprintQueries {
     // corpus count via a bigram-keyed window, not groupBy+self-join:
     // the join form re-executes the whole n-gram pipeline for each
     // branch (no shared-subtree reuse across an aggregate); the window
-    // reads the one pipeline once, same shuffle key
+    // reads the one pipeline once. The explicit repartition makes the
+    // bigram exchange visible to the planner so the window reuses it.
     val grams = ngramRows(Tables.documents(s, d), 2)
+      .repartition(col("s"))
     grams
       .withColumn("cnt",
         count(lit(1)).over(Window.partitionBy(col("s"))))

@@ -44,6 +44,36 @@ object TextFunctions {
     s"list_transform(range(1, len($toksCol) - ${n - 2}), i -> $parts) END"
   }
 
+  /** One row per word n-gram occurrence: (idCol, s) — the shared
+    * builder for every shingle pipeline (fingerprints, minhash
+    * signatures, repetition metrics).
+    *
+    * Built WITHOUT a window: n sliced copies of the token array are
+    * zipped elementwise (`slice`/`arrays_zip` are codegen'd collection
+    * expressions, not interpreted lambda HOFs) and exploded once. The
+    * former posexplode → `lead`-window form shuffled and sorted every
+    * token row keyed by doc; this form needs ZERO shuffle to produce
+    * the gram rows, and because explode keeps a document's rows inside
+    * its partition, a following groupBy(id) fully combines map-side —
+    * the exchange ships one partial row per document, not per gram.
+    * At 100 TB that turns the shingle pass from a full-corpus string
+    * shuffle into a map-only stage. Docs shorter than n words yield no
+    * rows (matching the window form's trailing-null filter). */
+  def ngramRows(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val slices = (0 until n).map(k => s"slice(__toks, ${k + 1}, __m)")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__m", size(col("__toks")) - (n - 1))
+      .filter(col("__m") >= 1)
+      .selectExpr(idCol, s"arrays_zip(${slices.mkString(", ")}) AS __z")
+      .select(col(idCol), explode(col("__z")).as("__e"))
+      // arrays_zip names fields positionally ("0".."n-1") for
+      // non-attribute inputs
+      .select(col(idCol), concat_ws(" ",
+        (0 until n).map(k => col("__e").getField(k.toString)): _*).as("s"))
+  }
+
   /** Portable 60-bit string hash: first 15 hex chars of md5 as a non-
     * negative bigint. Identical in DuckDB:
     * `CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)`. Used instead

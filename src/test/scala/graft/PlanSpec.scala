@@ -58,9 +58,10 @@ class PlanSpec extends SparkTestBase {
     assert(countShuffles(p) == 1, p.toString)
   }
 
-  test("minhash signatures reuse window partitioning: <= 2 shuffles") {
-    // parallelize round-robin + the doc-key shuffle; the groupBy must NOT
-    // add a third exchange on top of the window's
+  test("minhash signatures need <= 2 shuffles (gram rows are shuffle-free)") {
+    // parallelize round-robin + the signature groupBy's doc-key
+    // exchange; the slice/arrays_zip gram builder must NOT add a
+    // window/sort exchange of raw token rows on top
     val sigs = graft.dedup.MinHashLSH.signatures(
       Tables.documents(spark, sf), "doc_id", "text")
     assert(countShuffles(sigs.queryExecution.executedPlan) <= 2,
@@ -148,10 +149,11 @@ class PlanSpec extends SparkTestBase {
       s"all-pairs join in fingerprint path:\n$s")
   }
 
-  test("rep_ngram reuses the doc partitioning across its aggregations") {
-    // window (doc) -> groupBy(doc, bigram) -> groupBy(doc): hash
+  test("rep_ngram reuses one doc partitioning across its aggregations") {
+    // repartition(doc) -> groupBy(doc, bigram) -> groupBy(doc): hash
     // partitioning on doc_id satisfies all three, so the whole bigram
-    // pipeline needs ONE shuffle; + one for the token-stats join side
+    // pipeline needs ONE shuffle; + the parallelize round-robin (the
+    // token-stats join side broadcasts)
     val n = countShuffles(plan("rep_ngram"))
     assert(n <= 2, s"expected <= 2 shuffles, got $n")
   }
