@@ -161,9 +161,47 @@ object TextQueries {
        |GROUP BY source""".stripMargin
   }
 
+  // ------------------------------------------------------------ tok_bpe
+  // Subword token counting with a BPE-ish pre-tokenizer regex (the
+  // GPT-2 pattern family, minus the lookahead RE2 lacks): contraction
+  // suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+  // Per-doc subword count + "fertility" (subwords per whitespace word)
+  // — the cost model a training pipeline budgets sequence lengths with.
+  // Map-only; both engines use leftmost-first alternation (Java regex
+  // and DuckDB's RE2), so match counts are identical.
+  private val BpePattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  private def tokBpe(s: SparkSession, d: String): DataFrame =
+    Tables.parallelize(Tables.documents(s, d))
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long").as("n_subtokens"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          col("n_subtokens").cast("double") / col("n_words")))
+
+  private def tokBpeSql = {
+    val toks = tokensSql("text")
+    // DuckDB single-quoted strings are escape-free (backslash passes
+    // through to RE2 as-is); only quotes need doubling
+    val pat  = BpePattern.replace("'", "''")
+    s"""SELECT doc_id,
+       |  CAST(len($toks) AS BIGINT) AS n_words,
+       |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_subtokens,
+       |  CASE WHEN len($toks) > 0 THEN
+       |    CAST(len(regexp_extract_all(text, '$pat')) AS DOUBLE)
+       |      / len($toks) END AS fertility
+       |FROM documents""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_stats", textStats, Some(textStatsSql)),
     QueryDef("lang_id", langId, Some(langIdSql)),
     QueryDef("text_lang_agg", langAgg, Some(langAggSql)),
-    QueryDef("pivot_lang_counts", pivotLangCounts, Some(pivotLangCountsSql)))
+    QueryDef("pivot_lang_counts", pivotLangCounts, Some(pivotLangCountsSql)),
+    QueryDef("tok_bpe", tokBpe, Some(tokBpeSql)))
 }
