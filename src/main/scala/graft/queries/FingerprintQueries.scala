@@ -99,11 +99,17 @@ object FingerprintQueries {
 
   private[queries] def repNgram(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    repNgramStats(docs, ngramRows(docs, 2))
+  }
+
+  /** Repetition metrics from an existing bigram-rows DF — lets the
+    * curation funnel share ONE gram pipeline across both filters. */
+  private def repNgramStats(docs: DataFrame, grams: DataFrame): DataFrame = {
     // one explicit doc-keyed exchange that BOTH aggregations and the
     // final join reuse (HashPartitioning(doc_id) satisfies the
     // (doc_id, s) clustering) — without it each agg plans its own
     // exchange of the near-distinct bigram stream
-    val bigramTop = ngramRows(docs, 2)
+    val bigramTop = grams
       .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -165,14 +171,18 @@ object FingerprintQueries {
   private val RareMax = 3
   private val RareRatioMax = 0.1
 
-  private[queries] def lmRareBigrams(s: SparkSession, d: String): DataFrame = {
+  private[queries] def lmRareBigrams(s: SparkSession, d: String): DataFrame =
+    lmRareStats(ngramRows(Tables.documents(s, d), 2))
+
+  /** Corpus-LM rarity score from an existing bigram-rows DF (shared by
+    * the curation funnel). */
+  private def lmRareStats(gramRows: DataFrame): DataFrame = {
     // corpus count via a bigram-keyed window, not groupBy+self-join:
     // the join form re-executes the whole n-gram pipeline for each
     // branch (no shared-subtree reuse across an aggregate); the window
     // reads the one pipeline once. The explicit repartition makes the
     // bigram exchange visible to the planner so the window reuses it.
-    val grams = ngramRows(Tables.documents(s, d), 2)
-      .repartition(col("s"))
+    val grams = gramRows.repartition(col("s"))
     grams
       .withColumn("cnt",
         count(lit(1)).over(Window.partitionBy(col("s"))))
@@ -261,9 +271,15 @@ object FingerprintQueries {
   // training; operators compose as plain DataFrames (each filter's one
   // pipeline, one join on doc id).
   private def curationFunnel(s: SparkSession, d: String): DataFrame = {
-    val rep = repNgram(s, d).select(col("doc_id"), col("keep").as("keep_rep"))
-    val lm = lmRareBigrams(s, d).select(col("doc_id"), col("keep").as("keep_lm"))
-    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val docs = Tables.documents(s, d)
+    // ONE persisted gram pipeline feeds both filters — un-shared, the
+    // tokenize+zip+explode pass (the dominant map cost) runs twice
+    val grams = ngramRows(docs, 2).persist()
+    val rep = repNgramStats(docs, grams)
+      .select(col("doc_id"), col("keep").as("keep_rep"))
+    val lm = lmRareStats(grams)
+      .select(col("doc_id"), col("keep").as("keep_lm"))
+    docs.select(col("doc_id"), col("lang"))
       .join(rep, "doc_id").join(lm, "doc_id")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
