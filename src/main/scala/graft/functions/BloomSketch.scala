@@ -100,4 +100,22 @@ object BloomSketch {
       .select(new Build(mBits).toColumn)
       .head()
   }
+
+  /** [[buildFilter]] with m sized to the build side: a FIXED m saturates
+    * when the key count grows 100× (ε → 1 — the filter stays correct
+    * but prunes nothing), so the scale path counts the build side first
+    * (one cheap agg over the rows about to be hashed anyway) and picks
+    * the next power of two ≥ bitsPerKey·n. `maxBits` caps driver/closure
+    * memory (2^27 bits = 16 MB — past that, prefer Spark's injected
+    * runtime bloom filter or a partitioned semi-join). Returns the words
+    * AND the chosen m — the probe must bit-test with the same m. */
+  def buildFilterSized(df: org.apache.spark.sql.DataFrame, key: Column,
+                       bitsPerKey: Int = 10, k: Int = DefaultK,
+                       maxBits: Int = 1 << 27): (Array[Long], Int) = {
+    val n = df.count()
+    val wanted = math.max(DefaultBits.toLong, n * bitsPerKey)
+    val mBits = java.lang.Long.highestOneBit(
+      math.min(wanted * 2 - 1, maxBits.toLong)).toInt
+    (buildFilter(df, key, mBits, k), mBits)
+  }
 }

@@ -23,12 +23,13 @@ object BloomQueries {
     val urgent = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_custkey"))
-    // build: one mergeable aggregation over the build side's keys,
-    // collected bounded (8 KB of words — the IVF-centroid pattern)
-    val words = BloomSketch.buildFilter(urgent, col("o_custkey"))
+    // build: m auto-sized to the build-side key count (a fixed m would
+    // saturate at 100× scale and prune nothing), then one mergeable
+    // aggregation, collected bounded (m/8 bytes — IVF-centroid pattern)
+    val (words, mBits) = BloomSketch.buildFilterSized(urgent, col("o_custkey"))
     // probe: codegen'd map-only prefilter, then the exact semi-join
     val pruned = Tables.customer(s, d)
-      .filter(BloomSketch.mightContain(col("c_custkey"), words))
+      .filter(BloomSketch.mightContain(col("c_custkey"), words, mBits))
     pruned
       .join(urgent, pruned("c_custkey") === urgent("o_custkey"), "left_semi")
       .groupBy(col("c_mktsegment"))

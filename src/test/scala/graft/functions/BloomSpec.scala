@@ -28,6 +28,21 @@ class BloomSpec extends SparkTestBase with Matchers {
     fp.toDouble / nonMembers.size should be < 0.011
   }
 
+  test("bloom: auto-sizing scales m with the build side, filter stays exact") {
+    // 40k keys overflow the default 2^16 bits (≥ 6 bits/key → ε ~ 40%);
+    // the sized build must pick a bigger power of two and stay FN-free
+    val keys = (0L until 40000L).map(_ * 3 + 1)
+    val (words, mBits) = BloomSketch.buildFilterSized(
+      keys.toDF("k"), col("k"))
+    mBits should be >= (40000 * 10)
+    (mBits & (mBits - 1)) shouldBe 0 // power of two
+    words.length shouldBe mBits / 64
+    val fn = keys.toDF("k")
+      .filter(!BloomSketch.mightContain(col("k"), words, mBits))
+      .count()
+    fn shouldBe 0L
+  }
+
   test("bloom: build aggregation merges across partitions") {
     // the same filter must result no matter how the build side is
     // partitioned (merge = OR is the mergeability contract)
