@@ -216,11 +216,130 @@ object EmbedQueries {
        |SELECT id AS vec_id, MIN(r) AS canonical_id
        |FROM reach GROUP BY id""".stripMargin
 
+  // ----------------------------------------------- pq_assign / pq_search
+  // Product quantization — the MEMORY scale path for similarity search
+  // (IVF bounds compute; PQ bounds bytes): the 64-dim vector splits
+  // into M=8 subspaces of 8 dims, each sub-vector snaps to its nearest
+  // of K=16 per-subspace centroids (data-derived: the sub-vectors of
+  // seed ids < 16, like ivf_assign's seeds) — the vector becomes 8
+  // codes (~8 bytes vs 256), and search runs Asymmetric Distance
+  // Computation: per query precompute the 8×16 table of
+  // query-sub-to-centroid distances, then a vector's approximate
+  // distance is a SUM of 8 table lookups — never touching the original
+  // vectors. All arithmetic is exact integer squared-L2 over the 2^20
+  // quantization, so assignment and search are bit-reproducible and
+  // DuckDB-mirrored. Plan shapes: codebook and ADC tables are tiny
+  // broadcasts; assignment is map-only per vector; search joins codes
+  // to the broadcast ADC table and aggregates 8 rows per pair.
+  private val PqM = 8    // subspaces
+  private val PqSub = 8  // dims per subspace
+  private val PqK = 16   // centroids per subspace (seed vec_ids < 16)
+
+  /** (vec_id, j, sub): the j-th quantized sub-vector of every vector. */
+  private def pqSubs(s: SparkSession, d: String): DataFrame =
+    Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"),
+        explode(expr(s"sequence(0, ${PqM - 1})")).as("j"), col("q"))
+      .withColumn("sub", expr(s"slice(q, j * $PqSub + 1, $PqSub)"))
+      .select(col("vec_id"), col("j"), col("sub"))
+
+  /** Exact integer squared-L2 between two quantized sub-vectors (the
+    * codegen'd int_dot identity ||a−b||² = a·a + b·b − 2a·b). */
+  private def d2(a: String, b: String) =
+    expr(s"int_dot($a, $a) + int_dot($b, $b) - 2 * int_dot($a, $b)")
+
+  private def pqAssignDf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subs = pqSubs(s, d)
+    val cb = subs.filter(col("vec_id") < PqK)
+      .select(col("j"), col("vec_id").as("seed_id"), col("sub").as("csub"))
+    val w = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("dd"), col("seed_id"))
+    subs.join(broadcast(cb), "j") // bounded: M*K = 128 broadcast rows
+      .withColumn("dd", d2("sub", "csub"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("seed_id").as("code"),
+        col("dd").as("recon_d2"))
+  }
+
+  private val duckdbPqCtes: String = {
+    def dist(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, ${PqSub + 1}), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    s"""subs AS (
+       |  SELECT vec_id, CAST(j AS INT) AS j,
+       |    q[CAST(j * $PqSub + 1 AS INT):CAST(j * $PqSub + $PqSub AS INT)] AS sub
+       |  FROM qv, range(0, $PqM) t(j)),
+       |cb AS (
+       |  SELECT j, vec_id AS seed_id, sub AS csub FROM subs WHERE vec_id < $PqK),
+       |pq_scored AS (
+       |  SELECT s.vec_id, s.j, c.seed_id,
+       |    ${dist("s.sub", "c.csub")} AS dd
+       |  FROM subs s JOIN cb c ON s.j = c.j),
+       |pq_assigned AS (
+       |  SELECT vec_id, j, seed_id AS code, dd AS recon_d2,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, j
+       |                       ORDER BY dd, seed_id) AS rn
+       |  FROM pq_scored)""".stripMargin
+  }
+
+  private val pqAssignSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |$duckdbPqCtes
+       |SELECT vec_id, j, code, recon_d2
+       |FROM pq_assigned WHERE rn = 1""".stripMargin
+
+  private def pqSearchDf(s: SparkSession, d: String): DataFrame = {
+    val subs = pqSubs(s, d)
+    val cb = subs.filter(col("vec_id") < PqK)
+      .select(col("j"), col("vec_id").as("seed_id"), col("sub").as("csub"))
+    val codes = pqAssignDf(s, d).select(col("vec_id"), col("j"), col("code"))
+    // ADC table: queries' sub-to-centroid distances (10 × 8 × 16 rows)
+    val adc = subs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("j"), col("sub").as("qsub"))
+      .join(cb, "j")
+      .withColumn("dd", d2("qsub", "csub"))
+      .select(col("query_id"), col("j"), col("seed_id").as("code"), col("dd"))
+    val dist = codes.join(broadcast(adc), Seq("j", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dd")).as("adist"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
+    graft.plans.TopK.perKey(dist, Seq("query_id"),
+      Seq(("adist", true), ("neighbor_id", true)), IvfK)
+  }
+
+  private val pqSearchSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |$duckdbPqCtes,
+       |codes AS (
+       |  SELECT vec_id, j, code FROM pq_assigned WHERE rn = 1),
+       |adc AS (
+       |  SELECT s.vec_id AS query_id, s.j, c.seed_id AS code,
+       |    CAST(list_sum(list_transform(range(1, ${PqSub + 1}),
+       |      i -> (s.sub[i] - c.csub[i]) * (s.sub[i] - c.csub[i]))) AS BIGINT) AS dd
+       |  FROM subs s JOIN cb c ON s.j = c.j WHERE s.vec_id < 10),
+       |dists AS (
+       |  SELECT a.query_id, v.vec_id, CAST(SUM(a.dd) AS BIGINT) AS adist
+       |  FROM codes v JOIN adc a ON v.j = a.j AND v.code = a.code
+       |  WHERE a.query_id <> v.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, vec_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY adist, vec_id) AS rk
+       |  FROM dists)
+       |SELECT query_id, vec_id AS neighbor_id, adist
+       |FROM ranked WHERE rk <= $IvfK""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_topk", knnTopK, Some(knnTopKSql)),
     QueryDef("embed_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
     QueryDef("ann_rp_lsh", annRpLsh, Some(annRpLshSql)),
     QueryDef("ivf_assign", ivfAssign, Some(ivfAssignSql)),
     QueryDef("ivf_search", ivfSearch, Some(ivfSearchSql)),
-    QueryDef("dedup_embed", dedupEmbed, Some(dedupEmbedSql)))
+    QueryDef("dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
+    QueryDef("pq_assign", pqAssignDf, Some(pqAssignSql)),
+    QueryDef("pq_search", pqSearchDf, Some(pqSearchSql)))
 }
