@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[IntDot].getName, "int_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         IntDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("char_diversity"),
+      new ExpressionInfo(classOf[CharDiversity].getName, "char_diversity"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CharDiversity(exprs.head)))
     // custom physical operator: bounded-heap per-key top-k
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
