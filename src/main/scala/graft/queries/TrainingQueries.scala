@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.MinHashLSH
+import graft.embed.Similarity
+import graft.text.TextFunctions._
+
+/** Round-5 training-pipeline composition operators: cross-split leakage
+  * audit, a k-means Lloyd step, temperature-scaled mixture weights, and
+  * the duplicate-cluster size report. Each composes existing primitives
+  * (MinHash verify, quantized embeddings, portable hash splits) into the
+  * decision reports / iterative steps an actual training run executes.
+  */
+object TrainingQueries {
+
+  // ------------------------------------------------------- split_leakage
+  // Train/test contamination audit: verified near-dup pairs (the
+  // dedup_components edge set) crossed with the deterministic
+  // split_assign hash — reported as pair counts per (split_a, split_b)
+  // cell. Off-diagonal cells are LEAKED evaluation data; this is the
+  // audit a training run must pass before the eval numbers mean
+  // anything. Plan: the pair set (post-LSH, tiny relative to corpus) is
+  // broadcast against the map-only split assignment — no extra shuffle
+  // of the corpus at 100 TB.
+  private def splitOf(idCol: String) = {
+    val bucket = pmod(portableHash(concat(lit("split"),
+      col(idCol).cast("string"))), lit(100))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
+  private def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val sigs = MinHashLSH.signatures(Tables.documents(s, d), "doc_id", "text")
+      .persist()
+    val pairs = MinHashLSH.verifiedPairs(
+      MinHashLSH.candidatePairs(sigs, "doc_id"), sigs, "doc_id", 0.5)
+    pairs
+      .withColumn("split_a", splitOf("a_id"))
+      .withColumn("split_b", splitOf("b_id"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("a_id")).as("example_a"))
+  }
+
+  private val splitLeakageSql = {
+    def splitSql(c: String) = {
+      val bucket = s"${portableHashSql(s"concat('split', CAST($c AS VARCHAR))")} % 100"
+      s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' ELSE 'test' END"
+    }
+    s"""WITH ${MinHashLSH.duckdbSignatureCte},
+       |${MinHashLSH.duckdbCandidateCte},
+       |verified AS (
+       |  SELECT c.a_id, c.b_id
+       |  FROM cands c
+       |  JOIN sigs a ON a.doc_id = c.a_id
+       |  JOIN sigs b ON b.doc_id = c.b_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
+       |SELECT ${splitSql("a_id")} AS split_a,
+       |  ${splitSql("b_id")} AS split_b,
+       |  COUNT(*) AS n_pairs, MIN(a_id) AS example_a
+       |FROM verified
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  // --------------------------------------------------------- kmeans_step
+  // One Lloyd iteration over the quantized embeddings: assign every
+  // vector to its nearest of the 8 seed centroids (ivf_assign's
+  // data-derived seeds, broadcast — assignment is map-only), then
+  // recompute each centroid as the member mean, per dimension. All
+  // accumulation is exact 64-bit integer (quantized components sum
+  // associatively — order-free, engine-identical); the mean emerges as
+  // two IEEE divisions at the end. Plan shape at 100 TB: broadcast
+  // seeds + map-only assign + ONE shuffle on (cell, dim) with map-side
+  // partial sums — the canonical distributed k-means step. Iterating =
+  // feeding these centroids back as the next seeds.
+  private val KmSeeds = 8
+
+  private def kmeansStep(s: SparkSession, d: String): DataFrame = {
+    val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), col("q"), col("nq"))
+    val seeds = qd.filter(col("vec_id") < KmSeeds)
+      .select(col("vec_id").as("seed_id"), col("q").as("sq"), col("nq").as("snq"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("seed_id"))
+    val assigned = qd.crossJoin(broadcast(seeds)) // bounded: 8 seed rows
+      .withColumn("dot", Similarity.dotQ("q", "sq"))
+      .withColumn("cos", Similarity.cosine(col("dot"), col("nq"), col("snq")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("seed_id").as("cell"), col("q"))
+    assigned
+      .select(col("cell"), posexplode(col("q")).as(Seq("dim", "qc")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(col("qc")).as("sq_sum"), count(lit(1)).as("n_members"))
+      .withColumn("centroid",
+        (col("sq_sum").cast("double") / col("n_members")) /
+          lit(Similarity.Scale.toDouble))
+      .select(col("cell"), col("dim").cast("long").as("dim"),
+        col("n_members"), col("centroid"))
+  }
+
+  private val kmeansStepSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, q AS sq, nq AS snq FROM qv WHERE vec_id < $KmSeeds),
+       |scored AS (
+       |  SELECT v.vec_id, v.q, s.seed_id,
+       |    CAST(${Similarity.duckdbDot("v.q", "s.sq")} AS DOUBLE)
+       |      / sqrt(CAST(v.nq AS DOUBLE) * CAST(s.snq AS DOUBLE)) AS cos
+       |  FROM qv v CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, q, seed_id AS cell
+       |  FROM (SELECT vec_id, q, seed_id, cos,
+       |          ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY cos DESC, seed_id) AS rn
+       |        FROM scored)
+       |  WHERE rn = 1),
+       |comps AS (
+       |  -- constant 64-dim range: DuckDB's range() cannot take a lateral
+       |  -- column argument; the embeddings table is fixed 64-dim
+       |  SELECT a.cell, CAST(t.i - 1 AS BIGINT) AS dim,
+       |    a.q[CAST(t.i AS INT)] AS qc
+       |  FROM assigned a, range(1, 65) t(i))
+       |SELECT cell, dim,
+       |  COUNT(*) AS n_members,
+       |  (CAST(CAST(SUM(qc) AS BIGINT) AS DOUBLE) / COUNT(*))
+       |    / CAST(${Similarity.Scale} AS DOUBLE) AS centroid
+       |FROM comps
+       |GROUP BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------- mix_temperature
+  // Temperature-scaled mixture weights per language stratum —
+  // w = n^(1/2), the standard up-weighting of low-resource strata in
+  // multilingual training mixes. The exponent is deliberately 1/2:
+  // IEEE sqrt is correctly rounded in every engine where libm pow/log
+  // need not be (the same determinism policy as tfidf's rational idf).
+  // Normalization is AGAINST THE LARGEST STRATUM (w / max w) — a
+  // selection plus one division, exact — rather than the sum-normalized
+  // share, whose double accumulation order is partition-dependent.
+  private def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val byLang = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", sqrt(col("n_docs").cast("double")))
+    val wmax = byLang.agg(max(col("w")).as("w_max"))
+    byLang.crossJoin(broadcast(wmax)) // 1-row broadcast scalar
+      .withColumn("ratio", col("w") / col("w_max"))
+      .select(col("lang"), col("n_docs"), col("w"), col("ratio"))
+  }
+
+  private val mixTemperatureSql =
+    """WITH byl AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    sqrt(CAST(COUNT(*) AS DOUBLE)) AS w
+      |  FROM documents GROUP BY 1),
+      |m AS (SELECT MAX(w) AS w_max FROM byl)
+      |SELECT lang, n_docs, w, w / w_max AS ratio
+      |FROM byl CROSS JOIN m""".stripMargin
+
+  // --------------------------------------------------- dup_cluster_sizes
+  // The duplicate-cluster size histogram: near-dup components → cluster
+  // sizes → (cluster_size, n_clusters) — the report that tells a
+  // curation run whether duplication is pairwise noise or giant
+  // boilerplate clusters (the long tail decides between keep-one and
+  // drop-all policies). Composes the dedup_components labeling with two
+  // aggregations; cluster count per size is tiny, everything upstream
+  // is the bucketed LSH path.
+  private def dupClusterSizes(s: SparkSession, d: String): DataFrame = {
+    val sigs = MinHashLSH.signatures(Tables.documents(s, d), "doc_id", "text")
+      .persist()
+    val pairs = MinHashLSH.verifiedPairs(
+      MinHashLSH.candidatePairs(sigs, "doc_id"), sigs, "doc_id", 0.5)
+    graft.dedup.Components.minLabel(pairs, "a_id", "b_id")
+      .groupBy(col("root")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+  }
+
+  private val dupClusterSizesSql =
+    s"""WITH RECURSIVE ${MinHashLSH.duckdbSignatureCte},
+       |${MinHashLSH.duckdbCandidateCte},
+       |verified AS (
+       |  SELECT c.a_id, c.b_id
+       |  FROM cands c
+       |  JOIN sigs a ON a.doc_id = c.a_id
+       |  JOIN sigs b ON b.doc_id = c.b_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM verified
+       |  UNION
+       |  SELECT b_id, a_id FROM verified),
+       |reach (id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |labeled AS (
+       |  SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+       |clusters AS (
+       |  SELECT root, COUNT(*) AS cluster_size FROM labeled GROUP BY root)
+       |SELECT cluster_size, COUNT(*) AS n_clusters
+       |FROM clusters GROUP BY cluster_size""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("split_leakage", splitLeakage, Some(splitLeakageSql)),
+    QueryDef("kmeans_step", kmeansStep, Some(kmeansStepSql)),
+    QueryDef("mix_temperature", mixTemperature, Some(mixTemperatureSql)),
+    QueryDef("dup_cluster_sizes", dupClusterSizes, Some(dupClusterSizesSql)))
+}

