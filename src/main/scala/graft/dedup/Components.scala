@@ -47,9 +47,16 @@ object Components {
   def minLabelCounted(edges: DataFrame, aCol: String, bCol: String,
                       maxRounds: Int = MaxRounds): (DataFrame, Int) = {
     val a = col(aCol); val b = col(bCol)
+    // Hash-partition the symmetric edge set on the per-round join key
+    // (dst) BEFORE caching: every propagation round joins sym⋈labels on
+    // dst, and a cached-but-arbitrarily-partitioned sym would re-shuffle
+    // the full edge set (the big side — |E| ≫ |V| on dup graphs) every
+    // round. Partitioned once, each round exchanges only the labels
+    // side; InMemoryRelation preserves the partitioning across rounds.
     val sym = edges.select(a.as("src"), b.as("dst"))
       .union(edges.select(b.as("src"), a.as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist()
     // Lineage MUST be truncated every round, not just cached: each
     // round's plan references `labels` twice (through nbrMin and the
