@@ -28,6 +28,17 @@ object Bench {
       try materialize(n, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
     }
+    // Warm the bench-SF table scans too (OS page cache + footers):
+    // otherwise the first-touch I/O of each table lands on whichever
+    // query alphabetically reads it first and distorts that one number
+    // (profiled: dedup_components carried ~3 s of first-touch cost in
+    // round 4's artifact that no steady-state run reproduces).
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     val results = names.map { name =>
       val t0 = System.nanoTime()
