@@ -203,9 +203,110 @@ object TrainingQueries {
        |SELECT cluster_size, COUNT(*) AS n_clusters
        |FROM clusters GROUP BY cluster_size""".stripMargin
 
+  // -------------------------------------------------------- chunk_stride
+  // Sliding-window chunking with overlap — the chunk layout RAG and
+  // long-context pretraining actually use (pack_chunks is the
+  // no-overlap packing twin): window 128 tokens, stride 96 (32-token
+  // overlap). Chunk count and boundaries are pure integer arithmetic on
+  // the per-doc token count — ceil((n−W)/S)+1 windows cover every
+  // token; the tail chunk clamps to the document end. Map-only: one
+  // tokenize pass, a bounded sequence() explode, no shuffle at all.
+  private val ChunkW = 128
+  private val ChunkS = 96
+
+  private def chunkStride(s: SparkSession, d: String): DataFrame =
+    Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("n_chunks",
+        when(col("n_tok") <= ChunkW, lit(1L))
+          .otherwise(expr(s"((n_tok - $ChunkW + $ChunkS - 1) DIV $ChunkS) + 1")))
+      .withColumn("chunk_idx", explode(expr("sequence(0L, n_chunks - 1)")))
+      .withColumn("start_tok", col("chunk_idx") * ChunkS)
+      .withColumn("chunk_len",
+        least(lit(ChunkW.toLong), col("n_tok") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("chunk_len"), col("n_tok"))
+
+  private val chunkStrideSql = {
+    val toks = tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tok,
+       |    CASE WHEN n_tok <= $ChunkW THEN 1
+       |         ELSE CAST(((n_tok - $ChunkW + $ChunkS - 1) // $ChunkS) + 1 AS BIGINT)
+       |    END AS n_chunks
+       |  FROM t WHERE n_tok > 0),
+       |x AS (
+       |  SELECT doc_id, n_tok, CAST(u.i AS BIGINT) AS chunk_idx
+       |  FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) u)
+       |SELECT doc_id, chunk_idx,
+       |  chunk_idx * $ChunkS AS start_tok,
+       |  LEAST($ChunkW, n_tok - chunk_idx * $ChunkS) AS chunk_len,
+       |  n_tok
+       |FROM x""".stripMargin
+  }
+
+  // ------------------------------------------------------------ oov_rate
+  // Out-of-vocabulary rate against the corpus-derived top-100 vocabulary
+  // (vocab_topk's selection: count desc, term asc — total order in both
+  // engines). The pretraining cost metric: how much of each document a
+  // fixed vocabulary fails to cover. Plan: one tokenize pass, tiny
+  // vocabulary broadcast, one per-doc aggregation; the rate is a single
+  // IEEE division of exact integers.
+  private val OovVocab = 100
+
+  private def oovRate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = Tables.parallelize(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(OovVocab)
+      .select(col("term"), lit(1L).as("inv"))
+    val per = tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("inv"), lit(0L))).as("n_invocab"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_invocab"), lit(0L)).as("n_invocab"),
+        when(col("n_tok") > 0,
+          (col("n_tok") - col("n_invocab")).cast("double") / col("n_tok"))
+          .as("oov_rate"))
+  }
+
+  private val oovRateSql = {
+    val toks = tokensSql("text")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toks) AS term FROM documents),
+       |cnt AS (
+       |  SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+       |vocab AS (
+       |  SELECT term FROM (
+       |    SELECT term, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rn
+       |    FROM cnt)
+       |  WHERE rn <= $OovVocab),
+       |per AS (
+       |  SELECT t.doc_id, COUNT(*) AS n_tok,
+       |    CAST(SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_inv
+       |  FROM tok t LEFT JOIN vocab v ON t.term = v.term
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(p.n_tok, 0) AS n_tokens,
+       |  COALESCE(p.n_inv, 0) AS n_invocab,
+       |  CASE WHEN p.n_tok > 0 THEN
+       |    CAST(p.n_tok - p.n_inv AS DOUBLE) / p.n_tok END AS oov_rate
+       |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("split_leakage", splitLeakage, Some(splitLeakageSql)),
     QueryDef("kmeans_step", kmeansStep, Some(kmeansStepSql)),
     QueryDef("mix_temperature", mixTemperature, Some(mixTemperatureSql)),
-    QueryDef("dup_cluster_sizes", dupClusterSizes, Some(dupClusterSizesSql)))
+    QueryDef("dup_cluster_sizes", dupClusterSizes, Some(dupClusterSizesSql)),
+    QueryDef("chunk_stride", chunkStride, Some(chunkStrideSql)),
+    QueryDef("oov_rate", oovRate, Some(oovRateSql)))
 }

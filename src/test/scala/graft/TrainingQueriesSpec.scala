@@ -42,6 +42,36 @@ class TrainingQueriesSpec extends SparkTestBase {
     assert(out.filter(_._1 == maxN).forall(_._2 == 1.0))
   }
 
+  test("chunk_stride: windows tile every token with the declared overlap") {
+    val out = SparkEntry.queries("chunk_stride")(spark, d)
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"chunk_len", $"n_tok")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      val n = sorted.head._5
+      // first chunk starts at 0; last chunk reaches the end; every chunk
+      // is within bounds and overlaps the next by W - S tokens
+      assert(sorted.head._3 == 0L)
+      assert(sorted.last._3 + sorted.last._4 == n)
+      assert(sorted.forall { case (_, i, st, len, nt) =>
+        st == i * 96 && len > 0 && st + len <= nt && len <= 128
+      })
+    }
+  }
+
+  test("oov_rate: top-100 vocab coverage yields rates in [0,1]") {
+    val out = SparkEntry.queries("oov_rate")(spark, d)
+      .filter($"n_tokens" > 0)
+      .select($"n_tokens", $"n_invocab", $"oov_rate")
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (n, inv, r) =>
+      inv <= n && r >= 0.0 && r <= 1.0 &&
+        math.abs(r - (n - inv).toDouble / n) == 0.0
+    })
+  }
+
   test("dup_cluster_sizes: sizes >= 2 and members sum to labeled nodes") {
     val out = SparkEntry.queries("dup_cluster_sizes")(spark, d)
       .select($"cluster_size", $"n_clusters").as[(Long, Long)].collect()
