@@ -12,6 +12,38 @@ import org.apache.spark.sql.SparkSession
   * (`count()` would let Catalyst skip projections entirely).
   */
 object Bench {
+
+  /** Hard byte ceiling for the final stdout line. The driver's tail
+    * capture is 2000 bytes; the margin absorbs the trailing newline and
+    * any final-teardown bytes. Rounds 2–4 each lost their bench
+    * artifact to this limit — BenchLineSpec pins the contract. */
+  val LineBudgetBytes = 1900
+
+  /** The final compact metric line, hard-budgeted to fit the driver's
+    * bounded stdout tail: 2-decimal seconds; if over budget, drop the
+    * FASTEST queries first and record how many were omitted (slow
+    * queries are the ones a baseline comparison needs; the full map is
+    * in BENCH_DETAIL.json). */
+  def compactLine(total: Double, results: Seq[(String, Double)],
+                  sfShort: String, latJson: String): String = {
+    def render(kept: Seq[(String, Double)], omitted: Int): String = {
+      val qs = kept.map { case (k, v) => f""""$k":$v%.2f""" }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$om,"sf":"$sfShort"$latJson}"""
+    }
+    val byTimeDesc = results.sortBy(-_._2)
+    var keep = results.length
+    var json = render(results, 0)
+    while (json.getBytes("UTF-8").length > LineBudgetBytes && keep > 1) {
+      keep -= 1
+      // keep the `keep` slowest, restore name order for readability
+      val kept = byTimeDesc.take(keep).sortBy(_._1)
+      json = render(kept, results.length - keep)
+    }
+    json
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -55,7 +87,6 @@ object Bench {
     // full-precision per-query detail always lands in
     // /root/repo/BENCH_DETAIL.json.
     def sec3(v: Double): String = f"$v%.3f"
-    def sec2(v: Double): String = f"$v%.2f"
     val total = results.map(_._2).sum
 
     // Streaming E2E latency at two triggers, next to the reference's
@@ -106,25 +137,7 @@ object Bench {
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
 
-    // Final compact line, hard-budgeted to fit the 2000-byte tail:
-    // 2-decimal seconds; if still over budget, drop the FASTEST queries
-    // first and record how many were omitted (slow queries are the ones
-    // a baseline comparison needs; the full map is in BENCH_DETAIL).
-    def render(kept: Seq[(String, Double)], omitted: Int): String = {
-      val qs = kept.map { case (k, v) => "\"" + k + "\":" + sec2(v) }
-        .mkString("{", ",", "}")
-      val om = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs$om,"sf":"$sfShort"$latJson}"""
-    }
-    val byTimeDesc = results.sortBy(-_._2)
-    var keep = results.length
-    var json = render(results, 0)
-    while (json.getBytes("UTF-8").length > 1900 && keep > 1) {
-      keep -= 1
-      // keep the `keep` slowest, restore name order for readability
-      val kept = byTimeDesc.take(keep).sortBy(_._1)
-      json = render(kept, results.length - keep)
-    }
+    val json = Bench.compactLine(total, results, sfShort, latJson)
 
     // The metric line must be the FINAL stdout act: round 2's driver
     // artifact lost all numbers because the continuous-latency teardown

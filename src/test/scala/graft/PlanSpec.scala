@@ -178,6 +178,35 @@ class PlanSpec extends SparkTestBase {
       s"global sort exchange in:\n$s")
   }
 
+  test("pii_redact and char_diversity are map-only after the spread: one shuffle each") {
+    // the only exchange is Tables.parallelize's round-robin spread of
+    // the single-row-group scan; the scrub/histogram work itself never
+    // shuffles (pure scan-rewrite at scale)
+    assert(countShuffles(plan("pii_redact")) == 1,
+      plan("pii_redact").toString)
+    assert(countShuffles(plan("char_diversity")) == 1,
+      plan("char_diversity").toString)
+  }
+
+  test("chunk_stride never shuffles beyond the spread (sequence explode, no window)") {
+    val p = plan("chunk_stride")
+    assert(countShuffles(p) == 1, p.toString)
+    assert(!p.toString.contains("Window"), p.toString)
+  }
+
+  test("kmeans_step broadcasts the seeds; the Lloyd update is one hash aggregation") {
+    val s = planString("kmeans_step")
+    assert(s.contains("BroadcastNestedLoopJoin"), s"seeds not broadcast in:\n$s")
+    assert(!s.contains("CartesianProduct"), s"cartesian product in:\n$s")
+    assert(s.contains("partial_sum") || s.contains("partial sum"),
+      s"no map-side partial sums in the centroid update:\n$s")
+  }
+
+  test("oov_rate broadcasts the vocabulary against the token stream") {
+    val s = planString("oov_rate")
+    assert(s.contains("BroadcastHashJoin"), s"vocab not broadcast in:\n$s")
+  }
+
   test("partitioned layout prunes partitions at the scan (time-series layout)") {
     // the biggest 100 TB lever for the telemetry tables: a layout
     // partitioned on the routing column must turn an equality filter
