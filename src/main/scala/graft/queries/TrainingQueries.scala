@@ -302,8 +302,62 @@ object TrainingQueries {
        |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------- quant_int8
+  // Int8-style embedding quantization report — the STORAGE scale path
+  // (PQ bounds bytes via codebooks; int8 bounds them via per-vector
+  // affine codes): per vector, scale = max|component| (in the 2^20
+  // quantized integer domain), code_i = (q_i · 127) div scale ∈
+  // [−127, 127]. Everything is exact 64-bit integer arithmetic — no
+  // per-element float ops, no interpreted HOF lambdas: the per-element
+  // work runs relationally (posexplode → join the per-vector scale →
+  // integer expressions → one rollup), which is also the shape that
+  // scales (map-only + one keyed aggregation). The report carries the
+  // saturation count, the code energy Σcode², and the exact integer
+  // reconstruction error Σ(q − deq)² — the quantization-quality gate an
+  // embedding store runs before switching to int8 serving.
+  private def quantInt8(s: SparkSession, d: String): DataFrame = {
+    val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), col("q"))
+      // greatest(max, -min) = max|component| without a transform() HOF
+      .withColumn("scale_q",
+        greatest(expr("array_max(q)"), -expr("array_min(q)")))
+      .filter(col("scale_q") > 0)
+    qd.select(col("vec_id"), col("scale_q"),
+        posexplode(col("q")).as(Seq("dim", "qc")))
+      .withColumn("code", expr("(qc * 127) DIV scale_q"))
+      .withColumn("deq", expr("(code * scale_q) DIV 127"))
+      .groupBy(col("vec_id"), col("scale_q"))
+      .agg(
+        sum(when(abs(col("code")) === 127, 1L).otherwise(0L)).as("n_sat"),
+        sum(col("code") * col("code")).as("code_energy"),
+        sum((col("qc") - col("deq")) * (col("qc") - col("deq"))).as("err2"))
+  }
+
+  private val quantInt8Sql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |sc AS (
+       |  SELECT vec_id, q,
+       |    GREATEST(list_max(q), -list_min(q)) AS scale_q
+       |  FROM qv WHERE GREATEST(list_max(q), -list_min(q)) > 0),
+       |comps AS (
+       |  -- constant 64-dim range (DuckDB range() takes no lateral args)
+       |  SELECT vec_id, scale_q, q[CAST(t.i AS INT)] AS qc
+       |  FROM sc, range(1, 65) t(i)),
+       |coded AS (
+       |  SELECT vec_id, scale_q, qc,
+       |    (qc * 127) // scale_q AS code
+       |  FROM comps)
+       |SELECT vec_id, scale_q,
+       |  CAST(SUM(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+       |  CAST(SUM(code * code) AS BIGINT) AS code_energy,
+       |  CAST(SUM((qc - (code * scale_q) // 127) * (qc - (code * scale_q) // 127))
+       |    AS BIGINT) AS err2
+       |FROM coded
+       |GROUP BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("split_leakage", splitLeakage, Some(splitLeakageSql)),
+    QueryDef("quant_int8", quantInt8, Some(quantInt8Sql)),
     QueryDef("kmeans_step", kmeansStep, Some(kmeansStepSql)),
     QueryDef("mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     QueryDef("dup_cluster_sizes", dupClusterSizes, Some(dupClusterSizesSql)),

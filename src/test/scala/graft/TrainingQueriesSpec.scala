@@ -42,6 +42,24 @@ class TrainingQueriesSpec extends SparkTestBase {
     assert(out.filter(_._1 == maxN).forall(_._2 == 1.0))
   }
 
+  test("quant_int8: codes bounded, saturation present, small exact error") {
+    val out = SparkEntry.queries("quant_int8")(spark, d)
+      .select($"vec_id", $"scale_q", $"n_sat", $"code_energy", $"err2")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length == Tables.embeddings(spark, d).count())
+    out.foreach { case (_, scale, nSat, energy, err2) =>
+      assert(scale > 0)
+      // the max-|component| dimension quantizes to exactly ±127
+      assert(nSat >= 1)
+      assert(energy <= 64L * 127 * 127)
+      // per-dim truncation error < scale/127 + 1 quantized unit
+      val bound = 64L * {
+        val u = scale / 127 + 2; u * u
+      }
+      assert(err2 >= 0 && err2 <= bound, s"err2 $err2 > bound $bound")
+    }
+  }
+
   test("chunk_stride: windows tile every token with the declared overlap") {
     val out = SparkEntry.queries("chunk_stride")(spark, d)
       .select($"doc_id", $"chunk_idx", $"start_tok", $"chunk_len", $"n_tok")
