@@ -318,7 +318,78 @@ object StreamAnalyticsQueries {
       |FROM ranked
       |GROUP BY event_type""".stripMargin
 
+  // ------------------------------------------------------ resample_locf
+  // Time-series resampling with last-observation-carried-forward — the
+  // gap-filling operator that aligns irregular telemetry onto a fixed
+  // grid (the reference's dashboards poll "latest known value"
+  // consumer-side, `kafkaConsumer.js` state lookups; training-data
+  // pipelines need the same alignment to join time series at fixed
+  // steps). A 1-minute grid over a fixed 4-hour window for users < 10;
+  // each grid point carries the most recent observation at-or-before it
+  // (null before a user's first event). Shape: the grid is a bounded
+  // sequence explode unioned with the observations, ONE per-user window
+  // pass — at scale this is a keyed sort within user partitions, no
+  // driver involvement. Output carries the observed VALUE and the
+  // observation's timestamp verbatim (no derived arithmetic — parity by
+  // construction).
+  private val LocfStart = "2024-01-01 00:00:00"
+  private val LocfEnd   = "2024-01-01 03:59:00"
+  private val LocfCutoff = "2024-01-01 04:00:00"
+  private val LocfUsers = 10
+
+  private def resampleLocf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .filter(col("user_id") < LocfUsers &&
+        col("ts") < to_timestamp(lit(LocfCutoff)))
+    val obs = ev.select(col("user_id"), col("ts"),
+      col("value"), col("ts").as("ts_obs"), lit(0).as("src"))
+    val grid = ev.select(col("user_id")).distinct()
+      .withColumn("ts", explode(expr(
+        s"sequence(to_timestamp('$LocfStart'), to_timestamp('$LocfEnd'), interval 1 minute)")))
+      .select(col("user_id"), col("ts"),
+        lit(null).cast("double").as("value"),
+        lit(null).cast("timestamp").as("ts_obs"), lit(1).as("src"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("src"), col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.union(grid)
+      .withColumn("value_locf", last(col("value"), ignoreNulls = true).over(w))
+      .withColumn("last_obs", last(col("ts_obs"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("user_id"), col("ts").as("minute_ts"),
+        col("value_locf"), col("last_obs"))
+  }
+
+  private val resampleLocfSql =
+    s"""WITH e AS (
+       |  SELECT user_id, ts, value, ts AS ts_obs, 0 AS src
+       |  FROM events
+       |  WHERE user_id < $LocfUsers AND ts < TIMESTAMP '$LocfCutoff'),
+       |g AS (
+       |  SELECT u.user_id, gs.ts, CAST(NULL AS DOUBLE) AS value,
+       |    CAST(NULL AS TIMESTAMP) AS ts_obs, 1 AS src
+       |  FROM (SELECT DISTINCT user_id FROM events
+       |        WHERE user_id < $LocfUsers
+       |          AND ts < TIMESTAMP '$LocfCutoff') u,
+       |  generate_series(TIMESTAMP '$LocfStart', TIMESTAMP '$LocfEnd',
+       |                  INTERVAL 1 MINUTE) gs(ts)),
+       |unioned AS (
+       |  SELECT * FROM e UNION ALL SELECT * FROM g),
+       |carried AS (
+       |  SELECT user_id, ts, src,
+       |    last_value(value IGNORE NULLS) OVER (
+       |      PARTITION BY user_id ORDER BY ts, src, value
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+       |    last_value(ts_obs IGNORE NULLS) OVER (
+       |      PARTITION BY user_id ORDER BY ts, src, value
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_obs
+       |  FROM unioned)
+       |SELECT user_id, ts AS minute_ts, value_locf, last_obs
+       |FROM carried WHERE src = 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("resample_locf", resampleLocf, Some(resampleLocfSql)),
     QueryDef("range_join_sessions", rangeJoin, Some(rangeJoinSql)),
     QueryDef("q15_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     QueryDef("q17_tdigest", tdigestQ, Some(tdigestSql)),

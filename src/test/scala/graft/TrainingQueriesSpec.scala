@@ -42,6 +42,30 @@ class TrainingQueriesSpec extends SparkTestBase {
     assert(out.filter(_._1 == maxN).forall(_._2 == 1.0))
   }
 
+  test("resample_locf: full grid per user, carried values match the latest observation") {
+    import java.sql.Timestamp
+    val out = SparkEntry.queries("resample_locf")(spark, d)
+      .select($"user_id", $"minute_ts", $"value_locf", $"last_obs")
+      .as[(Long, Timestamp, Option[Double], Option[Timestamp])].collect()
+    val users = out.map(_._1).distinct
+    assert(users.nonEmpty)
+    // every user carries the full 240-minute grid
+    users.foreach { u => assert(out.count(_._1 == u) == 240) }
+    // carried observation never postdates its grid point, and value/ts
+    // are observed-together (both defined or both absent)
+    assert(out.forall { case (_, m, v, o) =>
+      v.isDefined == o.isDefined && o.forall(!_.after(m))
+    })
+    // LOCF is monotone: once a user has an observation, later grid
+    // points keep one (possibly newer)
+    users.foreach { u =>
+      val series = out.filter(_._1 == u).sortBy(_._2.getTime).map(_._4)
+      val firstDefined = series.indexWhere(_.isDefined)
+      if (firstDefined >= 0)
+        assert(series.drop(firstDefined).forall(_.isDefined))
+    }
+  }
+
   test("quant_int8: codes bounded, saturation present, small exact error") {
     val out = SparkEntry.queries("quant_int8")(spark, d)
       .select($"vec_id", $"scale_q", $"n_sat", $"code_energy", $"err2")
