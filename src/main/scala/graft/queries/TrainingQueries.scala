@@ -355,9 +355,80 @@ object TrainingQueries {
        |FROM coded
        |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------- vocab_drift
+  // Distribution-shift monitor: χ² contributions of the top-50 vocabulary
+  // between the train split and the heldout (val+test) splits — the
+  // check a pipeline runs when a new ingest batch lands ("did the word
+  // distribution move?"). Counts are exact integers end to end; the
+  // per-term expected value and χ² contribution are a fixed chain of
+  // IEEE double operations mirrored shape-for-shape in the oracle (no
+  // float SUM anywhere — the statistic is reported per term, which is
+  // also what an alerting rule consumes). One tokenize pass, a 50-row
+  // vocabulary, a 1-row totals broadcast.
+  private val DriftVocab = 50
+
+  private def vocabDrift(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.parallelize(Tables.documents(s, d))
+      .withColumn("is_train", splitOf("doc_id") === "train")
+      .select(col("doc_id"), col("is_train"),
+        explode(tokens(col("text"))).as("term"))
+    val cnt = tok.groupBy(col("term")).agg(
+      sum(when(col("is_train"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("is_train"), 0L).otherwise(1L)).as("b"))
+    val vocab = cnt.withColumn("tot", col("a") + col("b"))
+      .orderBy(col("tot").desc, col("term")).limit(DriftVocab)
+    val totals = vocab.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    val share = (col("a") + col("b")).cast("double") /
+      (col("ta") + col("tb")).cast("double")
+    val e = col("ta").cast("double") * share
+    val f = col("tb").cast("double") * share
+    vocab.crossJoin(broadcast(totals)) // 1-row totals broadcast
+      .withColumn("e", e)
+      .withColumn("chi2_term",
+        (col("a").cast("double") - col("e")) *
+          (col("a").cast("double") - col("e")) / col("e") +
+          (col("b").cast("double") - f) *
+          (col("b").cast("double") - f) / f)
+      .select(col("term"), col("a"), col("b"), col("e"), col("chi2_term"))
+  }
+
+  private val vocabDriftSql = {
+    val toks = tokensSql("text")
+    val split = {
+      val bucket = s"${portableHashSql("concat('split', CAST(doc_id AS VARCHAR))")} % 100"
+      s"($bucket < 80)"
+    }
+    s"""WITH tok AS (
+       |  SELECT doc_id, $split AS is_train, unnest($toks) AS term
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT term,
+       |    CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS b
+       |  FROM tok GROUP BY 1),
+       |vocab AS (
+       |  SELECT term, a, b FROM cnt
+       |  ORDER BY a + b DESC, term LIMIT $DriftVocab),
+       |totals AS (
+       |  SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb
+       |  FROM vocab),
+       |scored AS (
+       |  SELECT term, a, b,
+       |    CAST(ta AS DOUBLE) *
+       |      (CAST(a + b AS DOUBLE) / CAST(ta + tb AS DOUBLE)) AS e,
+       |    CAST(tb AS DOUBLE) *
+       |      (CAST(a + b AS DOUBLE) / CAST(ta + tb AS DOUBLE)) AS f
+       |  FROM vocab CROSS JOIN totals)
+       |SELECT term, a, b, e,
+       |  (CAST(a AS DOUBLE) - e) * (CAST(a AS DOUBLE) - e) / e +
+       |  (CAST(b AS DOUBLE) - f) * (CAST(b AS DOUBLE) - f) / f AS chi2_term
+       |FROM scored""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("split_leakage", splitLeakage, Some(splitLeakageSql)),
     QueryDef("quant_int8", quantInt8, Some(quantInt8Sql)),
+    QueryDef("vocab_drift", vocabDrift, Some(vocabDriftSql)),
     QueryDef("kmeans_step", kmeansStep, Some(kmeansStepSql)),
     QueryDef("mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     QueryDef("dup_cluster_sizes", dupClusterSizes, Some(dupClusterSizesSql)),

@@ -66,6 +66,21 @@ class TrainingQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("vocab_drift: 50 vocabulary terms, counts split-consistent, chi2 finite") {
+    val out = SparkEntry.queries("vocab_drift")(spark, d)
+      .select($"term", $"a", $"b", $"e", $"chi2_term")
+      .as[(String, Long, Long, Double, Double)].collect()
+    // the synthetic corpus vocabulary is ~31 distinct words — smaller
+    // than the 50-term cap, so the report covers ALL of it
+    assert(out.length > 20 && out.length <= 50)
+    assert(out.forall { case (_, a, b, e, chi) =>
+      a + b > 0 && e > 0 && chi >= 0 && !chi.isNaN && !chi.isInfinite
+    })
+    // on an un-drifted synthetic corpus the statistic should be modest:
+    // chi2 per term well under the count scale
+    assert(out.map(_._5).max < out.map(r => (r._2 + r._3).toDouble).max)
+  }
+
   test("quant_int8: codes bounded, saturation present, small exact error") {
     val out = SparkEntry.queries("quant_int8")(spark, d)
       .select($"vec_id", $"scale_q", $"n_sat", $"code_energy", $"err2")
