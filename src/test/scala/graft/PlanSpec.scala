@@ -207,6 +207,20 @@ class PlanSpec extends SparkTestBase {
     assert(s.contains("BroadcastHashJoin"), s"vocab not broadcast in:\n$s")
   }
 
+  test("resample_locf: one keyed window pass, no cross join") {
+    val s = planString("resample_locf")
+    assert(!s.contains("CartesianProduct"), s)
+    // exactly one Window operator instance family (two last() calls
+    // share the one per-user sort)
+    assert("(?m)^\\s*(\\*\\(\\d+\\) )?Window ".r.findAllIn(s).size <= 2, s)
+  }
+
+  test("vocab_drift: totals ride a broadcast, vocabulary head is a bounded top-k") {
+    val s = planString("vocab_drift")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+    assert(s.contains("TakeOrderedAndProject"), s"global sort in:\n$s")
+  }
+
   test("partitioned layout prunes partitions at the scan (time-series layout)") {
     // the biggest 100 TB lever for the telemetry tables: a layout
     // partitioned on the routing column must turn an equality filter
