@@ -24,13 +24,20 @@ object Bench {
     * FASTEST queries first and record how many were omitted (slow
     * queries are the ones a baseline comparison needs; the full map is
     * in BENCH_DETAIL.json). */
+  /** Locale-independent fixed-decimal render: the f-interpolator uses
+    * the default locale, and a comma-decimal JVM locale would make the
+    * final metric line invalid JSON — the exact artifact-loss failure
+    * LineBudgetBytes exists to prevent. */
+  private def dec(v: Double, places: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+
   def compactLine(total: Double, results: Seq[(String, Double)],
                   sfShort: String, latJson: String): String = {
     def render(kept: Seq[(String, Double)], omitted: Int): String = {
-      val qs = kept.map { case (k, v) => f""""$k":$v%.2f""" }
+      val qs = kept.map { case (k, v) => s""""$k":${dec(v, 2)}""" }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$om,"sf":"$sfShort"$latJson}"""
+      s"""{"metric":"total","value":${dec(total, 3)},"unit":"sec","queries":$qs$om,"sf":"$sfShort"$latJson}"""
     }
     val byTimeDesc = results.sortBy(-_._2)
     var keep = results.length
@@ -69,7 +76,12 @@ object Bench {
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet")
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // stderr is outside the 2000-byte stdout tail budget — a cold
+        // (missing/corrupt) table must be visible, or its first-touch
+        // I/O silently lands back on the first query reading it
+        System.err.println(s"[bench] warm scan skipped $t: ${e.getMessage}")
+      }
     }
 
     val results = names.map { name =>
@@ -86,7 +98,7 @@ object Bench {
     // seconds, compact latency keys, and an adaptive trim below);
     // full-precision per-query detail always lands in
     // /root/repo/BENCH_DETAIL.json.
-    def sec3(v: Double): String = f"$v%.3f"
+    def sec3(v: Double): String = dec(v, 3)
     val total = results.map(_._2).sum
 
     // Streaming E2E latency at two triggers, next to the reference's

@@ -64,9 +64,12 @@ object KMeans {
       .withColumn("cnq", expr("int_dot(cq, cq)"))
   }
 
-  /** Exact integer inertia of an assignment: Σ ||v − c||². */
-  def inertia(assigned: DataFrame): Long =
-    assigned.agg(sum(col("dd"))).first().getLong(0)
+  /** Exact integer inertia of an assignment: Σ ||v − c||².
+    * Empty assignment → 0 (SUM over zero rows is NULL). */
+  def inertia(assigned: DataFrame): Long = {
+    val row = assigned.agg(sum(col("dd"))).first()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
 
   /** Run `iters` Lloyd iterations from the k lowest-id vectors as
     * seeds; returns the inertia after each assignment (length iters). */
@@ -75,7 +78,9 @@ object KMeans {
     val qd = Similarity.quantized(embeds, idCol, embCol)
       .select(col(idCol).as("vec_id"), col("q"), col("nq"))
       .persist()
-    var centroids = qd.filter(col("vec_id") < k)
+    // true k lowest ids — robust to sparse/offset id spaces, where a
+    // `vec_id < k` filter would yield fewer (possibly zero) seeds
+    var centroids = qd.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("q").as("cq"),
         col("nq").as("cnq"))
     val out = (1 to iters).map { _ =>

@@ -35,8 +35,13 @@ object TrainingQueries {
   private def splitLeakage(s: SparkSession, d: String): DataFrame = {
     val sigs = MinHashLSH.signatures(Tables.documents(s, d), "doc_id", "text")
       .persist()
+    // materialize the (tiny, post-LSH) pair set eagerly so the cached
+    // signatures can be released NOW — a bench run executes 80+ queries
+    // in one session, and never-unpersisted blocks skew later timings
     val pairs = MinHashLSH.verifiedPairs(
       MinHashLSH.candidatePairs(sigs, "doc_id"), sigs, "doc_id", 0.5)
+      .localCheckpoint()
+    sigs.unpersist()
     pairs
       .withColumn("split_a", splitOf("a_id"))
       .withColumn("split_b", splitOf("b_id"))
@@ -171,8 +176,14 @@ object TrainingQueries {
   private def dupClusterSizes(s: SparkSession, d: String): DataFrame = {
     val sigs = MinHashLSH.signatures(Tables.documents(s, d), "doc_id", "text")
       .persist()
+    // eager-materialize the pair set, release the signature cache (same
+    // bounded-lifetime discipline as splitLeakage); minLabel iterates
+    // over `pairs`, so truncating its lineage here also avoids
+    // re-deriving signatures every labeling round
     val pairs = MinHashLSH.verifiedPairs(
       MinHashLSH.candidatePairs(sigs, "doc_id"), sigs, "doc_id", 0.5)
+      .localCheckpoint()
+    sigs.unpersist()
     graft.dedup.Components.minLabel(pairs, "a_id", "b_id")
       .groupBy(col("root")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
