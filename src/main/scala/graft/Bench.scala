@@ -29,7 +29,9 @@ object Bench {
     * final metric line invalid JSON — the exact artifact-loss failure
     * LineBudgetBytes exists to prevent. */
   private def dec(v: Double, places: Int): String =
-    String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+    if (java.lang.Double.isFinite(v))
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+    else "null" // NaN/Infinity are not JSON — keep the line parseable
 
   def compactLine(total: Double, results: Seq[(String, Double)],
                   sfShort: String, latJson: String): String = {

@@ -1,0 +1,52 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped materialized intermediates shared by query families.
+  *
+  * The MinHash signature pass (shingle → portable md5 hash → 16
+  * min-hash aggregates, [[graft.dedup.MinHashLSH.signatures]]) is the
+  * shared input of five reports: dedup_minhash_lsh,
+  * dedup_ngram_jaccard, dedup_components, dup_cluster_sizes and
+  * split_leakage. At 100 TB a pipeline materializes that pass ONCE as
+  * an intermediate table and fans the reports out from it — recomputing
+  * the corpus-wide hash pass per report would dominate every one of
+  * them. This memo is the single-session rendering of that
+  * materialization: the first caller pays the pass and localCheckpoints
+  * the result (tiny — one row per document); later callers reuse the
+  * materialized RDD.
+  *
+  * Two deliberate properties, learned from rounds 5/6:
+  *   - Deterministic reuse. The previous discipline leaned on the
+  *     session CacheManager matching structurally identical subtrees,
+  *     which made per-query cost depend on which query happened to run
+  *     first — and one caller's unpersist() silently dropped the entry
+  *     everyone else was reusing (the round-6 bench saw a 5× swing on
+  *     dup_cluster_sizes from exactly that).
+  *   - Construction-time execution. localCheckpoint is eager: the first
+  *     `queries(...)` call for any family member executes the signature
+  *     job before returning the DataFrame. Callers that only want the
+  *     plan/schema of a family query pay it too — acceptable for a
+  *     materialized-intermediate seam, but worth knowing in plan tests.
+  *
+  * On a real cluster with executor loss in play, swap localCheckpoint
+  * for a checkpoint-dir-backed `.checkpoint()` (same contract,
+  * reliable storage) — or an actual intermediate table.
+  */
+object SharedStages {
+  private val memo = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Materialized MinHash signatures of `documents(dir)`:
+    * (doc_id, sh: distinct shingle hashes, sig: array[16]). */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    memo.computeIfAbsent((s, dir), _ =>
+      graft.dedup.MinHashLSH
+        .signatures(Tables.documents(s, dir), "doc_id", "text")
+        .localCheckpoint())
+
+  /** Drop every memoized stage (end of a batch run / test isolation).
+    * The checkpointed blocks are freed when the RDDs are GC'd. */
+  def clear(): Unit = memo.clear()
+}

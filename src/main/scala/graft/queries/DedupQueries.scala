@@ -57,7 +57,7 @@ object DedupQueries {
   // groups (band, bucket) keys. Candidate count scales with true
   // collisions, not n².
   private def minhashCands(s: SparkSession, d: String): DataFrame = {
-    val sigs = MinHashLSH.signatures(Tables.documents(s, d), "doc_id", "text")
+    val sigs = graft.SharedStages.minhashSignatures(s, d)
     MinHashLSH.candidatePairs(sigs, "doc_id")
   }
 
@@ -70,10 +70,9 @@ object DedupQueries {
   // Exact word-3-gram Jaccard, verified only on LSH candidates (the
   // scale path: verification cost ∝ candidates). Threshold 0.5.
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // signatures feed BOTH candidate generation and verification —
-    // persist so the shingle/md5 pass runs once, not three times
-    val sigs = MinHashLSH.signatures(Tables.documents(s, d), "doc_id", "text")
-      .persist()
+    // signatures feed BOTH candidate generation and verification — the
+    // shared materialized pass runs once per session ([[SharedStages]])
+    val sigs = graft.SharedStages.minhashSignatures(s, d)
     val cands = MinHashLSH.candidatePairs(sigs, "doc_id")
     MinHashLSH.verifiedPairs(cands, sigs, "doc_id", 0.5)
   }
@@ -96,10 +95,11 @@ object DedupQueries {
   // pairwise similarity into an actual dedup decision. Oracle is a
   // recursive-CTE transitive closure over the same pair graph.
   private def dedupComponents(s: SparkSession, d: String): DataFrame = {
-    val sigs = MinHashLSH.signatures(Tables.documents(s, d), "doc_id", "text")
-      .persist()
+    val sigs = graft.SharedStages.minhashSignatures(s, d)
     val pairs = MinHashLSH.verifiedPairs(
       MinHashLSH.candidatePairs(sigs, "doc_id"), sigs, "doc_id", 0.5)
+    // no extra checkpoint: minLabel materializes the pair lineage once
+    // into its cached symmetric edge set, then iterates over that
     graft.dedup.Components.minLabel(pairs, "a_id", "b_id")
       .select(col("id").as("doc_id"), col("root").as("canonical_id"))
   }

@@ -33,15 +33,9 @@ object TrainingQueries {
   }
 
   private def splitLeakage(s: SparkSession, d: String): DataFrame = {
-    val sigs = MinHashLSH.signatures(Tables.documents(s, d), "doc_id", "text")
-      .persist()
-    // materialize the (tiny, post-LSH) pair set eagerly so the cached
-    // signatures can be released NOW — a bench run executes 80+ queries
-    // in one session, and never-unpersisted blocks skew later timings
+    val sigs = graft.SharedStages.minhashSignatures(s, d)
     val pairs = MinHashLSH.verifiedPairs(
       MinHashLSH.candidatePairs(sigs, "doc_id"), sigs, "doc_id", 0.5)
-      .localCheckpoint()
-    sigs.unpersist()
     pairs
       .withColumn("split_a", splitOf("a_id"))
       .withColumn("split_b", splitOf("b_id"))
@@ -87,7 +81,9 @@ object TrainingQueries {
   private def kmeansStep(s: SparkSession, d: String): DataFrame = {
     val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
       .select(col("vec_id"), col("q"), col("nq"))
-    val seeds = qd.filter(col("vec_id") < KmSeeds)
+    // true k lowest ids (not `vec_id < k`) — robust to sparse/offset id
+    // spaces, mirrored exactly in the oracle's ORDER BY … LIMIT
+    val seeds = qd.orderBy(col("vec_id")).limit(KmSeeds)
       .select(col("vec_id").as("seed_id"), col("q").as("sq"), col("nq").as("snq"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("seed_id"))
@@ -111,7 +107,8 @@ object TrainingQueries {
   private val kmeansStepSql =
     s"""WITH ${Similarity.duckdbQuantizedCte},
        |seeds AS (
-       |  SELECT vec_id AS seed_id, q AS sq, nq AS snq FROM qv WHERE vec_id < $KmSeeds),
+       |  SELECT vec_id AS seed_id, q AS sq, nq AS snq FROM qv
+       |  ORDER BY vec_id LIMIT $KmSeeds),
        |scored AS (
        |  SELECT v.vec_id, v.q, s.seed_id,
        |    CAST(${Similarity.duckdbDot("v.q", "s.sq")} AS DOUBLE)
@@ -174,16 +171,11 @@ object TrainingQueries {
   // aggregations; cluster count per size is tiny, everything upstream
   // is the bucketed LSH path.
   private def dupClusterSizes(s: SparkSession, d: String): DataFrame = {
-    val sigs = MinHashLSH.signatures(Tables.documents(s, d), "doc_id", "text")
-      .persist()
-    // eager-materialize the pair set, release the signature cache (same
-    // bounded-lifetime discipline as splitLeakage); minLabel iterates
-    // over `pairs`, so truncating its lineage here also avoids
-    // re-deriving signatures every labeling round
+    val sigs = graft.SharedStages.minhashSignatures(s, d)
     val pairs = MinHashLSH.verifiedPairs(
       MinHashLSH.candidatePairs(sigs, "doc_id"), sigs, "doc_id", 0.5)
-      .localCheckpoint()
-    sigs.unpersist()
+    // minLabel materializes the pair lineage once into its cached
+    // symmetric edge set, so no extra checkpoint is needed here
     graft.dedup.Components.minLabel(pairs, "a_id", "b_id")
       .groupBy(col("root")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
