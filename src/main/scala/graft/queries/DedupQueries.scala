@@ -125,6 +125,41 @@ object DedupQueries {
        |SELECT id AS doc_id, MIN(r) AS canonical_id
        |FROM reach GROUP BY id""".stripMargin
 
+  // -------------------------------------------------- dedup_containment
+  // Asymmetric containment dedup: |A∩B| / min(|A|,|B|) over the shingle
+  // sets of LSH candidate pairs. Catches the quote/boilerplate case
+  // symmetric Jaccard misses — a short document embedded verbatim in a
+  // long one has low Jaccard (the union is large) but containment ≈ 1.
+  // Same scale shape as the Jaccard verify: candidates-only, shingle
+  // HASH sets through the join (never strings), threshold 0.8.
+  private val ContainMin = 0.8
+
+  private def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val sigs = graft.SharedStages.minhashSignatures(s, d)
+    val cands = MinHashLSH.candidatePairs(sigs, "doc_id")
+      .select(col("a_id"), col("b_id"))
+    val a = sigs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = sigs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    cands.join(a, "a_id").join(b, "b_id")
+      .withColumn("containment",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          least(size(col("a_sh")), size(col("b_sh"))))
+      .filter(col("containment") >= ContainMin)
+      .select(col("a_id"), col("b_id"), col("containment"))
+  }
+
+  private def dedupContainmentSql =
+    s"""WITH ${MinHashLSH.duckdbSignatureCte},
+       |${MinHashLSH.duckdbCandidateCte}
+       |SELECT a_id, b_id, containment FROM (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / LEAST(len(a.sh), len(b.sh)) AS containment
+       |  FROM cands c
+       |  JOIN sigs a ON a.doc_id = c.a_id
+       |  JOIN sigs b ON b.doc_id = c.b_id)
+       |WHERE containment >= $ContainMin""".stripMargin
+
   // ------------------------------------------------------ dedup_simhash
   private def simhashQ(s: SparkSession, d: String): DataFrame =
     SimHash.simhash(Tables.documents(s, d), "doc_id", "text")
@@ -139,5 +174,6 @@ object DedupQueries {
     QueryDef("dedup_minhash_lsh", minhashCands, Some(minhashCandsSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_components", dedupComponents, Some(dedupComponentsSql)),
+    QueryDef("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     QueryDef("dedup_simhash", simhashQ, Some(simhashSql)))
 }

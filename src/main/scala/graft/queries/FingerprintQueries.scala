@@ -87,6 +87,65 @@ object FingerprintQueries {
        |HAVING COUNT(*) >= $MinShared""".stripMargin
   }
 
+  // ----------------------------------------------------------- substr_dup
+  // Per-document duplicated-substring ratio (the decision report of
+  // exact-substring dedup à la "Deduplicating Training Data Makes
+  // Language Models Better": memorization risk comes from long token
+  // spans shared across documents, which whole-doc Jaccard misses).
+  // Every 8-token window (stride 1) is hashed; a window occurrence is
+  // "duplicated" if its hash occurs in ≥ 2 DISTINCT documents; the doc
+  // report is the duplicated fraction + a keep gate. Shapes: one gram
+  // pass, ONE explicit hash-keyed exchange that the (h, doc) pre-agg
+  // AND the per-hash distinct-doc window both reuse (partitioning by h
+  // clusters (h, doc) — the rep_ngram discipline), then one doc-keyed
+  // rollup. Never a self-join on the occurrence stream. At 100 TB the
+  // production twin replaces the stride-1 hash set with a suffix-array
+  // pass per shard; the report contract (duplicated-window fraction) is
+  // identical.
+  private val SubW = 8
+  private val SubDupMax = 0.5
+
+  private def substrDup(s: SparkSession, d: String): DataFrame = {
+    val occ = ngramRows(Tables.documents(s, d), SubW)
+      .select(col("doc_id"), portableHash(col("s")).as("h"))
+      .repartition(col("h"))
+      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+    occ
+      // one row per (h, doc) ⇒ the window count IS the distinct-doc count
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_windows"),
+        sum(when(col("n_docs") >= 2, col("c")).otherwise(0L))
+          .as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        col("n_dup_windows").cast("double") / col("n_windows"))
+      .withColumn("keep", col("dup_ratio") <= SubDupMax)
+  }
+
+  private val substrDupSql = {
+    val toks = tokensSql("text")
+    val sh = shinglesSql("toks", SubW)
+    s"""WITH tok AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest($sh) AS s FROM tok),
+       |occ AS (
+       |  SELECT doc_id, ${portableHashSql("s")} AS h, COUNT(*) AS c
+       |  FROM grams GROUP BY 1, 2),
+       |nd AS (
+       |  SELECT h, COUNT(*) AS n_docs FROM occ GROUP BY 1)
+       |SELECT o.doc_id,
+       |  CAST(SUM(c) AS BIGINT) AS n_windows,
+       |  CAST(SUM(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT)
+       |    AS n_dup_windows,
+       |  CAST(CAST(SUM(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT)
+       |      AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS dup_ratio,
+       |  (CAST(CAST(SUM(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT)
+       |      AS DOUBLE) / CAST(SUM(c) AS BIGINT)) <= $SubDupMax AS keep
+       |FROM occ o JOIN nd USING (h)
+       |GROUP BY o.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ rep_ngram
   // Gopher/C4-family repetition metrics per document: the fraction of
   // token bigrams taken by the single most frequent bigram, and the
@@ -308,6 +367,7 @@ object FingerprintQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
+    QueryDef("substr_dup", substrDup, Some(substrDupSql)),
     QueryDef("rep_ngram", repNgram, Some(repNgramSql)),
     QueryDef("lm_rare_bigrams", lmRareBigrams, Some(lmRareBigramsSql)),
     QueryDef("tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),

@@ -198,8 +198,46 @@ object TextQueries {
        |FROM documents""".stripMargin
   }
 
+  // -------------------------------------------------------- tok_fertility
+  // Per-LANGUAGE tokenizer fertility: Σ subwords / Σ whitespace words
+  // per stratum — the corpus-level cost model a multilingual mixture is
+  // budgeted with (tok_bpe is the per-document twin). All accumulation
+  // is exact integer (order-free); fertility is one IEEE division at
+  // the end. One map pass + one keyed aggregation with map-side partial
+  // sums — the shape that survives any corpus size.
+  private def tokFertility(s: SparkSession, d: String): DataFrame =
+    Tables.parallelize(Tables.documents(s, d))
+      .select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("w"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long").as("t"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("t")).as("n_subtokens"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          col("n_subtokens").cast("double") / col("n_words")))
+
+  private def tokFertilitySql = {
+    val toks = tokensSql("text")
+    val pat  = BpePattern.replace("'", "''")
+    s"""WITH per AS (
+       |  SELECT lang,
+       |    CAST(len($toks) AS BIGINT) AS w,
+       |    CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS t
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(w) AS BIGINT) AS n_words,
+       |  CAST(SUM(t) AS BIGINT) AS n_subtokens,
+       |  CASE WHEN CAST(SUM(w) AS BIGINT) > 0 THEN
+       |    CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE) / CAST(SUM(w) AS BIGINT)
+       |  END AS fertility
+       |FROM per GROUP BY lang""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_stats", textStats, Some(textStatsSql)),
+    QueryDef("tok_fertility", tokFertility, Some(tokFertilitySql)),
     QueryDef("lang_id", langId, Some(langIdSql)),
     QueryDef("text_lang_agg", langAgg, Some(langAggSql)),
     QueryDef("pivot_lang_counts", pivotLangCounts, Some(pivotLangCountsSql)),

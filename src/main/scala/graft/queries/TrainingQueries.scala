@@ -65,6 +65,52 @@ object TrainingQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  // ----------------------------------------------------- dup_source_matrix
+  // Near-dup PROVENANCE matrix: verified pairs labeled with the source
+  // of each side, reported per unordered (source_a, source_b) cell —
+  // the report that localizes duplication to a crawl pair (diagonal =
+  // within-source boilerplate, off-diagonal = cross-source mirroring)
+  // and decides which ingest to de-prioritize. The unordered cell is
+  // canonicalized with least/greatest on the source strings (binary
+  // comparison — identical in both engines). Scale shape: the pair set
+  // is post-LSH tiny; at 100 TB the doc→source join runs with the pair
+  // ids broadcast against the corpus (AQE picks this up from the
+  // runtime pair count), never the reverse.
+  private def dupSourceMatrix(s: SparkSession, d: String): DataFrame = {
+    val sigs = graft.SharedStages.minhashSignatures(s, d)
+    val pairs = MinHashLSH.verifiedPairs(
+      MinHashLSH.candidatePairs(sigs, "doc_id"), sigs, "doc_id", 0.5)
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+      .withColumn("source_a", least(col("sa"), col("sb")))
+      .withColumn("source_b", greatest(col("sa"), col("sb")))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("a_id")).as("example_a"))
+  }
+
+  private val dupSourceMatrixSql =
+    s"""WITH ${MinHashLSH.duckdbSignatureCte},
+       |${MinHashLSH.duckdbCandidateCte},
+       |verified AS (
+       |  SELECT c.a_id, c.b_id
+       |  FROM cands c
+       |  JOIN sigs a ON a.doc_id = c.a_id
+       |  JOIN sigs b ON b.doc_id = c.b_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+       |lab AS (
+       |  SELECT v.a_id,
+       |    LEAST(da.source, db.source) AS source_a,
+       |    GREATEST(da.source, db.source) AS source_b
+       |  FROM verified v
+       |  JOIN documents da ON da.doc_id = v.a_id
+       |  JOIN documents db ON db.doc_id = v.b_id)
+       |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+       |  MIN(a_id) AS example_a
+       |FROM lab GROUP BY 1, 2""".stripMargin
+
   // --------------------------------------------------------- kmeans_step
   // One Lloyd iteration over the quantized embeddings: assign every
   // vector to its nearest of the 8 seed centroids (ivf_assign's
@@ -435,6 +481,7 @@ object TrainingQueries {
     QueryDef("kmeans_step", kmeansStep, Some(kmeansStepSql)),
     QueryDef("mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     QueryDef("dup_cluster_sizes", dupClusterSizes, Some(dupClusterSizesSql)),
+    QueryDef("dup_source_matrix", dupSourceMatrix, Some(dupSourceMatrixSql)),
     QueryDef("chunk_stride", chunkStride, Some(chunkStrideSql)),
     QueryDef("oov_rate", oovRate, Some(oovRateSql)))
 }

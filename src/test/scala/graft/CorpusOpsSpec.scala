@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for the round-7 corpus-analysis operators at sf0.001
+  * (value-level cross-engine gate = DuckDB oracle at sf0.01). */
+class CorpusOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("substr_dup: ratio bounded, dup windows never exceed windows") {
+    val rows = SparkEntry.queries("substr_dup")(spark, d)
+      .select($"n_windows", $"n_dup_windows", $"dup_ratio", $"keep")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (w, dw, r, k) =>
+      w > 0 && dw >= 0 && dw <= w &&
+        r >= 0.0 && r <= 1.0 && k == (r <= 0.5)
+    })
+  }
+
+  test("substr_dup: only docs with >= 8 tokens appear") {
+    val out = SparkEntry.queries("substr_dup")(spark, d)
+    val short = Tables.documents(spark, d)
+      .filter(size(graft.text.TextFunctions.tokens(col("text"))) < 8)
+      .select(col("doc_id"))
+    assert(out.join(short, "doc_id").count() == 0)
+  }
+
+  test("dedup_containment: bounded by (threshold, 1] and dominates jaccard") {
+    val cont = SparkEntry.queries("dedup_containment")(spark, d)
+      .select($"a_id", $"b_id", $"containment")
+      .as[(Long, Long, Double)].collect()
+    assert(cont.forall { case (_, _, c) => c >= 0.8 && c <= 1.0 })
+    // containment >= jaccard for the same pair, so every verified pair
+    // with jaccard >= 0.8 must surface here too
+    val contSet = cont.map(t => (t._1, t._2)).toSet
+    val highJ = SparkEntry.queries("dedup_ngram_jaccard")(spark, d)
+      .filter($"jaccard" >= 0.8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    assert(highJ.forall(contSet.contains))
+  }
+
+  test("dup_source_matrix: cells are canonical and partition the pair set") {
+    val cells = SparkEntry.queries("dup_source_matrix")(spark, d)
+      .select($"source_a", $"source_b", $"n_pairs")
+      .as[(String, String, Long)].collect()
+    assert(cells.nonEmpty)
+    assert(cells.forall { case (a, b, n) => a <= b && n > 0 })
+    val nPairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, d).count()
+    assert(cells.map(_._3).sum == nPairs)
+  }
+
+  test("tok_fertility: strata cover the corpus, fertility >= 1") {
+    val rows = SparkEntry.queries("tok_fertility")(spark, d)
+      .select($"lang", $"n_docs", $"n_words", $"n_subtokens", $"fertility")
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+    assert(rows.map(_._2).sum == Tables.documents(spark, d).count())
+    // the BPE-ish pattern splits at least at whitespace-word granularity
+    assert(rows.forall { case (_, _, w, t, f) =>
+      w == 0 || (t >= w && f.exists(_ >= 1.0))
+    })
+  }
+}
