@@ -235,9 +235,52 @@ object TextQueries {
        |FROM per GROUP BY lang""".stripMargin
   }
 
+  // ------------------------------------------------------ bpe_merge_step
+  // One BPE training iteration, the vocabulary-induction twin of
+  // kmeans_step: count adjacent symbol pairs across the corpus word
+  // multiset and emit the top-50 merge candidates (char-level = the
+  // first iteration; iterating = re-tokenizing with the merged symbol
+  // and re-counting). The BPE scale trick is pre-aggregation: pairs are
+  // counted over the DISTINCT-word frequency table, not the token
+  // stream — pair-explosion volume is Σ|distinct words|, independent of
+  // corpus repetition. Shapes: one word aggregation (map-side combine),
+  // a codegen'd sequence-explode + substring (no interpreted HOF
+  // lambdas), one pair aggregation, TakeOrderedAndProject top-k.
+  private val BpeTopK = 50
+
+  private def bpeMergeStep(s: SparkSession, d: String): DataFrame = {
+    val wordFreq = Tables.parallelize(Tables.documents(s, d))
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    wordFreq
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("freq"),
+        explode(expr("sequence(1, length(word) - 1)")).as("i"))
+      .withColumn("pair", expr("substring(word, i, 2)"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair")).limit(BpeTopK)
+  }
+
+  private def bpeMergeStepSql = {
+    val toks = tokensSql("text")
+    s"""WITH w AS (
+       |  SELECT unnest($toks) AS word FROM documents),
+       |wf AS (
+       |  SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
+       |pairs AS (
+       |  SELECT substring(word, CAST(t.i AS INT), 2) AS pair, freq
+       |  FROM wf, LATERAL (SELECT unnest(range(1, len(word))) AS i) t
+       |  WHERE len(word) >= 2)
+       |SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+       |FROM pairs GROUP BY 1
+       |ORDER BY pair_count DESC, pair LIMIT $BpeTopK""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_stats", textStats, Some(textStatsSql)),
     QueryDef("tok_fertility", tokFertility, Some(tokFertilitySql)),
+    QueryDef("bpe_merge_step", bpeMergeStep, Some(bpeMergeStepSql)),
     QueryDef("lang_id", langId, Some(langIdSql)),
     QueryDef("text_lang_agg", langAgg, Some(langAggSql)),
     QueryDef("pivot_lang_counts", pivotLangCounts, Some(pivotLangCountsSql)),

@@ -52,6 +52,27 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(cells.map(_._3).sum == nPairs)
   }
 
+  test("bpe_merge_step: 2-char pairs, descending counts, multiplicity-weighted") {
+    val rows = SparkEntry.queries("bpe_merge_step")(spark, d)
+      .select($"pair", $"pair_count").as[(String, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.forall { case (p, c) => p.length == 2 && c > 0 })
+    // registry order is (count desc, pair asc)
+    assert(rows.sliding(2).forall {
+      case Array((pa, ca), (pb, cb)) => ca > cb || (ca == cb && pa < pb)
+      case _ => true
+    })
+    // the top pair's count must equal a direct recount over the corpus
+    val (topPair, topCount) = rows.head
+    val direct = Tables.documents(spark, d)
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("w"))
+      .as[String].collect()
+      .map(w => (0 until math.max(0, w.length - 1))
+        .count(i => w.substring(i, i + 2) == topPair))
+      .sum
+    assert(topCount == direct.toLong)
+  }
+
   test("tok_fertility: strata cover the corpus, fertility >= 1") {
     val rows = SparkEntry.queries("tok_fertility")(spark, d)
       .select($"lang", $"n_docs", $"n_words", $"n_subtokens", $"fertility")

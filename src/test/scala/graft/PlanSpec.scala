@@ -221,6 +221,38 @@ class PlanSpec extends SparkTestBase {
     assert(s.contains("TakeOrderedAndProject"), s"global sort in:\n$s")
   }
 
+  test("substr_dup: one hash-keyed exchange serves pre-agg and window, no self-join") {
+    val p = plan("substr_dup")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"),
+      s"occurrence stream self-join crept in:\n$s")
+    // parallelize spread + the explicit hash(h) repartition + the final
+    // doc rollup — the (h, doc) pre-agg and the per-h window must REUSE
+    // the h exchange, not add their own
+    assert(countShuffles(p) <= 3, s)
+  }
+
+  test("dedup_containment joins candidates by id, never all-pairs") {
+    val s = planString("dedup_containment")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("bpe_merge_step: pre-aggregated words, partial sums, bounded top-k") {
+    val s = planString("bpe_merge_step")
+    assert(s.contains("TakeOrderedAndProject"), s"global sort in:\n$s")
+    assert(s.contains("partial_sum") || s.contains("partial sum"),
+      s"no map-side combine on pair counts:\n$s")
+  }
+
+  test("tok_fertility aggregates with map-side partial sums, no window") {
+    val s = planString("tok_fertility")
+    assert(!s.contains("Window"), s)
+    assert(s.contains("partial_sum") || s.contains("partial sum"),
+      s"no map-side combine:\n$s")
+  }
+
   test("partitioned layout prunes partitions at the scan (time-series layout)") {
     // the biggest 100 TB lever for the telemetry tables: a layout
     // partitioned on the routing column must turn an equality filter
