@@ -36,15 +36,65 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reliable storage) — or an actual intermediate table.
   */
 object SharedStages {
-  private val memo = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val memo =
+    new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def stage(s: SparkSession, dir: String, name: String)
+                   (build: => DataFrame): DataFrame =
+    memo.computeIfAbsent((s, dir, name), _ => build)
 
   /** Materialized MinHash signatures of `documents(dir)`:
     * (doc_id, sh: distinct shingle hashes, sig: array[16]). */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    memo.computeIfAbsent((s, dir), _ =>
+    stage(s, dir, "sigs") {
       graft.dedup.MinHashLSH
         .signatures(Tables.documents(s, dir), "doc_id", "text")
-        .localCheckpoint())
+        .localCheckpoint()
+    }
+
+  /** Materialized verified near-dup pairs (a_id, b_id, jaccard) at the
+    * family's canonical 0.5 threshold — the edge set shared by
+    * dedup_ngram_jaccard, dedup_components, dup_cluster_sizes and
+    * split_leakage. Tiny (∝ true duplicates), so the checkpoint is a
+    * few KB; what it saves is the candidate join + shingle-set verify
+    * re-running once per report. */
+  def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "pairs05") {
+      val sigs = minhashSignatures(s, dir)
+      graft.dedup.MinHashLSH
+        .verifiedPairs(
+          graft.dedup.MinHashLSH.candidatePairs(sigs, "doc_id"),
+          sigs, "doc_id", 0.5)
+        .localCheckpoint()
+    }
+
+  /** Materialized component labeling (id, root) of [[verifiedPairs]] —
+    * the iterative min-label fixpoint runs once per session, not once
+    * per report that consumes the clustering (dedup_components AND
+    * dup_cluster_sizes both do). minLabel's final round is already a
+    * localCheckpoint, so no extra materialization is needed. */
+  def componentLabels(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "labels05") {
+      graft.dedup.Components.minLabel(verifiedPairs(s, dir), "a_id", "b_id")
+    }
+
+  /** Materialized blocked cosine near-dup pairs over `embeddings(dir)`
+    * (cell, a_id, b_id, cos) at the canonical 0.35 threshold — shared
+    * by embed_cosine_pairs (the report) and dedup_embed (the
+    * canonicalization over the same edges). */
+  def embedPairs(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "embedPairs035") {
+      graft.embed.Similarity
+        .cosinePairsBlocked(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label", 0.35)
+        .localCheckpoint()
+    }
+
+  /** Component labeling of [[embedPairs]] (dedup_embed's clustering). */
+  def embedLabels(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "embedLabels035") {
+      graft.dedup.Components.minLabel(embedPairs(s, dir), "a_id", "b_id")
+    }
 
   /** Drop every memoized stage (end of a batch run / test isolation).
     * The checkpointed blocks are freed when the RDDs are GC'd. */

@@ -69,13 +69,10 @@ object DedupQueries {
   // ------------------------------------------------ dedup_ngram_jaccard
   // Exact word-3-gram Jaccard, verified only on LSH candidates (the
   // scale path: verification cost ∝ candidates). Threshold 0.5.
-  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // signatures feed BOTH candidate generation and verification — the
-    // shared materialized pass runs once per session ([[SharedStages]])
-    val sigs = graft.SharedStages.minhashSignatures(s, d)
-    val cands = MinHashLSH.candidatePairs(sigs, "doc_id")
-    MinHashLSH.verifiedPairs(cands, sigs, "doc_id", 0.5)
-  }
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    // candidate generation + shingle-set verification both run inside
+    // the shared materialized pair stage ([[graft.SharedStages]])
+    graft.SharedStages.verifiedPairs(s, d)
 
   private def ngramJaccardSql =
     s"""WITH ${MinHashLSH.duckdbSignatureCte},
@@ -94,15 +91,12 @@ object DedupQueries {
   // (doc_id, canonical keeper = component min id). The step that turns
   // pairwise similarity into an actual dedup decision. Oracle is a
   // recursive-CTE transitive closure over the same pair graph.
-  private def dedupComponents(s: SparkSession, d: String): DataFrame = {
-    val sigs = graft.SharedStages.minhashSignatures(s, d)
-    val pairs = MinHashLSH.verifiedPairs(
-      MinHashLSH.candidatePairs(sigs, "doc_id"), sigs, "doc_id", 0.5)
-    // no extra checkpoint: minLabel materializes the pair lineage once
-    // into its cached symmetric edge set, then iterates over that
-    graft.dedup.Components.minLabel(pairs, "a_id", "b_id")
+  private def dedupComponents(s: SparkSession, d: String): DataFrame =
+    // the min-label fixpoint over the shared verified-pair graph runs
+    // once per session ([[graft.SharedStages.componentLabels]]) — this
+    // report and dup_cluster_sizes both consume the same clustering
+    graft.SharedStages.componentLabels(s, d)
       .select(col("id").as("doc_id"), col("root").as("canonical_id"))
-  }
 
   private def dedupComponentsSql =
     s"""WITH RECURSIVE ${MinHashLSH.duckdbSignatureCte},

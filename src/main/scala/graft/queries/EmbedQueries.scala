@@ -36,8 +36,8 @@ object EmbedQueries {
   // max pairwise cosine is ~0.51, so the threshold sits where real
   // result sets exist).
   private def cosinePairs(s: SparkSession, d: String): DataFrame =
-    Similarity.cosinePairsBlocked(
-      Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.35)
+    // shared with dedup_embed ([[graft.SharedStages.embedPairs]])
+    graft.SharedStages.embedPairs(s, d)
 
   private val cosinePairsSql =
     s"""WITH ${Similarity.duckdbQuantizedCte}
@@ -191,12 +191,9 @@ object EmbedQueries {
   // (candidates ∝ Σ cell², never n²) → iterative min-label (one keyed
   // join + agg per round, driver sees only counts). Oracle: recursive-
   // CTE transitive closure over the identical edge set.
-  private def dedupEmbed(s: SparkSession, d: String): DataFrame = {
-    val pairs = Similarity.cosinePairsBlocked(
-      Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.35)
-    graft.dedup.Components.minLabel(pairs, "a_id", "b_id")
+  private def dedupEmbed(s: SparkSession, d: String): DataFrame =
+    graft.SharedStages.embedLabels(s, d)
       .select(col("id").as("vec_id"), col("root").as("canonical_id"))
-  }
 
   private val dedupEmbedSql =
     s"""WITH RECURSIVE ${Similarity.duckdbQuantizedCte},

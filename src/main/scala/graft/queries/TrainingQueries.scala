@@ -33,9 +33,7 @@ object TrainingQueries {
   }
 
   private def splitLeakage(s: SparkSession, d: String): DataFrame = {
-    val sigs = graft.SharedStages.minhashSignatures(s, d)
-    val pairs = MinHashLSH.verifiedPairs(
-      MinHashLSH.candidatePairs(sigs, "doc_id"), sigs, "doc_id", 0.5)
+    val pairs = graft.SharedStages.verifiedPairs(s, d)
     pairs
       .withColumn("split_a", splitOf("a_id"))
       .withColumn("split_b", splitOf("b_id"))
@@ -77,9 +75,7 @@ object TrainingQueries {
   // ids broadcast against the corpus (AQE picks this up from the
   // runtime pair count), never the reverse.
   private def dupSourceMatrix(s: SparkSession, d: String): DataFrame = {
-    val sigs = graft.SharedStages.minhashSignatures(s, d)
-    val pairs = MinHashLSH.verifiedPairs(
-      MinHashLSH.candidatePairs(sigs, "doc_id"), sigs, "doc_id", 0.5)
+    val pairs = graft.SharedStages.verifiedPairs(s, d)
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
@@ -216,16 +212,12 @@ object TrainingQueries {
   // drop-all policies). Composes the dedup_components labeling with two
   // aggregations; cluster count per size is tiny, everything upstream
   // is the bucketed LSH path.
-  private def dupClusterSizes(s: SparkSession, d: String): DataFrame = {
-    val sigs = graft.SharedStages.minhashSignatures(s, d)
-    val pairs = MinHashLSH.verifiedPairs(
-      MinHashLSH.candidatePairs(sigs, "doc_id"), sigs, "doc_id", 0.5)
-    // minLabel materializes the pair lineage once into its cached
-    // symmetric edge set, so no extra checkpoint is needed here
-    graft.dedup.Components.minLabel(pairs, "a_id", "b_id")
+  private def dupClusterSizes(s: SparkSession, d: String): DataFrame =
+    // same session-shared clustering as dedup_components — only the two
+    // tiny rollup aggregations are per-report work
+    graft.SharedStages.componentLabels(s, d)
       .groupBy(col("root")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
-  }
 
   private val dupClusterSizesSql =
     s"""WITH RECURSIVE ${MinHashLSH.duckdbSignatureCte},
