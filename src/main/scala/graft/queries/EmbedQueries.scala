@@ -330,8 +330,52 @@ object EmbedQueries {
        |SELECT query_id, vec_id AS neighbor_id, adist
        |FROM ranked WHERE rk <= $IvfK""".stripMargin
 
+  // -------------------------------------------------------- hard_negatives
+  // Contrastive-training negative mining: for each query vector the
+  // single highest-cosine neighbor with a DIFFERENT label — the "hard
+  // negative" an embedding-training run pairs with each anchor. Same
+  // plan family as knn_topk (broadcast query side, map-only scoring,
+  // bounded top-k heaps via the custom TopKPerKey operator — the
+  // exchange ships one candidate per partition per query, never the
+  // corpus); the label inequality rides the broadcast-join condition so
+  // same-class candidates are dropped before scoring.
+  private def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), col("label"), col("q"), col("nq"))
+    val queries = qd.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("q").as("qq"), col("nq").as("qnq"))
+    val scored = qd.join(broadcast(queries), col("label") =!= col("q_label"))
+      .withColumn("dot", Similarity.dotQ("qq", "q"))
+      .withColumn("cos", Similarity.cosine(col("dot"), col("qnq"), col("nq")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("neg_label"), col("cos"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(("cos", false), ("neighbor_id", true)), 1)
+  }
+
+  private val hardNegativesSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |qs AS (
+       |  SELECT vec_id AS query_id, label AS q_label, q AS qq, nq AS qnq
+       |  FROM qv WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT s.query_id, v.vec_id AS neighbor_id,
+       |    CAST(v.label AS BIGINT) AS neg_label,
+       |    CAST(${Similarity.duckdbDot("s.qq", "v.q")} AS DOUBLE)
+       |      / sqrt(CAST(s.qnq AS DOUBLE) * CAST(v.nq AS DOUBLE)) AS cos
+       |  FROM qv v JOIN qs s ON v.label <> s.q_label),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, neg_label, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, neg_label, cos
+       |FROM ranked WHERE rk = 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_topk", knnTopK, Some(knnTopKSql)),
+    QueryDef("hard_negatives", hardNegatives, Some(hardNegativesSql)),
     QueryDef("embed_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
     QueryDef("ann_rp_lsh", annRpLsh, Some(annRpLshSql)),
     QueryDef("ivf_assign", ivfAssign, Some(ivfAssignSql)),

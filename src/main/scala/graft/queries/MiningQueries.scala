@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextFunctions
+import graft.text.TextFunctions._
+
+/** Round-7 corpus-mining operators: a HyperLogLog distinct sketch (the
+  * canonical streaming-cardinality structure, completing the sketch
+  * family next to KMV / CMS / t-digest), MOSS-style winnowing
+  * fingerprint selection, and first-occurrence n-gram novelty scoring.
+  * All arithmetic is integer-exact until a final mirrored IEEE step, so
+  * every query is hash-gated against its DuckDB oracle.
+  */
+object MiningQueries {
+
+  // --------------------------------------------------------- hll_distinct
+  // HyperLogLog distinct-count sketch (Flajolet et al. 2007) per event
+  // type over events.user_id — the fixed-size mergeable alternative to
+  // q15's KMV: m = 64 registers, register j = max leading-zero rank of
+  // hashes landing in bucket j. The whole sketch is TWO hash
+  // aggregations (both with map-side partials — at 100 TB each executor
+  // folds its partition into 64 registers before any exchange):
+  // (group, bucket) → max(rho), then group → the register sum. Exactness
+  // discipline: rho comes from the bin()-string length (integer-exact in
+  // both engines, no log2), the harmonic-sum denominator accumulates as
+  // BIGINT via shiftleft (2^(55−rho) summed exactly — never a double
+  // sum, whose partition-order rounding would break the hash gate), and
+  // the final estimate is one mirrored double expression. The raw
+  // estimator regime is pinned (no small-range linear-counting branch —
+  // it needs ln(); the registers + scaled sum are emitted so any
+  // correction is a driver-side afterthought). alpha_64 = 0.709 from
+  // the paper.
+  private val HllP = 6              // 2^6 = 64 registers
+  private val HllM = 1 << HllP
+  private val HllRestBits = 60 - HllP             // 54 value bits
+  private val HllRestMask = (1L << HllRestBits) - 1
+  private val HllRhoMax = HllRestBits + 1         // rho of rest == 0
+
+  private def hllDistinct(s: SparkSession, d: String): DataFrame = {
+    val h = portableHash(col("user_id").cast("string"))
+    val rest = col("h").bitwiseAND(lit(HllRestMask))
+    Tables.events(s, d)
+      .select(col("event_type"), h.as("h"))
+      .withColumn("bucket", shiftright(col("h"), HllRestBits))
+      .withColumn("rho",
+        when(rest === 0, lit(HllRhoMax))
+          .otherwise(lit(HllRhoMax) - length(bin(rest))))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllRhoMax - m AS INT))"))
+          .as("z_occ"),
+        count(lit(1)).as("n_buckets"))
+      .withColumn("z_scaled",
+        col("z_occ") +
+          (lit(HllM.toLong) - col("n_buckets")) * lit(1L << HllRhoMax))
+      .withColumn("hll_est",
+        lit(0.709) * lit(HllM.toDouble * HllM) *
+          (lit((1L << HllRhoMax).toDouble) / col("z_scaled").cast("double")))
+      .select(col("event_type"), col("n_buckets"), col("z_scaled"),
+        col("hll_est"))
+  }
+
+  private val hllDistinctSql =
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    ${portableHashSql("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |b AS (
+       |  SELECT event_type, h >> $HllRestBits AS bucket,
+       |    CASE WHEN (h & $HllRestMask) = 0 THEN $HllRhoMax
+       |         ELSE $HllRhoMax - length(bin(h & $HllRestMask)) END AS rho
+       |  FROM h),
+       |reg AS (
+       |  SELECT event_type, bucket, MAX(rho) AS m FROM b GROUP BY 1, 2),
+       |z AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CAST(1 AS BIGINT) << ($HllRhoMax - m)) AS BIGINT)
+       |      AS z_occ,
+       |    COUNT(*) AS n_buckets
+       |  FROM reg GROUP BY 1)
+       |SELECT event_type, n_buckets,
+       |  CAST(z_occ + ($HllM - n_buckets) * (CAST(1 AS BIGINT) << $HllRhoMax)
+       |    AS BIGINT) AS z_scaled,
+       |  CAST(0.709 AS DOUBLE) * CAST(${HllM * HllM} AS DOUBLE) *
+       |    (CAST(CAST(1 AS BIGINT) << $HllRhoMax AS DOUBLE) /
+       |     CAST(z_occ + ($HllM - n_buckets) * (CAST(1 AS BIGINT) << $HllRhoMax)
+       |       AS DOUBLE)) AS hll_est
+       |FROM z""".stripMargin
+
+  // --------------------------------------------------- winnow_fingerprint
+  // Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, MOSS):
+  // over the rolling 3-gram hash sequence, every window of w=4
+  // consecutive hashes contributes its minimum — rightmost position on
+  // ties — and the distinct selected positions are the document's
+  // fingerprints. Guarantees every shared substring of ≥ w+n−1 tokens
+  // produces a shared fingerprint (the property mod-p selection in
+  // doc_fingerprint lacks) with density 2/(w+1). Plan shape: the gram +
+  // window expansion is generator-only (posexplode + a bounded
+  // sequence explode, ×w rows, no shuffle); selection is ONE doc-keyed
+  // aggregation using a struct-min — min(struct(h, −pos)) IS
+  // "min hash, rightmost tie" — then a distinct that reuses the same
+  // doc-keyed clustering. The oracle renders the identical selection
+  // relationally (window-min + max-pos join).
+  private val WinN = 3 // k-gram width
+  private val WinW = 4 // winnowing window
+
+  private def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextFunctions.shingles("toks", WinN).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .filter(col("n") >= WinW)
+      .select(col("doc_id"), col("n"), posexplode(col("sh")).as(Seq("p0", "s")))
+      .select(col("doc_id"), col("n"),
+        (col("p0") + 1).cast("long").as("pos"),
+        portableHash(col("s")).as("h"))
+    grams
+      .select(col("doc_id"), col("pos"), col("h"),
+        explode(expr(s"sequence(greatest(1L, pos - ${WinW - 1}), " +
+          s"least(pos, CAST(n AS BIGINT) - ${WinW - 1}))")).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(min(struct(col("h"), (-col("pos")).as("np"))).as("m"))
+      .select(col("doc_id"), (-col("m.np")).as("pos"), col("m.h").as("h"))
+      .distinct()
+  }
+
+  private val winnowFingerprintSql = {
+    val toks = tokensSql("text")
+    val sh = shinglesSql("toks", WinN)
+    s"""WITH tok AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |shl AS (
+       |  SELECT doc_id, $sh AS sh FROM tok),
+       |grams AS (
+       |  SELECT doc_id, CAST(u.g[1] AS BIGINT) AS pos,
+       |    ${portableHashSql("CAST(u.g[2] AS VARCHAR)")} AS h,
+       |    len(sh) AS n
+       |  FROM shl, unnest(list_zip(range(1, len(sh) + 1), sh)) AS u(g)
+       |  WHERE len(sh) > 0),
+       |win AS (
+       |  SELECT doc_id, pos, h,
+       |    unnest(range(greatest(1, pos - ${WinW - 1}),
+       |                 least(pos, n - ${WinW - 1}) + 1)) AS t
+       |  FROM grams WHERE n >= $WinW),
+       |wmin AS (
+       |  SELECT doc_id, t, MIN(h) AS mh FROM win GROUP BY 1, 2),
+       |chosen AS (
+       |  SELECT w.doc_id, w.t, MAX(w.pos) AS pos
+       |  FROM win w JOIN wmin m
+       |    ON w.doc_id = m.doc_id AND w.t = m.t AND w.h = m.mh
+       |  GROUP BY 1, 2),
+       |sel AS (SELECT DISTINCT doc_id, pos FROM chosen)
+       |SELECT s.doc_id, s.pos, MIN(g.h) AS h
+       |FROM sel s JOIN grams g ON g.doc_id = s.doc_id AND g.pos = s.pos
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  // ------------------------------------------------------- ngram_novelty
+  // First-occurrence novelty scoring: the fraction of a document's
+  // distinct 5-grams whose corpus-wide FIRST occurrence (minimum
+  // doc_id — ingestion order) is this document. The incremental-dedup /
+  // data-valuation report: low novelty = the document adds nothing the
+  // corpus hasn't already seen (near-1 for originals, near-0 for late
+  // copies — the ordered twin of substr_dup's unordered ratio). Shape:
+  // one gram pass, ONE explicit hash-keyed exchange reused by the
+  // (h, doc) pre-agg and the per-hash first-doc window (the substr_dup
+  // discipline), then one doc-keyed rollup.
+  private val NovN = 5
+
+  private def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val occ = TextFunctions
+      .ngramRows(Tables.documents(s, d), "doc_id", "text", NovN)
+      .select(col("doc_id"), portableHash(col("s")).as("h"))
+      .repartition(col("h"))
+      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+    occ
+      .withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ratio",
+        col("n_novel").cast("double") / col("n_grams"))
+  }
+
+  private val ngramNoveltySql = {
+    val toks = tokensSql("text")
+    val sh = shinglesSql("toks", NovN)
+    s"""WITH tok AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest($sh) AS s FROM tok),
+       |occ AS (
+       |  SELECT DISTINCT doc_id, ${portableHashSql("s")} AS h FROM grams),
+       |fst AS (
+       |  SELECT h, MIN(doc_id) AS first_doc FROM occ GROUP BY 1)
+       |SELECT o.doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN f.first_doc = o.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  CAST(SUM(CASE WHEN f.first_doc = o.doc_id THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*) AS novelty_ratio
+       |FROM occ o JOIN fst f USING (h)
+       |GROUP BY o.doc_id""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("hll_distinct", hllDistinct, Some(hllDistinctSql)),
+    QueryDef("winnow_fingerprint", winnowFingerprint,
+      Some(winnowFingerprintSql)),
+    QueryDef("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)))
+}

@@ -253,6 +253,43 @@ class PlanSpec extends SparkTestBase {
       s"no map-side combine:\n$s")
   }
 
+  test("hll_distinct: two hash aggregations, both with map-side partials, no window") {
+    val s = planString("hll_distinct")
+    assert(!s.contains("Window"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("partial_max") || s.contains("partial max"),
+      s"register max has no map-side combine:\n$s")
+    assert(s.contains("partial_sum") || s.contains("partial sum"),
+      s"register sum has no map-side combine:\n$s")
+  }
+
+  test("winnow_fingerprint: generator-only expansion, no join, bounded shuffles") {
+    val p = plan("winnow_fingerprint")
+    val s = p.toString
+    assert(!s.contains("Join"), s"selection must not join:\n$s")
+    assert(!s.contains("Window"), s"no window operator expected:\n$s")
+    // parallelize spread + the (doc, t) selection groupBy + the distinct
+    assert(countShuffles(p) <= 3, s)
+  }
+
+  test("ngram_novelty: one hash-keyed exchange serves pre-agg and first-doc window") {
+    val p = plan("ngram_novelty")
+    val s = p.toString
+    assert(!s.contains("Join"), s"novelty must not self-join:\n$s")
+    // parallelize spread + the explicit hash(h) repartition + the doc
+    // rollup — the (h, doc) pre-agg and per-h window reuse the h
+    // exchange (the substr_dup discipline)
+    assert(countShuffles(p) <= 3, s)
+  }
+
+  test("hard_negatives broadcasts the query side; no cartesian over the corpus") {
+    val s = planString("hard_negatives")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("TopKPerKey"), s"bounded top-k operator missing:\n$s")
+  }
+
   test("partitioned layout prunes partitions at the scan (time-series layout)") {
     // the biggest 100 TB lever for the telemetry tables: a layout
     // partitioned on the routing column must turn an equality filter
