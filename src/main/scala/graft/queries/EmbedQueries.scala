@@ -70,7 +70,9 @@ object EmbedQueries {
 
   // ----------------------------------------------------------- ivf_assign
   // Real IVF coarse quantization: assign every vector to its nearest of
-  // k=8 seed centroids (vec_id < 8) by integer-quantized cosine, ties to
+  // k=8 seed centroids (the 8 lowest vec_ids — true ORDER BY/LIMIT like
+  // kmeans_step, robust to sparse/offset id spaces) by integer-quantized
+  // cosine, ties to
   // the lowest seed id. The seed table is broadcast (8 rows — a bounded
   // nested-loop, not an unguarded cross join), so assignment is map-only
   // over the vectors; the rank-1 window then runs over exactly 8 scored
@@ -81,7 +83,7 @@ object EmbedQueries {
     import org.apache.spark.sql.expressions.Window
     val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
       .select(col("vec_id"), col("q"), col("nq"))
-    val seeds = qd.filter(col("vec_id") < 8)
+    val seeds = qd.orderBy(col("vec_id")).limit(8)
       .select(col("vec_id").as("seed_id"), col("q").as("sq"), col("nq").as("snq"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("seed_id"))
@@ -96,7 +98,8 @@ object EmbedQueries {
   private val ivfAssignSql =
     s"""WITH ${Similarity.duckdbQuantizedCte},
        |seeds AS (
-       |  SELECT vec_id AS seed_id, q AS sq, nq AS snq FROM qv WHERE vec_id < 8),
+       |  SELECT vec_id AS seed_id, q AS sq, nq AS snq FROM qv
+       |  ORDER BY vec_id LIMIT 8),
        |scored AS (
        |  SELECT v.vec_id, s.seed_id,
        |    CAST(${Similarity.duckdbDot("v.q", "s.sq")} AS DOUBLE)
@@ -127,7 +130,7 @@ object EmbedQueries {
     import org.apache.spark.sql.expressions.Window
     val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
       .select(col("vec_id"), col("q"), col("nq"))
-    val seeds = qd.filter(col("vec_id") < 8)
+    val seeds = qd.orderBy(col("vec_id")).limit(8)
       .select(col("vec_id").as("seed_id"), col("q").as("sq"), col("nq").as("snq"))
     def cellRank(df: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("vec_id"))
@@ -156,7 +159,8 @@ object EmbedQueries {
   private val ivfSearchSql =
     s"""WITH ${Similarity.duckdbQuantizedCte},
        |seeds AS (
-       |  SELECT vec_id AS seed_id, q AS sq, nq AS snq FROM qv WHERE vec_id < 8),
+       |  SELECT vec_id AS seed_id, q AS sq, nq AS snq FROM qv
+       |  ORDER BY vec_id LIMIT 8),
        |cellranked AS (
        |  SELECT v.vec_id, s.seed_id, v.q, v.nq,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
@@ -230,7 +234,14 @@ object EmbedQueries {
   // to the broadcast ADC table and aggregates 8 rows per pair.
   private val PqM = 8    // subspaces
   private val PqSub = 8  // dims per subspace
-  private val PqK = 16   // centroids per subspace (seed vec_ids < 16)
+  private val PqK = 16   // centroids per subspace (the 16 lowest vec_ids)
+
+  /** The PqK lowest vec_ids — true ORDER BY/LIMIT seed selection (the
+    * kmeans_step discipline: robust to sparse/offset id spaces, where a
+    * `vec_id < k` literal would silently yield an empty codebook). */
+  private def pqSeedIds(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(PqK)
 
   /** (vec_id, j, sub): the j-th quantized sub-vector of every vector. */
   private def pqSubs(s: SparkSession, d: String): DataFrame =
@@ -248,7 +259,7 @@ object EmbedQueries {
   private def pqAssignDf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val subs = pqSubs(s, d)
-    val cb = subs.filter(col("vec_id") < PqK)
+    val cb = subs.join(broadcast(pqSeedIds(s, d)), "vec_id")
       .select(col("j"), col("vec_id").as("seed_id"), col("sub").as("csub"))
     val w = Window.partitionBy(col("vec_id"), col("j"))
       .orderBy(col("dd"), col("seed_id"))
@@ -269,7 +280,8 @@ object EmbedQueries {
        |    q[CAST(j * $PqSub + 1 AS INT):CAST(j * $PqSub + $PqSub AS INT)] AS sub
        |  FROM qv, range(0, $PqM) t(j)),
        |cb AS (
-       |  SELECT j, vec_id AS seed_id, sub AS csub FROM subs WHERE vec_id < $PqK),
+       |  SELECT j, vec_id AS seed_id, sub AS csub FROM subs
+       |  WHERE vec_id IN (SELECT vec_id FROM qv ORDER BY vec_id LIMIT $PqK)),
        |pq_scored AS (
        |  SELECT s.vec_id, s.j, c.seed_id,
        |    ${dist("s.sub", "c.csub")} AS dd
@@ -289,7 +301,7 @@ object EmbedQueries {
 
   private def pqSearchDf(s: SparkSession, d: String): DataFrame = {
     val subs = pqSubs(s, d)
-    val cb = subs.filter(col("vec_id") < PqK)
+    val cb = subs.join(broadcast(pqSeedIds(s, d)), "vec_id")
       .select(col("j"), col("vec_id").as("seed_id"), col("sub").as("csub"))
     val codes = pqAssignDf(s, d).select(col("vec_id"), col("j"), col("code"))
     // ADC table: queries' sub-to-centroid distances (10 × 8 × 16 rows)

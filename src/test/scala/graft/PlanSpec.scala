@@ -290,6 +290,27 @@ class PlanSpec extends SparkTestBase {
     assert(s.contains("TopKPerKey"), s"bounded top-k operator missing:\n$s")
   }
 
+  test("scd2_intervals: one user-keyed exchange, both window passes reuse it") {
+    val p = plan("scd2_intervals")
+    assert(!p.toString.contains("Join"), p.toString)
+    assert(countShuffles(p) == 1, p.toString)
+  }
+
+  test("cohort_retention: user exchange shared by distinct and first-seen window") {
+    val p = plan("cohort_retention")
+    val s = p.toString
+    assert(!s.contains("Join"), s"first-seen must ride the window, not a join:\n$s")
+    // the explicit user repartition + the final (cohort, offset) rollup
+    assert(countShuffles(p) <= 2, s)
+  }
+
+  test("funnel_conversion: stage joins are keyed by user, no stream self-cartesian") {
+    val s = planString("funnel_conversion")
+    assert(!s.contains("CartesianProduct"), s)
+    // the three single-row stage counts cross as broadcast scalars
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("partitioned layout prunes partitions at the scan (time-series layout)") {
     // the biggest 100 TB lever for the telemetry tables: a layout
     // partitioned on the routing column must turn an equality filter
