@@ -43,13 +43,15 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.getBytes("UTF-8").length <= Bench.LineBudgetBytes)
     val omitted = """"omitted_fastest":(\d+)""".r
       .findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(0)
-    // ~22 bytes/entry against a fixed 1900-byte budget: past ~80
-    // queries some trimming is arithmetic, not an encoding bug — allow
-    // it to grow with the registry (≈1 trim per 7 registered queries)
-    // but keep flagging disproportionate loss of per-query visibility
-    val trimAllowance = math.max(8, SparkEntry.queries.size / 7)
-    assert(omitted <= trimAllowance,
-      s"line trims $omitted queries — revisit encoding")
+    // ~22 bytes/entry against a fixed 1900-byte budget: past ~72
+    // queries trimming is arithmetic, not an encoding bug. The real
+    // invariant is a VISIBILITY FLOOR — the ~70 slowest entries (the
+    // ones a baseline comparison needs) always render; only the
+    // fastest spill to BENCH_DETAIL.json. If this floor drops, the
+    // encoding (not the registry size) has regressed.
+    val kept = SparkEntry.queries.size - omitted
+    assert(kept >= math.min(SparkEntry.queries.size, 70),
+      s"line keeps only $kept queries — revisit encoding")
     assert(parseable(line))
   }
 
