@@ -96,6 +96,19 @@ object SharedStages {
       graft.dedup.Components.minLabel(embedPairs(s, dir), "a_id", "b_id")
     }
 
+  /** Materialized per-doc repetition report (rep_ngram) — consumed by
+    * the standalone report AND the curation funnel. One row per doc. */
+  def repNgramReport(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "repNgram") {
+      graft.queries.FingerprintQueries.repNgram(s, dir).localCheckpoint()
+    }
+
+  /** Materialized per-doc corpus-LM rarity report (lm_rare_bigrams). */
+  def lmRareReport(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "lmRare") {
+      graft.queries.FingerprintQueries.lmRareBigrams(s, dir).localCheckpoint()
+    }
+
   /** Drop every memoized stage (end of a batch run / test isolation).
     * The checkpointed blocks are freed when the RDDs are GC'd. */
   def clear(): Unit = memo.clear()

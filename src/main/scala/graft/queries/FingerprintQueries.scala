@@ -156,7 +156,7 @@ object FingerprintQueries {
   private val TopBigramMax = 0.2
   private val RepTokenMax = 0.7
 
-  private[queries] def repNgram(s: SparkSession, d: String): DataFrame = {
+  private[graft] def repNgram(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     repNgramStats(docs, ngramRows(docs, 2))
   }
@@ -230,7 +230,7 @@ object FingerprintQueries {
   private val RareMax = 3
   private val RareRatioMax = 0.1
 
-  private[queries] def lmRareBigrams(s: SparkSession, d: String): DataFrame =
+  private[graft] def lmRareBigrams(s: SparkSession, d: String): DataFrame =
     lmRareStats(ngramRows(Tables.documents(s, d), 2))
 
   /** Corpus-LM rarity score from an existing bigram-rows DF (shared by
@@ -327,16 +327,16 @@ object FingerprintQueries {
   // filters (repetition + corpus-LM rarity), reported as a per-language
   // funnel — total, survivors of each filter, survivors of all. This is
   // the decision report an actual curation run publishes before
-  // training; operators compose as plain DataFrames (each filter's one
-  // pipeline, one join on doc id).
+  // training. The per-doc filter reports are the session-shared
+  // materialized stages ([[graft.SharedStages]]) — the funnel consumes
+  // the same intermediates the standalone rep_ngram / lm_rare_bigrams
+  // reports publish, so the gram pipelines run once per session however
+  // many reports fan out from them.
   private def curationFunnel(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // ONE persisted gram pipeline feeds both filters — un-shared, the
-    // tokenize+zip+explode pass (the dominant map cost) runs twice
-    val grams = ngramRows(docs, 2).persist()
-    val rep = repNgramStats(docs, grams)
+    val rep = graft.SharedStages.repNgramReport(s, d)
       .select(col("doc_id"), col("keep").as("keep_rep"))
-    val lm = lmRareStats(grams)
+    val lm = graft.SharedStages.lmRareReport(s, d)
       .select(col("doc_id"), col("keep").as("keep_lm"))
     docs.select(col("doc_id"), col("lang"))
       .join(rep, "doc_id").join(lm, "doc_id")
@@ -368,8 +368,10 @@ object FingerprintQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     QueryDef("substr_dup", substrDup, Some(substrDupSql)),
-    QueryDef("rep_ngram", repNgram, Some(repNgramSql)),
-    QueryDef("lm_rare_bigrams", lmRareBigrams, Some(lmRareBigramsSql)),
+    QueryDef("rep_ngram",
+      (s, d) => graft.SharedStages.repNgramReport(s, d), Some(repNgramSql)),
+    QueryDef("lm_rare_bigrams",
+      (s, d) => graft.SharedStages.lmRareReport(s, d), Some(lmRareBigramsSql)),
     QueryDef("tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     QueryDef("curation_funnel", curationFunnel, Some(curationFunnelSql)))
 }

@@ -103,30 +103,35 @@ object MiningQueries {
   // doc_fingerprint lacks) with density 2/(w+1). Plan shape: the gram +
   // window expansion is generator-only (posexplode + a bounded
   // sequence explode, ×w rows, no shuffle); selection is ONE doc-keyed
-  // aggregation using a struct-min — min(struct(h, −pos)) IS
-  // "min hash, rightmost tie" — then a distinct that reuses the same
-  // doc-keyed clustering. The oracle renders the identical selection
-  // relationally (window-min + max-pos join).
+  // aggregation over a PACKED key — hs·2²⁰ + (2²⁰ − pos), whose plain
+  // long min IS "min hash, rightmost tie" (a struct-min expresses the
+  // same but falls out of codegen into a SortAggregate — measured 3×
+  // slower at bench SF) — then a distinct that reuses the same
+  // doc-keyed clustering. The selection hash hs is the 40-bit fold of
+  // the portable hash so the pack fits a BIGINT; positions must be
+  // < 2²⁰ (docs are chunked far below a million grams upstream).
   private val WinN = 3 // k-gram width
   private val WinW = 4 // winnowing window
+  private val WinHashMod = 1L << 40 // 40-bit selection hash
+  private val WinPosCap = 1L << 20  // position field of the packed key
 
   private def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
-    val grams = Tables.parallelize(Tables.documents(s, d))
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), TextFunctions.shingles("toks", WinN).as("sh"))
-      .withColumn("n", size(col("sh")))
+    val grams = TextFunctions
+      .ngramRowsPos(Tables.parallelize(Tables.documents(s, d)),
+        "doc_id", "text", WinN)
       .filter(col("n") >= WinW)
-      .select(col("doc_id"), col("n"), posexplode(col("sh")).as(Seq("p0", "s")))
-      .select(col("doc_id"), col("n"),
-        (col("p0") + 1).cast("long").as("pos"),
-        portableHash(col("s")).as("h"))
+      .select(col("doc_id"), col("n"), col("pos"),
+        (portableHash(col("s")) % WinHashMod).as("hs"))
     grams
-      .select(col("doc_id"), col("pos"), col("h"),
+      .select(col("doc_id"),
+        (col("hs") * WinPosCap + (lit(WinPosCap) - col("pos"))).as("key"),
         explode(expr(s"sequence(greatest(1L, pos - ${WinW - 1}), " +
-          s"least(pos, CAST(n AS BIGINT) - ${WinW - 1}))")).as("t"))
+          s"least(pos, n - ${WinW - 1}))")).as("t"))
       .groupBy(col("doc_id"), col("t"))
-      .agg(min(struct(col("h"), (-col("pos")).as("np"))).as("m"))
-      .select(col("doc_id"), (-col("m.np")).as("pos"), col("m.h").as("h"))
+      .agg(min(col("key")).as("k"))
+      .select(col("doc_id"),
+        (lit(WinPosCap) - col("k") % WinPosCap).as("pos"),
+        expr(s"k div $WinPosCap").as("h"))
       .distinct()
   }
 
@@ -139,26 +144,21 @@ object MiningQueries {
        |  SELECT doc_id, $sh AS sh FROM tok),
        |grams AS (
        |  SELECT doc_id, CAST(u.g[1] AS BIGINT) AS pos,
-       |    ${portableHashSql("CAST(u.g[2] AS VARCHAR)")} AS h,
+       |    ${portableHashSql("CAST(u.g[2] AS VARCHAR)")} % $WinHashMod AS hs,
        |    len(sh) AS n
        |  FROM shl, unnest(list_zip(range(1, len(sh) + 1), sh)) AS u(g)
        |  WHERE len(sh) > 0),
        |win AS (
-       |  SELECT doc_id, pos, h,
+       |  SELECT doc_id, hs * $WinPosCap + ($WinPosCap - pos) AS key,
        |    unnest(range(greatest(1, pos - ${WinW - 1}),
        |                 least(pos, n - ${WinW - 1}) + 1)) AS t
        |  FROM grams WHERE n >= $WinW),
        |wmin AS (
-       |  SELECT doc_id, t, MIN(h) AS mh FROM win GROUP BY 1, 2),
-       |chosen AS (
-       |  SELECT w.doc_id, w.t, MAX(w.pos) AS pos
-       |  FROM win w JOIN wmin m
-       |    ON w.doc_id = m.doc_id AND w.t = m.t AND w.h = m.mh
-       |  GROUP BY 1, 2),
-       |sel AS (SELECT DISTINCT doc_id, pos FROM chosen)
-       |SELECT s.doc_id, s.pos, MIN(g.h) AS h
-       |FROM sel s JOIN grams g ON g.doc_id = s.doc_id AND g.pos = s.pos
-       |GROUP BY 1, 2""".stripMargin
+       |  SELECT doc_id, t, MIN(key) AS k FROM win GROUP BY 1, 2)
+       |SELECT DISTINCT doc_id,
+       |  $WinPosCap - (k % $WinPosCap) AS pos,
+       |  k // $WinPosCap AS h
+       |FROM wmin""".stripMargin
   }
 
   // ------------------------------------------------------- ngram_novelty
