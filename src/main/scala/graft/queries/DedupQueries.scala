@@ -154,6 +154,65 @@ object DedupQueries {
        |  JOIN sigs b ON b.doc_id = c.b_id)
        |WHERE containment >= $ContainMin""".stripMargin
 
+  // ---------------------------------------------------- dedup_keep_best
+  // Quality-aware canonicalization: within each near-dup cluster the
+  // keeper is the HIGHEST-QUALITY member (longest document, ties to
+  // lowest id), not the minimum id — the keep-policy an actual curation
+  // run applies once clustering is decided (min-id keeps whichever copy
+  // was crawled first; quality-keep keeps the least-truncated one).
+  // Composes the session-shared component labels with a two-phase
+  // argmax (max-quality per cluster, then min-id among maximizers) —
+  // relational on both engines, no struct aggregates. Cluster count and
+  // membership are post-LSH tiny, so all three joins ride broadcasts at
+  // scale.
+  private def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val lab = graft.SharedStages.componentLabels(s, d)
+      .select(col("id").as("doc_id"), col("root"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id")
+    val best = lab.groupBy(col("root")).agg(max(col("n_chars")).as("best_chars"))
+    val keeper = lab.join(best, "root")
+      .filter(col("n_chars") === col("best_chars"))
+      .groupBy(col("root")).agg(min(col("doc_id")).as("keeper_id"))
+    lab.join(keeper, "root")
+      .select(col("doc_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("keep"))
+  }
+
+  private def dedupKeepBestSql =
+    s"""WITH RECURSIVE ${MinHashLSH.duckdbSignatureCte},
+       |${MinHashLSH.duckdbCandidateCte},
+       |verified AS (
+       |  SELECT c.a_id, c.b_id
+       |  FROM cands c
+       |  JOIN sigs a ON a.doc_id = c.a_id
+       |  JOIN sigs b ON b.doc_id = c.b_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM verified
+       |  UNION
+       |  SELECT b_id, a_id FROM verified),
+       |reach (id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |labeled AS (
+       |  SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+       |lab AS (
+       |  SELECT l.id AS doc_id, l.root, d.n_chars
+       |  FROM labeled l JOIN documents d ON d.doc_id = l.id),
+       |best AS (
+       |  SELECT root, MAX(n_chars) AS best_chars FROM lab GROUP BY 1),
+       |keeper AS (
+       |  SELECT lab.root, MIN(lab.doc_id) AS keeper_id
+       |  FROM lab JOIN best
+       |    ON lab.root = best.root AND lab.n_chars = best.best_chars
+       |  GROUP BY 1)
+       |SELECT lab.doc_id, keeper.keeper_id,
+       |  lab.doc_id = keeper.keeper_id AS keep
+       |FROM lab JOIN keeper ON lab.root = keeper.root""".stripMargin
+
   // ------------------------------------------------------ dedup_simhash
   private def simhashQ(s: SparkSession, d: String): DataFrame =
     SimHash.simhash(Tables.documents(s, d), "doc_id", "text")
@@ -168,6 +227,7 @@ object DedupQueries {
     QueryDef("dedup_minhash_lsh", minhashCands, Some(minhashCandsSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_components", dedupComponents, Some(dedupComponentsSql)),
+    QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QueryDef("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     QueryDef("dedup_simhash", simhashQ, Some(simhashSql)))
 }

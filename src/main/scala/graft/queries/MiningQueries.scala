@@ -34,11 +34,13 @@ object MiningQueries {
   // it needs ln(); the registers + scaled sum are emitted so any
   // correction is a driver-side afterthought). alpha_64 = 0.709 from
   // the paper.
-  private val HllP = 6              // 2^6 = 64 registers
-  private val HllM = 1 << HllP
-  private val HllRestBits = 60 - HllP             // 54 value bits
-  private val HllRestMask = (1L << HllRestBits) - 1
-  private val HllRhoMax = HllRestBits + 1         // rho of rest == 0
+  // canonical constants live with the mergeable Aggregator twin
+  // ([[graft.functions.HllSketch]]) — identical registers/estimate by
+  // construction, asserted in MiningQueriesSpec
+  private val HllM = graft.functions.HllSketch.M
+  private val HllRestBits = graft.functions.HllSketch.RestBits
+  private val HllRestMask = graft.functions.HllSketch.RestMask
+  private val HllRhoMax = graft.functions.HllSketch.RhoMax
 
   private def hllDistinct(s: SparkSession, d: String): DataFrame = {
     val h = portableHash(col("user_id").cast("string"))
@@ -60,7 +62,7 @@ object MiningQueries {
         col("z_occ") +
           (lit(HllM.toLong) - col("n_buckets")) * lit(1L << HllRhoMax))
       .withColumn("hll_est",
-        lit(0.709) * lit(HllM.toDouble * HllM) *
+        lit(graft.functions.HllSketch.Alpha) * lit(HllM.toDouble * HllM) *
           (lit((1L << HllRhoMax).toDouble) / col("z_scaled").cast("double")))
       .select(col("event_type"), col("n_buckets"), col("z_scaled"),
         col("hll_est"))

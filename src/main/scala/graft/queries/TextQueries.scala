@@ -277,8 +277,66 @@ object TextQueries {
        |ORDER BY pair_count DESC, pair LIMIT $BpeTopK""".stripMargin
   }
 
+  // -------------------------------------------------------- topic_assign
+  // Weak topic labeling by seed-keyword voting — the cheap corpus
+  // bucketing step a mixture pipeline runs before anything learned:
+  // each topic owns a fixed keyword list; a document's score per topic
+  // is its keyword occurrence count (with multiplicity); the label is
+  // the argmax, ties to the lowest topic index. Entirely map-only
+  // column expressions (the markerCount codegen expansion — no UDF, no
+  // shuffle until a consumer aggregates), so at 100 TB this is a free
+  // rider on any scan that already reads the text.
+  private val Topics: Seq[(String, Seq[String])] = Seq(
+    "storage"   -> Seq("table", "row", "column", "scan"),
+    "exec"      -> Seq("hash", "join", "agg", "sort"),
+    "streaming" -> Seq("stream", "window", "batch", "order"),
+    "querying"  -> Seq("query", "filter", "group", "merge"))
+
+  private def topicAssign(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.parallelize(Tables.documents(s, d))
+      .withColumn("toks", tokens(col("text")))
+    val scored = Topics.zipWithIndex.foldLeft(base) {
+      case (df, ((_, words), i)) =>
+        df.withColumn(s"s$i", markerCount("toks", words).cast("long"))
+    }
+    // argmax with ties to the LOWEST topic index: topic i wins iff its
+    // score is >= every later topic's (earlier topics already lost)
+    val label = Topics.indices.init.foldRight(
+      lit(Topics.last._1): org.apache.spark.sql.Column) { (i, rest) =>
+      val beatsLater = Topics.indices.drop(i + 1)
+        .map(j => col(s"s$i") >= col(s"s$j")).reduce(_ && _)
+      when(beatsLater, Topics(i)._1).otherwise(rest)
+    }
+    scored.select(
+      col("doc_id") +: Topics.indices.map(i => col(s"s$i")) :+
+        label.as("topic"): _*)
+  }
+
+  private def topicAssignSql = {
+    val toks = tokensSql("text")
+    val scores = Topics.zipWithIndex.map { case ((_, words), i) =>
+      s"CAST(${markerCountSql("toks", words)} AS BIGINT) AS s$i"
+    }.mkString(",\n       |    ")
+    val label = Topics.indices.init.foldRight(s"'${Topics.last._1}'") {
+      (i, rest) =>
+        val beats = Topics.indices.drop(i + 1)
+          .map(j => s"s$i >= s$j").mkString(" AND ")
+        s"CASE WHEN $beats THEN '${Topics(i)._1}' ELSE $rest END"
+    }
+    s"""WITH tok AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |scored AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM tok)
+       |SELECT doc_id, ${Topics.indices.map(i => s"s$i").mkString(", ")},
+       |  $label AS topic
+       |FROM scored""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_stats", textStats, Some(textStatsSql)),
+    QueryDef("topic_assign", topicAssign, Some(topicAssignSql)),
     QueryDef("tok_fertility", tokFertility, Some(tokFertilitySql)),
     QueryDef("bpe_merge_step", bpeMergeStep, Some(bpeMergeStepSql)),
     QueryDef("lang_id", langId, Some(langIdSql)),

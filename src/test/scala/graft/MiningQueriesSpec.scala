@@ -35,6 +35,20 @@ class MiningQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("hll_distinct (relational) equals the HllSketch Aggregator sketch") {
+    val rel = SparkEntry.queries("hll_distinct")(spark, d)
+      .select($"event_type", $"n_buckets", $"z_scaled", $"hll_est")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val hll = udaf(new graft.functions.HllSketch.Distinct)
+    val agg = Tables.events(spark, d)
+      .select($"event_type",
+        graft.text.TextFunctions.portableHash($"user_id".cast("string")).as("h"))
+      .groupBy($"event_type").agg(hll($"h").as("sk"))
+      .select($"event_type", $"sk.n_buckets", $"sk.z_scaled", $"sk.hll_est")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(rel == agg, "two HLL forms must produce identical registers + estimate")
+  }
+
   test("winnow fingerprints cover every window: selected-position gaps <= w") {
     val sel = SparkEntry.queries("winnow_fingerprint")(spark, d)
       .select($"doc_id", $"pos").as[(Long, Long)].collect()

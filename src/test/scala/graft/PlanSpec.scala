@@ -311,6 +311,19 @@ class PlanSpec extends SparkTestBase {
     assert(s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("topic_assign is map-only after the spread: one shuffle, no UDF") {
+    val p = plan("topic_assign")
+    val s = p.toString
+    assert(countShuffles(p) <= 1, s) // the parallelize round-robin only
+    assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"), s)
+  }
+
+  test("dedup_keep_best: keyed joins over the shared labels, no cartesian") {
+    val s = planString("dedup_keep_best")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("partitioned layout prunes partitions at the scan (time-series layout)") {
     // the biggest 100 TB lever for the telemetry tables: a layout
     // partitioned on the routing column must turn an equality filter
