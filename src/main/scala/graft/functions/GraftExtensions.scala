@@ -29,5 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CharDiversity(exprs.head)))
     // custom physical operator: bounded-heap per-key top-k
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // optimizer rule: window row_number rank<=k filters plan the heap
+    // operator automatically when the rank column is dropped
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }
