@@ -52,6 +52,17 @@ object SharedStages {
         .localCheckpoint()
     }
 
+  /** Materialized LSH candidate pairs (a_id, b_id, est_sim) — the
+    * band-bucket join output consumed directly by dedup_minhash_lsh and
+    * dedup_containment and fed to the verify stage. ∝ true collisions,
+    * so the checkpoint is small. */
+  def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "cands") {
+      graft.dedup.MinHashLSH
+        .candidatePairs(minhashSignatures(s, dir), "doc_id")
+        .localCheckpoint()
+    }
+
   /** Materialized verified near-dup pairs (a_id, b_id, jaccard) at the
     * family's canonical 0.5 threshold — the edge set shared by
     * dedup_ngram_jaccard, dedup_components, dup_cluster_sizes and
@@ -60,11 +71,9 @@ object SharedStages {
     * re-running once per report. */
   def verifiedPairs(s: SparkSession, dir: String): DataFrame =
     stage(s, dir, "pairs05") {
-      val sigs = minhashSignatures(s, dir)
       graft.dedup.MinHashLSH
-        .verifiedPairs(
-          graft.dedup.MinHashLSH.candidatePairs(sigs, "doc_id"),
-          sigs, "doc_id", 0.5)
+        .verifiedPairs(candidatePairs(s, dir),
+          minhashSignatures(s, dir), "doc_id", 0.5)
         .localCheckpoint()
     }
 

@@ -56,10 +56,8 @@ object DedupQueries {
   // LSH candidate generation: signatures are map-only; the only shuffle
   // groups (band, bucket) keys. Candidate count scales with true
   // collisions, not n².
-  private def minhashCands(s: SparkSession, d: String): DataFrame = {
-    val sigs = graft.SharedStages.minhashSignatures(s, d)
-    MinHashLSH.candidatePairs(sigs, "doc_id")
-  }
+  private def minhashCands(s: SparkSession, d: String): DataFrame =
+    graft.SharedStages.candidatePairs(s, d)
 
   private def minhashCandsSql =
     s"""WITH ${MinHashLSH.duckdbSignatureCte},
@@ -130,7 +128,7 @@ object DedupQueries {
 
   private def dedupContainment(s: SparkSession, d: String): DataFrame = {
     val sigs = graft.SharedStages.minhashSignatures(s, d)
-    val cands = MinHashLSH.candidatePairs(sigs, "doc_id")
+    val cands = graft.SharedStages.candidatePairs(s, d)
       .select(col("a_id"), col("b_id"))
     val a = sigs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = sigs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
