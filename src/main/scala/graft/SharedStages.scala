@@ -39,9 +39,24 @@ object SharedStages {
   private val memo =
     new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  // NOT computeIfAbsent: stage builders call other stages (pairs →
+  // cands → sigs), and a nested computeIfAbsent on the same
+  // ConcurrentHashMap throws IllegalStateException("Recursive update")
+  // whenever the keys land in the same bin — a hash-placement-dependent
+  // failure that surfaced only when the key set grew. Build OUTSIDE the
+  // map lock; a concurrent duplicate build is deterministic and merely
+  // discarded by putIfAbsent.
   private def stage(s: SparkSession, dir: String, name: String)
-                   (build: => DataFrame): DataFrame =
-    memo.computeIfAbsent((s, dir, name), _ => build)
+                   (build: => DataFrame): DataFrame = {
+    val key = (s, dir, name)
+    val existing = memo.get(key)
+    if (existing != null) existing
+    else {
+      val built = build
+      val prev = memo.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
 
   /** Materialized MinHash signatures of `documents(dir)`:
     * (doc_id, sh: distinct shingle hashes, sig: array[16]). */

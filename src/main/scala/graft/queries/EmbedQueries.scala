@@ -186,6 +186,76 @@ object EmbedQueries {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= $IvfK""".stripMargin
 
+  // ------------------------------------------------------------ ann_recall
+  // The ANN quality gate: recall@k of IVF search against exact
+  // brute-force, per query — THE metric an approximate-index deployment
+  // monitors before trusting it (IVF trades recall for probed-cell
+  // compute; this report prices the trade). Composes the two existing
+  // pipelines and joins their result sets: both sides are deterministic
+  // top-k (total orderings), so the recall fractions are exact and
+  // DuckDB-mirrored. Plan: the exact side is the guarded broadcast knn,
+  // the approx side the cell-keyed IVF search; the final join/rollup
+  // touches |Q|·k rows.
+  private def annRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = knnTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = ivfSearch(s, d)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+  }
+
+  private val annRecallSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |ex_pairs AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(${Similarity.duckdbDot("a.q", "b.q")} AS DOUBLE)
+       |      / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
+       |  FROM qv a JOIN qv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY cos DESC, neighbor_id) AS rk
+       |    FROM ex_pairs) WHERE rk <= 5),
+       |iv_seeds AS (
+       |  SELECT vec_id AS seed_id, q AS sq, nq AS snq FROM qv
+       |  ORDER BY vec_id LIMIT 8),
+       |iv_cellranked AS (
+       |  SELECT v.vec_id, s.seed_id, v.q, v.nq,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |      CAST(${Similarity.duckdbDot("v.q", "s.sq")} AS DOUBLE)
+       |        / sqrt(CAST(v.nq AS DOUBLE) * CAST(s.snq AS DOUBLE)) DESC,
+       |      s.seed_id) AS rn
+       |  FROM qv v CROSS JOIN iv_seeds s),
+       |iv_assign AS (
+       |  SELECT vec_id, seed_id AS cell, q, nq FROM iv_cellranked WHERE rn = 1),
+       |iv_probes AS (
+       |  SELECT vec_id AS query_id, seed_id AS cell, q AS qq, nq AS qnq
+       |  FROM iv_cellranked WHERE vec_id < 10 AND rn <= $IvfProbe),
+       |iv_scored AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+       |    CAST(${Similarity.duckdbDot("p.qq", "a.q")} AS DOUBLE)
+       |      / sqrt(CAST(p.qnq AS DOUBLE) * CAST(a.nq AS DOUBLE)) AS cos
+       |  FROM iv_probes p JOIN iv_assign a ON p.cell = a.cell
+       |  WHERE p.query_id <> a.vec_id),
+       |iv AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY cos DESC, neighbor_id) AS rk
+       |    FROM iv_scored) WHERE rk <= $IvfK)
+       |SELECT e.query_id, COUNT(*) AS n_exact,
+       |  CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*) AS recall
+       |FROM ex e LEFT JOIN iv i
+       |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+       |GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------- dedup_embed
   // Embedding-cosine near-dup CANONICALIZATION: the blocked cosine pairs
   // become edges, connected components assign every vector its
@@ -392,6 +462,7 @@ object EmbedQueries {
     QueryDef("ann_rp_lsh", annRpLsh, Some(annRpLshSql)),
     QueryDef("ivf_assign", ivfAssign, Some(ivfAssignSql)),
     QueryDef("ivf_search", ivfSearch, Some(ivfSearchSql)),
+    QueryDef("ann_recall", annRecall, Some(annRecallSql)),
     QueryDef("dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     QueryDef("pq_assign", pqAssignDf, Some(pqAssignSql)),
     QueryDef("pq_search", pqSearchDf, Some(pqSearchSql)))
