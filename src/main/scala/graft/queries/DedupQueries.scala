@@ -117,6 +117,19 @@ object DedupQueries {
        |SELECT id AS doc_id, MIN(r) AS canonical_id
        |FROM reach GROUP BY id""".stripMargin
 
+  // --------------------------------------------------- components_star
+  // The same canonicalization computed by the O(log n) scale path:
+  // alternating large-star/small-star contraction over the identical
+  // verified-pair graph. Deliberately bypasses the memoized label stage
+  // so the contraction code itself is oracle-gated — the recursive-CTE
+  // closure is independent evidence that contraction and propagation
+  // agree on real near-dup graphs (DedupSpec covers the chain shapes
+  // where only contraction survives).
+  private def componentsStar(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Components.starLabel(
+      graft.SharedStages.verifiedPairs(s, d), "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("root").as("canonical_id"))
+
   // -------------------------------------------------- dedup_containment
   // Asymmetric containment dedup: |A∩B| / min(|A|,|B|) over the shingle
   // sets of LSH candidate pairs. Catches the quote/boilerplate case
@@ -225,6 +238,7 @@ object DedupQueries {
     QueryDef("dedup_minhash_lsh", minhashCands, Some(minhashCandsSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_components", dedupComponents, Some(dedupComponentsSql)),
+    QueryDef("components_star", componentsStar, Some(dedupComponentsSql)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QueryDef("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     QueryDef("dedup_simhash", simhashQ, Some(simhashSql)))

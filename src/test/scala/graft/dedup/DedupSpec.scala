@@ -37,29 +37,69 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 4L -> 4L, 5L -> 4L))
   }
 
-  test("components: round count is O(diameter) on a pathological chain") {
-    // a 17-node path (diameter 16) — the worst shape for min-label
-    // propagation: the label crosses one hop per round. Pins the cost
-    // model the scale note documents: rounds ≤ diameter + 1 (the +1 is
-    // the fixpoint-detection round), NOT O(log n) (that's the
-    // star-contraction upgrade) and NOT quadratic.
-    val chain = (0L until 16L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+  test("components: round count is O(diameter) on a within-budget chain") {
+    // a 7-node path (diameter 6, under the propagation budget) — the
+    // worst shape for min-label propagation: the label crosses one hop
+    // per round. Pins the cost model: rounds ≤ diameter + 1 (the +1 is
+    // the fixpoint-detection round) with NO escalation below the budget.
+    val chain = (0L until 6L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val (labels, rounds) = Components.minLabelCounted(chain, "a_id", "b_id")
     val got = labels.as[(Long, Long)].collect().toMap
-    assert(got == (0L to 16L).map(_ -> 0L).toMap)
-    assert(rounds <= 17, s"expected <= diameter+1 rounds, took $rounds")
-    assert(rounds >= 16, s"a 16-hop chain cannot converge in $rounds rounds")
+    assert(got == (0L to 6L).map(_ -> 0L).toMap)
+    assert(rounds <= 7, s"expected <= diameter+1 rounds, took $rounds")
+    assert(rounds >= 6, s"a 6-hop chain cannot converge in $rounds rounds")
   }
 
-  test("components: exceeding the round cap aborts loudly, not silently") {
-    // adversarial guard: a chain deeper than maxRounds must throw the
-    // documented error (pointing at star-contraction), never loop on
-    val chain = (0L until 8L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val e = intercept[IllegalStateException] {
-      Components.minLabelCounted(chain, "a_id", "b_id", maxRounds = 3)._1
-        .collect()
-    }
-    assert(e.getMessage.contains("star"))
+  test("components: past the budget, escalation finishes a deep chain") {
+    // a 200-node path (diameter 199 ≫ the 8-round propagation budget):
+    // the round-7 implementation ABORTED here; now propagation escalates
+    // to star contraction and the chain labels correctly in O(log n)
+    // total rounds, never O(diameter).
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (labels, rounds) = Components.minLabelCounted(chain, "a_id", "b_id")
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == (0L to 199L).map(_ -> 0L).toMap)
+    assert(rounds <= 40, s"escalated convergence must be ≪ diameter, took $rounds")
+  }
+
+  test("components: star contraction labels chains, cliques and pairs") {
+    // mixed shapes in one edge set: an 11-node chain (star contraction's
+    // reason to exist), a 4-clique, a pair, plus a duplicate edge and a
+    // reversed edge (input need not be oriented or distinct)
+    val edges = ((100L until 110L).map(i => (i, i + 1)) ++
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (2L, 4L), (4L, 1L)) ++
+      Seq((51L, 50L), (50L, 51L))).toDF("a_id", "b_id")
+    val got = Components.starLabel(edges, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    val want = (100L to 110L).map(_ -> 100L).toMap ++
+      (1L to 4L).map(_ -> 1L).toMap ++ Map(50L -> 50L, 51L -> 50L)
+    assert(got == want)
+  }
+
+  test("components: star contraction is O(log n) rounds on a deep chain") {
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (labels, rounds) = Components.starLabelCounted(chain, "a_id", "b_id")
+    assert(labels.as[(Long, Long)].collect().toMap ==
+      (0L to 199L).map(_ -> 0L).toMap)
+    // alternating star contraction halves chain height per alternation:
+    // ~log2(199) ≈ 8 alternations, generous slack for the constant
+    assert(rounds <= 20, s"star contraction took $rounds alternations")
+    assert(rounds >= 2, s"a 199-hop chain cannot be a star after $rounds")
+  }
+
+  test("components: star contraction handles empty and converged inputs") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("a_id", LongType), StructField("b_id", LongType))))
+    val (l0, r0) = Components.starLabelCounted(empty, "a_id", "b_id")
+    assert(l0.isEmpty && r0 == 0)
+    // an already-star graph (plus self-loop noise) converges in 1 round
+    val star = Seq((5L, 1L), (7L, 1L), (9L, 1L), (3L, 3L)).toDF("a_id", "b_id")
+    val (l1, r1) = Components.starLabelCounted(star, "a_id", "b_id")
+    assert(l1.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 5L -> 1L, 7L -> 1L, 9L -> 1L))
+    assert(r1 == 1, s"a star must be a 1-round fixpoint, took $r1")
   }
 
   test("minhash: exact dup has est_sim 1.0 and identical signature") {
