@@ -256,6 +256,124 @@ object EmbedQueries {
        |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
        |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------- ann_frontier
+  // The recall/compute FRONTIER a deployment actually tunes: ann_recall
+  // swept across nprobe ∈ {2, 4, 8} of the 8 IVF cells, each row
+  // carrying the per-query candidate count (the compute cost the probe
+  // buys) next to its recall@5. Monotone by construction — more probed
+  // cells is a superset of candidates — and nprobe = 8 probes every
+  // cell, so its recall is exactly 1.0 against the same quantized-cosine
+  // brute force (IvfRecallSpec pins both properties). One shared
+  // cell-rank pass feeds all three sweep points; the sweep join is a
+  // 3-row broadcast, so the frontier costs barely more than one search.
+  private val FrontierProbes = Seq(2, 4, 8)
+
+  private def annFrontier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), col("q"), col("nq"))
+    val seeds = qd.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("seed_id"), col("q").as("sq"), col("nq").as("snq"))
+    def cellRank(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("seed_id"))
+      df.crossJoin(broadcast(seeds)) // bounded: 8 broadcast seed rows
+        .withColumn("dot", Similarity.dotQ("q", "sq"))
+        .withColumn("cos", Similarity.cosine(col("dot"), col("nq"), col("snq")))
+        .withColumn("rn", row_number().over(w))
+    }
+    val assign = cellRank(qd).filter(col("rn") === 1)
+      .select(col("vec_id"), col("seed_id").as("cell"), col("q"), col("nq"))
+    val probes = cellRank(qd.filter(col("vec_id") < 10))
+      .filter(col("rn") <= FrontierProbes.max)
+      .select(col("vec_id").as("query_id"), col("seed_id").as("cell"),
+        col("q").as("qq"), col("nq").as("qnq"), col("rn"))
+    val np = FrontierProbes.toDF("nprobe")
+    val scored = probes.join(broadcast(np), col("rn") <= col("nprobe"))
+      .join(assign, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("qdot", Similarity.dotQ("qq", "q"))
+      .withColumn("cos", Similarity.cosine(col("qdot"), col("qnq"), col("nq")))
+      .select(col("nprobe"), col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+      .distinct() // a neighbor can sit in several probed cells
+    val cand = scored.groupBy(col("nprobe"), col("query_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    val topk = graft.plans.TopK.perKey(scored, Seq("nprobe", "query_id"),
+      Seq(("cos", false), ("neighbor_id", true)), IvfK)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"),
+        lit(1L).as("hit"))
+    val exact = knnTopK(s, d).select(col("query_id"), col("neighbor_id"))
+      .crossJoin(broadcast(np)) // bounded: the 3 sweep points
+    exact.join(topk, Seq("nprobe", "query_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .join(cand, Seq("nprobe", "query_id"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+  }
+
+  private val annFrontierSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, q AS sq, nq AS snq FROM qv
+       |  ORDER BY vec_id LIMIT 8),
+       |cellranked AS (
+       |  SELECT v.vec_id, s.seed_id, v.q, v.nq,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |      CAST(${Similarity.duckdbDot("v.q", "s.sq")} AS DOUBLE)
+       |        / sqrt(CAST(v.nq AS DOUBLE) * CAST(s.snq AS DOUBLE)) DESC,
+       |      s.seed_id) AS rn
+       |  FROM qv v CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, seed_id AS cell, q, nq FROM cellranked WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, seed_id AS cell, q AS qq, nq AS qnq, rn
+       |  FROM cellranked WHERE vec_id < 10 AND rn <= ${FrontierProbes.max}),
+       |np AS (SELECT * FROM (VALUES (2), (4), (8)) AS t(nprobe)),
+       |scored AS (
+       |  SELECT DISTINCT n.nprobe, p.query_id, a.vec_id AS neighbor_id,
+       |    CAST(${Similarity.duckdbDot("p.qq", "a.q")} AS DOUBLE)
+       |      / sqrt(CAST(p.qnq AS DOUBLE) * CAST(a.nq AS DOUBLE)) AS cos
+       |  FROM np n JOIN probes p ON p.rn <= n.nprobe
+       |  JOIN assign a ON p.cell = a.cell
+       |  WHERE p.query_id <> a.vec_id),
+       |cand AS (
+       |  SELECT nprobe, query_id, COUNT(*) AS n_cand
+       |  FROM scored GROUP BY 1, 2),
+       |iv AS (
+       |  SELECT nprobe, query_id, neighbor_id FROM (
+       |    SELECT nprobe, query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+       |                         ORDER BY cos DESC, neighbor_id) AS rk
+       |    FROM scored) WHERE rk <= $IvfK),
+       |ex_pairs AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(${Similarity.duckdbDot("a.q", "b.q")} AS DOUBLE)
+       |      / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
+       |  FROM qv a JOIN qv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY cos DESC, neighbor_id) AS rk
+       |    FROM ex_pairs) WHERE rk <= 5),
+       |exn AS (
+       |  SELECT n.nprobe, e.query_id, e.neighbor_id FROM np n CROSS JOIN ex e),
+       |rec AS (
+       |  SELECT x.nprobe, x.query_id, COUNT(*) AS n_exact,
+       |    CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hit
+       |  FROM exn x LEFT JOIN iv i
+       |    ON x.nprobe = i.nprobe AND x.query_id = i.query_id
+       |      AND x.neighbor_id = i.neighbor_id
+       |  GROUP BY 1, 2)
+       |SELECT r.nprobe, r.query_id, r.n_exact, r.n_hit, c.n_cand,
+       |  CAST(r.n_hit AS DOUBLE) / r.n_exact AS recall
+       |FROM rec r JOIN cand c
+       |  ON r.nprobe = c.nprobe AND r.query_id = c.query_id""".stripMargin
+
   // ---------------------------------------------------------- dedup_embed
   // Embedding-cosine near-dup CANONICALIZATION: the blocked cosine pairs
   // become edges, connected components assign every vector its
@@ -463,6 +581,7 @@ object EmbedQueries {
     QueryDef("ivf_assign", ivfAssign, Some(ivfAssignSql)),
     QueryDef("ivf_search", ivfSearch, Some(ivfSearchSql)),
     QueryDef("ann_recall", annRecall, Some(annRecallSql)),
+    QueryDef("ann_frontier", annFrontier, Some(annFrontierSql)),
     QueryDef("dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     QueryDef("pq_assign", pqAssignDf, Some(pqAssignSql)),
     QueryDef("pq_search", pqSearchDf, Some(pqSearchSql)))

@@ -27,4 +27,28 @@ class IvfRecallSpec extends SparkTestBase {
     // probing 2 of 8 cells scans ~25%; random routing would land ~0.25
     assert(recall >= 0.5, f"recall $recall%.2f not above random-probe floor")
   }
+
+  test("ann_frontier: recall monotone in nprobe, exact at nprobe = 8") {
+    val rows = SparkEntry.queries("ann_frontier")(spark, sf)
+      .select("nprobe", "query_id", "recall", "n_cand")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.keySet == Set(2, 4, 8))
+    byProbe.values.foreach(qs => assert(qs.length == 10)) // 10 queries each
+    // per query: recall and candidate count both monotone in nprobe
+    rows.groupBy(_._2).values.foreach { qr =>
+      val sorted = qr.sortBy(_._1)
+      assert(sorted.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+        s"recall not monotone: $sorted")
+      assert(sorted.map(_._4).sliding(2).forall(p => p(0) <= p(1)),
+        s"candidate count not monotone: $sorted")
+    }
+    // probing all 8 cells IS brute force: recall exactly 1.0
+    byProbe(8).foreach { case (_, q, rec, _) =>
+      assert(rec == 1.0, s"nprobe=8 recall for query $q was $rec")
+    }
+    val mean = byProbe.view.mapValues(v => v.map(_._3).sum / v.length).toMap
+    info(f"mean recall@5: nprobe2=${mean(2)}%.2f nprobe4=${mean(4)}%.2f nprobe8=${mean(8)}%.2f")
+  }
 }
