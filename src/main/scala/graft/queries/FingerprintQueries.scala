@@ -122,6 +122,33 @@ object FingerprintQueries {
       .withColumn("keep", col("dup_ratio") <= SubDupMax)
   }
 
+  // -------------------------------------------------------- substr_dup_sa
+  // The PRODUCTION TWIN of substr_dup the scale note above names: the
+  // same duplicated-window report computed from a per-shard suffix-array
+  // pass ([[graft.text.SuffixArray]]) instead of hashing every stride-1
+  // occurrence — one digest per DISTINCT window per shard, sorted-run
+  // grouping, identical (h, doc, c) rows into the identical global
+  // exchange + rollup. Oracle: the SAME DuckDB mirror as substr_dup, so
+  // a green row certifies the two formulations agree bit-for-bit.
+  private def substrDupSa(s: SparkSession, d: String): DataFrame = {
+    val occ = graft.text.SuffixArray
+      .windowOccurrences(Tables.documents(s, d), "doc_id", "text", SubW)
+      .repartition(col("h"))
+      // (h, doc) rows are unique per shard and docs never span shards;
+      // this agg only folds the vanishing md5-collision case and rides
+      // the same h-keyed exchange
+      .groupBy(col("h"), col("doc_id")).agg(sum(col("c")).as("c"))
+    occ
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_windows"),
+        sum(when(col("n_docs") >= 2, col("c")).otherwise(0L))
+          .as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        col("n_dup_windows").cast("double") / col("n_windows"))
+      .withColumn("keep", col("dup_ratio") <= SubDupMax)
+  }
+
   private val substrDupSql = {
     val toks = tokensSql("text")
     val sh = shinglesSql("toks", SubW)
@@ -368,6 +395,7 @@ object FingerprintQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     QueryDef("substr_dup", substrDup, Some(substrDupSql)),
+    QueryDef("substr_dup_sa", substrDupSa, Some(substrDupSql)),
     QueryDef("rep_ngram",
       (s, d) => graft.SharedStages.repNgramReport(s, d), Some(repNgramSql)),
     QueryDef("lm_rare_bigrams",
