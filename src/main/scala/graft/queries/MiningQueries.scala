@@ -212,9 +212,75 @@ object MiningQueries {
        |GROUP BY o.doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------- novelty_incr
+  // INCREMENTAL novelty — the actual data-valuation loop: ngram_novelty
+  // scores against the whole corpus at once, but a running pipeline
+  // scores each INCOMING batch against the grams of everything ingested
+  // BEFORE it, persisted in a store the loop also updates. Two-batch
+  // rendering over `documents` (ingestion order = doc_id): the prior
+  // batch (even ids) has its distinct gram hashes upserted into a
+  // hash-bucketed [[graft.sink.BucketStore]]; the incoming batch (odd
+  // ids) probes ONLY the buckets its gram hashes route to
+  // (`readBuckets` — probe cost ∝ touched buckets, never store size)
+  // and reports, per incoming doc, the fraction of its distinct grams
+  // the prior corpus has never seen. The loop's update step is the same
+  // `upsert(incomingGrams)` call. The oracle mirrors the semantics
+  // (prior-gram anti-membership) — the store is the Spark-side scale
+  // machinery under it.
+  private def noveltyIncr(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val nb = 16 // sized so sf-scale buckets stay single-file
+    val docs = Tables.documents(s, d)
+    val path = java.nio.file.Files
+      .createTempDirectory("novelty_store").toString
+    val priorGrams = TextFunctions
+      .ngramRows(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", NovN)
+      .select(portableHash(col("s")).as("h")).distinct()
+    graft.sink.BucketStore.upsert(s, priorGrams, path, Seq("h"), nb)
+
+    val occ = TextFunctions
+      .ngramRows(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", NovN)
+      .select(col("doc_id"), portableHash(col("s")).as("h"))
+      .repartition(col("h"))
+      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val schema = StructType(Seq(StructField("h", LongType)))
+    val store = graft.sink.BucketStore.readBuckets(s, path, schema,
+      graft.sink.BucketStore.touchedBuckets(occ, Seq("h"), nb))
+      .withColumn("seen", lit(1L))
+    occ.join(store, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_new"))
+      .withColumn("novelty_ratio",
+        col("n_new").cast("double") / col("n_grams"))
+  }
+
+  private val noveltyIncrSql = {
+    val toks = tokensSql("text")
+    val sh = shinglesSql("toks", NovN)
+    s"""WITH tok AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest($sh) AS s FROM tok),
+       |prior AS (
+       |  SELECT DISTINCT ${portableHashSql("s")} AS h FROM grams
+       |  WHERE doc_id % 2 = 0),
+       |occ AS (
+       |  SELECT DISTINCT doc_id, ${portableHashSql("s")} AS h FROM grams
+       |  WHERE doc_id % 2 = 1)
+       |SELECT o.doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN p.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_new,
+       |  CAST(SUM(CASE WHEN p.h IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS novelty_ratio
+       |FROM occ o LEFT JOIN prior p USING (h)
+       |GROUP BY o.doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("hll_distinct", hllDistinct, Some(hllDistinctSql)),
     QueryDef("winnow_fingerprint", winnowFingerprint,
       Some(winnowFingerprintSql)),
-    QueryDef("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)))
+    QueryDef("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
+    QueryDef("novelty_incr", noveltyIncr, Some(noveltyIncrSql)))
 }

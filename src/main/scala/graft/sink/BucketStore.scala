@@ -91,4 +91,21 @@ object BucketStore {
            numBuckets: Int = 64): DataFrame =
     (0 until numBuckets).map(readBucket(spark, path, _, schema))
       .reduce(_ unionByName _)
+
+  /** The bucket ids a probe batch's keys hash into (≤ numBuckets ints —
+    * a driver-side list, same bound as [[upsert]]'s touched set). */
+  def touchedBuckets(batch: DataFrame, keyCols: Seq[String],
+                     numBuckets: Int = 64): Seq[Int] =
+    batch.select(bucketCol(keyCols, numBuckets).as("__b")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+
+  /** Pruned read of only the named buckets — the probe path: a lookup
+    * batch reads the buckets its keys hash into, never the store. */
+  def readBuckets(spark: SparkSession, path: String, schema: StructType,
+                  buckets: Seq[Int]): DataFrame =
+    if (buckets.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else buckets.map(readBucket(spark, path, _, schema))
+      .reduce(_ unionByName _)
 }
