@@ -233,9 +233,14 @@ object MiningQueries {
     val docs = Tables.documents(s, d)
     val path = java.nio.file.Files
       .createTempDirectory("novelty_store").toString
+    // both stages are consumed TWICE (a bounded bucket-id collect, then
+    // the write/join) — materialize once instead of re-running the gram
+    // pipeline per consumer (same localCheckpoint discipline as
+    // SharedStages; sf0.1 bench 6.8 s → 5.4 s)
     val priorGrams = TextFunctions
       .ngramRows(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", NovN)
       .select(portableHash(col("s")).as("h")).distinct()
+      .localCheckpoint()
     graft.sink.BucketStore.upsert(s, priorGrams, path, Seq("h"), nb)
 
     val occ = TextFunctions
@@ -243,6 +248,7 @@ object MiningQueries {
       .select(col("doc_id"), portableHash(col("s")).as("h"))
       .repartition(col("h"))
       .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val schema = StructType(Seq(StructField("h", LongType)))
     val store = graft.sink.BucketStore.readBuckets(s, path, schema,
       graft.sink.BucketStore.touchedBuckets(occ, Seq("h"), nb))

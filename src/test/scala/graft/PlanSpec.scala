@@ -324,6 +324,33 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("substr_dup_sa: suffix-array rows into one h exchange, no self-join") {
+    val p = plan("substr_dup_sa")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"),
+      s"occurrence self-join crept in:\n$s")
+    // parallelize spread + the explicit hash(h) repartition + the doc
+    // rollup; the defensive (h, doc) agg and the per-h window REUSE the
+    // h exchange (identical budget to substr_dup)
+    assert(countShuffles(p) <= 3, s)
+  }
+
+  test("ann_frontier: sweep and seeds ride broadcasts, no cartesian blowup") {
+    val s = planString("ann_frontier")
+    assert(!s.contains("CartesianProduct"), s)
+    // the 8 seeds, the 3-row nprobe sweep, and the exact side cross as
+    // bounded broadcasts; the candidate join stays keyed by cell
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("novelty_incr: bucket-pruned probe joins on h, no full-store scan shapes") {
+    val p = plan("novelty_incr")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("partitioned layout prunes partitions at the scan (time-series layout)") {
     // the biggest 100 TB lever for the telemetry tables: a layout
     // partitioned on the routing column must turn an equality filter
