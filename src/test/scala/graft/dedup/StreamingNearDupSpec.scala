@@ -106,6 +106,44 @@ class StreamingNearDupSpec extends SparkTestBase {
       s"pair flagged across a purged horizon: $got")
   }
 
+  test("checkpoint restart: MapState + timers resume; no lost or double pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    val ckpt = Files.createTempDirectory("neardup-rs-ckpt").toString
+    val outDir = Files.createTempDirectory("neardup-rs-out").toString
+    try {
+      val input = MemoryStream[DocEvent]
+      // memory sink cannot recover from a checkpoint — use the
+      // fault-tolerant file sink for the restart path
+      def start() = StreamingNearDup.candidatePairs(input.toDS(), 600, 256)
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir)
+        .start()
+      val q1 = start()
+      input.addData(doc(1L, "the quick brown fox jumps over the lazy dog", 1000))
+      q1.processAllAvailable()
+      q1.stop() // planned stop; offsets + RocksDB state checkpointed
+      val q2 = start()
+      // the stored signature must survive the restart: a near-dup
+      // arriving in the NEW query instance still pairs with doc 1
+      input.addData(doc(2L, "the quick brown fox jumps over the lazy cat", 1030))
+      q2.processAllAvailable()
+      try {
+        val pairs = spark.read.parquet(outDir).as[CandidatePair].collect()
+          .map(p => (p.a_id, p.b_id)).toSeq
+        assert(pairs.count(_ == (1L, 2L)) == 1,
+          s"expected exactly one (1,2) pair after restart, got $pairs")
+      } finally q2.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None    => spark.conf.unset(ProviderKey)
+      }
+    }
+  }
+
   test("in-batch near-dups pair; replayed doc ids do not self-pair") {
     val got = run(Seq(
       Seq(doc(1L, "the quick brown fox jumps over the lazy dog", 1000),
