@@ -173,6 +173,74 @@ object FingerprintQueries {
        |GROUP BY o.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------- dup_span_ladder
+  // Variable-length duplicated-SPAN report at log-spaced resolution:
+  // substr_dup answers "how much of this doc sits in duplicated 8-token
+  // windows"; the memorization-risk question is "how LONG a span does
+  // this doc share with the rest of the corpus" (a 64-token shared span
+  // is a verbatim-copy signal, a lone 8-token one is a idiom). Exact
+  // longest-span needs cross-shard LCP machinery; the doubling ladder
+  // L ∈ {8,16,32,64} brackets it within 2× using the SAME fixed-window
+  // pipeline per rung — each rung is one per-shard suffix-array pass
+  // ([[graft.text.SuffixArray]], windows shrink as L grows) feeding one
+  // h-keyed exchange + doc rollup. Long-format output; max duplicated
+  // span per doc = max span_len with n_dup_windows > 0.
+  private val SpanLadder = Seq(8, 16, 32, 64)
+
+  private def dupSpanLadder(s: SparkSession, d: String): DataFrame =
+    SpanLadder.map { l =>
+      val occ = graft.text.SuffixArray
+        .windowOccurrences(Tables.documents(s, d), "doc_id", "text", l)
+        .repartition(col("h"))
+        .groupBy(col("h"), col("doc_id")).agg(sum(col("c")).as("c"))
+      occ
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_windows"),
+          sum(when(col("n_docs") >= 2, col("c")).otherwise(0L))
+            .as("n_dup_windows"))
+        .withColumn("span_len", lit(l))
+        .select(col("doc_id"), col("span_len"), col("n_windows"),
+          col("n_dup_windows"))
+    }.reduce(_ unionByName _)
+
+  /** [[graft.text.TextFunctions.shinglesSql]] builds an n-term `||`
+    * chain, which left-nests past DuckDB's 128-deep binder recursion at
+    * n = 64; the slice + array_to_string form is flat at any width and
+    * produces identical strings. */
+  private def shingleSliceSql(toksCol: String, n: Int): String =
+    s"CASE WHEN len($toksCol) < $n THEN [] ELSE " +
+      s"list_transform(range(1, len($toksCol) - ${n - 2}), " +
+      s"i -> array_to_string($toksCol[i : i + ${n - 1}], ' ')) END"
+
+  private val dupSpanLadderSql = {
+    val toks = tokensSql("text")
+    val rungs = SpanLadder.map { l =>
+      val sh = shingleSliceSql("toks", l)
+      s"""grams$l AS (
+         |  SELECT doc_id, unnest($sh) AS s FROM tok),
+         |occ$l AS (
+         |  SELECT doc_id, ${portableHashSql("s")} AS h, COUNT(*) AS c
+         |  FROM grams$l GROUP BY 1, 2),
+         |nd$l AS (
+         |  SELECT h, COUNT(*) AS n_docs FROM occ$l GROUP BY 1),
+         |rep$l AS (
+         |  SELECT o.doc_id, $l AS span_len,
+         |    CAST(SUM(c) AS BIGINT) AS n_windows,
+         |    CAST(SUM(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT)
+         |      AS n_dup_windows
+         |  FROM occ$l o JOIN nd$l USING (h)
+         |  GROUP BY o.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val union = SpanLadder
+      .map(l => s"SELECT doc_id, span_len, n_windows, n_dup_windows FROM rep$l")
+      .mkString("\nUNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |$rungs
+       |$union""".stripMargin
+  }
+
   // ------------------------------------------------------------ rep_ngram
   // Gopher/C4-family repetition metrics per document: the fraction of
   // token bigrams taken by the single most frequent bigram, and the
@@ -396,6 +464,7 @@ object FingerprintQueries {
     QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
     QueryDef("substr_dup", substrDup, Some(substrDupSql)),
     QueryDef("substr_dup_sa", substrDupSa, Some(substrDupSql)),
+    QueryDef("dup_span_ladder", dupSpanLadder, Some(dupSpanLadderSql)),
     QueryDef("rep_ngram",
       (s, d) => graft.SharedStages.repNgramReport(s, d), Some(repNgramSql)),
     QueryDef("lm_rare_bigrams",
