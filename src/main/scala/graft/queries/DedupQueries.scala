@@ -224,6 +224,60 @@ object DedupQueries {
        |  lab.doc_id = keeper.keeper_id AS keep
        |FROM lab JOIN keeper ON lab.root = keeper.root""".stripMargin
 
+  // --------------------------------------------------- fuzzy_name_match
+  // Entity-resolution fuzzy match (PassJoin family, Li et al.): find
+  // same-length name pairs within edit distance 1 WITHOUT an all-pairs
+  // levenshtein — the data-cleaning primitive behind product/entity
+  // dedup. Blocking is provably COMPLETE for same-length distance ≤ 1:
+  // split every name at h = len div 2; one substitution sits in one
+  // half, so the OTHER half matches exactly — every qualifying pair
+  // shares a (len, left-half) or (len, right-half) block key. One
+  // keyed exchange on the block key, candidates ∝ collisions, exact
+  // levenshtein verify only on candidates. (Distance k generalizes to
+  // k+1 segments — same shape, k+1 block rows per name.) Probe side:
+  // the first 100 part keys, the knn_topk query-set discipline.
+  private def fuzzyNameMatch(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d)
+      .select(col("p_partkey").as("key"), col("p_name").as("name"))
+      .withColumn("len", length(col("name")))
+      .withColumn("lh", expr("substring(name, 1, len div 2)"))
+      .withColumn("rh", expr("substring(name, len div 2 + 1)"))
+    def blocks(df: DataFrame, p: String) = df
+      .select(col("key").as(s"${p}_key"), col("name").as(s"${p}_name"),
+        col("len"),
+        explode(array(
+          concat_ws("|", lit("L"), col("len"), col("lh")),
+          concat_ws("|", lit("R"), col("len"), col("rh")))).as("blk"))
+    blocks(parts.filter(col("key") < 100), "a")
+      .join(blocks(parts, "b"), Seq("blk"))
+      .filter(col("a_key") =!= col("b_key"))
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"))
+      .distinct() // a pair can share both halves (equal names)
+      .withColumn("dist",
+        levenshtein(col("a_name"), col("b_name")).cast("int"))
+      .filter(col("dist") <= 1)
+  }
+
+  private val fuzzyNameMatchSql =
+    """WITH p AS (
+      |  SELECT p_partkey AS key, p_name AS name, len(p_name) AS l,
+      |    substr(p_name, 1, len(p_name) // 2) AS lh,
+      |    substr(p_name, len(p_name) // 2 + 1) AS rh
+      |  FROM part),
+      |blocks AS (
+      |  SELECT key, name, concat_ws('|', 'L', l, lh) AS blk FROM p
+      |  UNION ALL
+      |  SELECT key, name, concat_ws('|', 'R', l, rh) AS blk FROM p),
+      |cand AS (
+      |  SELECT DISTINCT a.key AS a_key, b.key AS b_key,
+      |    a.name AS a_name, b.name AS b_name
+      |  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.key <> b.key
+      |  WHERE a.key < 100)
+      |SELECT a_key, b_key, a_name, b_name,
+      |  CAST(levenshtein(a_name, b_name) AS INTEGER) AS dist
+      |FROM cand
+      |WHERE levenshtein(a_name, b_name) <= 1""".stripMargin
+
   // ------------------------------------------------------ dedup_simhash
   private def simhashQ(s: SparkSession, d: String): DataFrame =
     SimHash.simhash(Tables.documents(s, d), "doc_id", "text")
@@ -241,5 +295,6 @@ object DedupQueries {
     QueryDef("components_star", componentsStar, Some(dedupComponentsSql)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QueryDef("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
-    QueryDef("dedup_simhash", simhashQ, Some(simhashSql)))
+    QueryDef("dedup_simhash", simhashQ, Some(simhashSql)),
+    QueryDef("fuzzy_name_match", fuzzyNameMatch, Some(fuzzyNameMatchSql)))
 }
