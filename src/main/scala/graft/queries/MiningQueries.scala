@@ -283,10 +283,124 @@ object MiningQueries {
        |GROUP BY o.doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------- kmv_overlap
+  // KMV sketch SET ALGEBRA — the reason KMV beats HLL when overlap
+  // matters: two sources' k-min sketches compose into union and
+  // intersection ESTIMATES without touching the raw sets. Per source,
+  // the k smallest distinct gram hashes (the sketch — k longs, however
+  // big the source); per source pair, the k-min of the merged sketches
+  // IS the union's sketch (k-min of union = k-min of k-mins), so
+  // |A∪B| ≈ (k−1)·2⁶⁰/h₍ₖ₎, and the fraction ρ of the union sketch
+  // present in BOTH sides estimates |A∩B| ≈ ρ·|A∪B| (the standard KMV
+  // intersection estimator). Everything is a pure function of the
+  // deterministic portable hash — order-free and DuckDB-mirrored
+  // branch-for-branch (exact when the union has < k distinct hashes).
+  // The corpus-overlap triage report: which crawl sources duplicate
+  // each other, priced at k longs per source instead of a pairwise
+  // shingle join.
+  private val KmvK = 64
+  private val KmvMaxHash = 1152921504606846976L // 2^60 (15 hex digits)
+
+  private def kmvOverlap(s: SparkSession, d: String): DataFrame = {
+    val hashes = TextFunctions
+      .ngramRows(Tables.documents(s, d), "doc_id", "text", 3)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id")
+      .select(col("source"), portableHash(col("s")).as("h"))
+      .distinct()
+    val topk = hashes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rn") <= KmvK)
+      .select(col("source"), col("h"))
+    val srcs = topk.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .crossJoin(srcs.select(col("source").as("sb")))
+      .filter(col("sa") < col("sb")) // bounded: |sources|² tiny rows
+    val merged = pairs
+      .join(topk.select(col("source").as("sa"), col("h")), Seq("sa"))
+      .select(col("sa"), col("sb"), col("h"), lit(1).as("tag_a"), lit(0).as("tag_b"))
+      .unionByName(pairs
+        .join(topk.select(col("source").as("sb"), col("h")), Seq("sb"))
+        .select(col("sa"), col("sb"), col("h"), lit(0).as("tag_a"), lit(1).as("tag_b")))
+      .groupBy(col("sa"), col("sb"), col("h"))
+      .agg(max(col("tag_a")).as("in_a"), max(col("tag_b")).as("in_b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))))
+      .filter(col("rn") <= KmvK)
+    merged
+      .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(col("h")).as("hk"),
+        sum(col("in_a") * col("in_b")).cast("long").as("n_both"))
+      .withColumn("union_est",
+        when(col("n_kept") < KmvK, col("n_kept").cast("double"))
+          .otherwise(lit(KmvK - 1).cast("double") *
+            lit(KmvMaxHash).cast("double") / col("hk").cast("double")))
+      .withColumn("inter_est",
+        when(col("n_kept") < KmvK, col("n_both").cast("double"))
+          .otherwise(col("n_both").cast("double") / lit(KmvK).cast("double")
+            * col("union_est")))
+      .select(col("source_a"), col("source_b"), col("n_kept"), col("n_both"),
+        col("union_est"), col("inter_est"))
+  }
+
+  private val kmvOverlapSql = {
+    val toks = tokensSql("text")
+    val sh = shinglesSql("toks", 3)
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, $toks AS toks FROM documents),
+       |grams AS (
+       |  SELECT source, unnest($sh) AS s FROM tok),
+       |hashes AS (
+       |  SELECT DISTINCT source, ${portableHashSql("s")} AS h FROM grams),
+       |topk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h,
+       |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM hashes) WHERE rn <= $KmvK),
+       |srcs AS (SELECT DISTINCT source FROM topk),
+       |pairs AS (
+       |  SELECT a.source AS sa, b.source AS sb
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |merged AS (
+       |  SELECT sa, sb, h, MAX(tag_a) AS in_a, MAX(tag_b) AS in_b
+       |  FROM (
+       |    SELECT p.sa, p.sb, t.h, 1 AS tag_a, 0 AS tag_b
+       |    FROM pairs p JOIN topk t ON t.source = p.sa
+       |    UNION ALL
+       |    SELECT p.sa, p.sb, t.h, 0 AS tag_a, 1 AS tag_b
+       |    FROM pairs p JOIN topk t ON t.source = p.sb)
+       |  GROUP BY 1, 2, 3),
+       |kept AS (
+       |  SELECT sa, sb, h, in_a, in_b FROM (
+       |    SELECT sa, sb, h, in_a, in_b,
+       |      ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+       |    FROM merged) WHERE rn <= $KmvK),
+       |agg AS (
+       |  SELECT sa AS source_a, sb AS source_b, COUNT(*) AS n_kept,
+       |    MAX(h) AS hk,
+       |    CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+       |  FROM kept GROUP BY 1, 2),
+       |est AS (
+       |  SELECT source_a, source_b, n_kept, n_both,
+       |    CASE WHEN n_kept < $KmvK THEN CAST(n_kept AS DOUBLE)
+       |      ELSE CAST(${KmvK - 1} AS DOUBLE)
+       |        * CAST($KmvMaxHash AS DOUBLE) / CAST(hk AS DOUBLE) END
+       |      AS union_est
+       |  FROM agg)
+       |SELECT source_a, source_b, n_kept, n_both, union_est,
+       |  CASE WHEN n_kept < $KmvK THEN CAST(n_both AS DOUBLE)
+       |    ELSE CAST(n_both AS DOUBLE) / CAST($KmvK AS DOUBLE) * union_est
+       |  END AS inter_est
+       |FROM est""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("hll_distinct", hllDistinct, Some(hllDistinctSql)),
     QueryDef("winnow_fingerprint", winnowFingerprint,
       Some(winnowFingerprintSql)),
     QueryDef("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
-    QueryDef("novelty_incr", noveltyIncr, Some(noveltyIncrSql)))
+    QueryDef("novelty_incr", noveltyIncr, Some(noveltyIncrSql)),
+    QueryDef("kmv_overlap", kmvOverlap, Some(kmvOverlapSql)))
 }
