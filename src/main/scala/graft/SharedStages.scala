@@ -120,6 +120,21 @@ object SharedStages {
       graft.dedup.Components.minLabel(embedPairs(s, dir), "a_id", "b_id")
     }
 
+  /** Lloyd-TRAINED IVF codebook (seed_id, sq, snq) over
+    * `embeddings(dir)` — [[graft.embed.IvfTrain.trainedCentroids]],
+    * trained once per (session, dir) and shared by every IVF consumer
+    * (ivf_assign, ivf_search, ann_recall, ann_frontier). The result is
+    * k×1 driver-local rows, so the memo holds the tiny table itself. */
+  def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "ivfCentroids") {
+      import org.apache.spark.sql.functions.col
+      graft.embed.IvfTrain.trainedCentroids(
+        graft.embed.Similarity
+          .quantized(Tables.embeddings(s, dir), "vec_id", "embedding")
+          .select(col("vec_id"), col("q"), col("nq")))
+        .localCheckpoint()
+    }
+
   /** Materialized per-doc repetition report (rep_ngram) — consumed by
     * the standalone report AND the curation funnel. One row per doc. */
   def repNgramReport(s: SparkSession, dir: String): DataFrame =
@@ -133,7 +148,73 @@ object SharedStages {
       graft.queries.FingerprintQueries.lmRareBigrams(s, dir).localCheckpoint()
     }
 
+  // ------------------------------------------------- on-disk scratch
+  // Per-JVM scratch root for query-internal stores (the BucketStore
+  // gram store behind novelty_incr/novelty_probe). One root, removed on
+  // JVM exit — repeated Verify/Bench invocations no longer leak parquet
+  // stores in /tmp (each previously called createTempDirectory and
+  // never deleted it).
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursive(p)))
+    p
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.delete(f)
+        catch { case _: Throwable => () })
+    }
+  }
+
+  /** A fresh scratch directory under the session root — removed with
+    * the root at JVM exit; callers that finish with a store earlier can
+    * [[discardScratch]] it immediately. */
+  def newScratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+
+  def discardScratch(dir: String): Unit =
+    deleteRecursive(java.nio.file.Paths.get(dir))
+
+  private val storeMemo =
+    new ConcurrentHashMap[(SparkSession, String, String), String]()
+
+  /** The STANDING prior-gram store of `documents(dir)` (even doc_ids'
+    * distinct n-gram hashes in a hash-bucketed
+    * [[graft.sink.BucketStore]]), built ONCE per (session, dir) — the
+    * steady-state form of an ingest loop's membership store. The
+    * bootstrap build cost is paid by the first caller; every later
+    * probe (novelty_probe) reads only the buckets its batch touches.
+    * At 100 TB this is a persistent table maintained by the ingest
+    * pipeline; the memo is its single-session rendering. */
+  def noveltyGramStore(s: SparkSession, dir: String,
+                       n: Int, numBuckets: Int): String = {
+    val key = (s, dir, s"noveltyStore_${n}_$numBuckets")
+    val existing = storeMemo.get(key)
+    if (existing != null) existing
+    else {
+      val path = newScratchDir("novelty_store")
+      val docs = Tables.documents(s, dir)
+      import org.apache.spark.sql.functions.col
+      val priorGrams = graft.text.TextFunctions
+        .ngramRows(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", n)
+        .select(graft.text.TextFunctions.portableHash(col("s")).as("h"))
+        .distinct()
+      graft.sink.BucketStore.upsert(s, priorGrams, path, Seq("h"), numBuckets)
+      val prev = storeMemo.putIfAbsent(key, path)
+      if (prev != null) { discardScratch(path); prev } else path
+    }
+  }
+
   /** Drop every memoized stage (end of a batch run / test isolation).
-    * The checkpointed blocks are freed when the RDDs are GC'd. */
-  def clear(): Unit = memo.clear()
+    * The checkpointed blocks are freed when the RDDs are GC'd; on-disk
+    * scratch stores are removed eagerly. */
+  def clear(): Unit = {
+    memo.clear()
+    import scala.jdk.CollectionConverters._
+    storeMemo.values().asScala.foreach(discardScratch)
+    storeMemo.clear()
+  }
 }

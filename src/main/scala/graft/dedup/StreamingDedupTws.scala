@@ -19,33 +19,43 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * duplicates — none expressible on the stock operator), and it
   * completes the transformWithState migration of the streaming dedup
   * family next to [[StreamingNearDup]]. */
-object StreamingDedupTws {
+/** First-arrival event time; state lives until watermark passes
+  * firstMs + horizon. Top-level (not nested/private) so the encoder's
+  * generated projection can access the member — a private or
+  * locally-scoped state class compiles but fails codegen per batch and
+  * silently falls back to interpreted serde. */
+case class DedupSeen(firstMs: Long)
 
-  /** First-arrival wall time; state lives until watermark passes
-    * firstMs + horizon. */
-  private case class Seen(firstMs: Long)
+object StreamingDedupTws {
 
   class Processor[T](horizonMs: Long)
       extends StatefulProcessor[String, (Long, T), T] {
 
-    @transient private var seen: ValueState[Seen] = _
+    @transient private var seen: ValueState[DedupSeen] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      seen = getHandle.getValueState[Seen](
-        "seen", Encoders.product[Seen], TTLConfig.NONE)
+      seen = getHandle.getValueState[DedupSeen](
+        "seen", Encoders.product[DedupSeen], TTLConfig.NONE)
 
     override def handleInputRows(
         key: String,
         rows: Iterator[(Long, T)],
         timers: TimerValues): Iterator[T] = {
       if (seen.exists()) Iterator.empty
-      else rows.nextOption() match {
-        case Some((firstMs, row)) =>
-          seen.update(Seen(firstMs))
+      else {
+        // Deterministic fold: when several rows of the key land in one
+        // micro-batch, keep the minimum-event-time row (matching the
+        // sort-by-ts discipline of StreamingNearDup / StreamFunnelTws),
+        // not whichever the iterator yields first.
+        val buf = rows.toVector
+        if (buf.isEmpty) Iterator.empty
+        else {
+          val (firstMs, row) = buf.minBy(_._1)
+          seen.update(DedupSeen(firstMs))
           getHandle.registerTimer(math.max(firstMs + horizonMs,
             timers.getCurrentWatermarkInMs() + 1L))
           Iterator.single(row)
-        case None => Iterator.empty
+        }
       }
     }
 

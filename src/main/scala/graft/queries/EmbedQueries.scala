@@ -70,12 +70,12 @@ object EmbedQueries {
 
   // ----------------------------------------------------------- ivf_assign
   // Real IVF coarse quantization: assign every vector to its nearest of
-  // k=8 seed centroids (the 8 lowest vec_ids — true ORDER BY/LIMIT like
-  // kmeans_step, robust to sparse/offset id spaces) by integer-quantized
-  // cosine, ties to
-  // the lowest seed id. The seed table is broadcast (8 rows — a bounded
+  // k=8 Lloyd-TRAINED centroids ([[graft.embed.IvfTrain]] — 3 exact-
+  // integer training rounds from the lowest-id seeds; round 8 used the
+  // raw seeds directly) by integer-quantized cosine, ties to
+  // the lowest seed id. The codebook is broadcast (≤8 rows — a bounded
   // nested-loop, not an unguarded cross join), so assignment is map-only
-  // over the vectors; the rank-1 window then runs over exactly 8 scored
+  // over the vectors; the rank-1 window then runs over ≤8 scored
   // rows per vector. At 100 TB this is THE cell-assignment pass that
   // feeds blocked near-dup (embed_cosine_pairs) and IVF search: cells
   // replace the label column with a data-derived partitioner.
@@ -83,8 +83,7 @@ object EmbedQueries {
     import org.apache.spark.sql.expressions.Window
     val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
       .select(col("vec_id"), col("q"), col("nq"))
-    val seeds = qd.orderBy(col("vec_id")).limit(8)
-      .select(col("vec_id").as("seed_id"), col("q").as("sq"), col("nq").as("snq"))
+    val seeds = graft.SharedStages.ivfCentroids(s, d)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("seed_id"))
     qd.crossJoin(broadcast(seeds)) // bounded: 8 broadcast seed rows
@@ -97,9 +96,7 @@ object EmbedQueries {
 
   private val ivfAssignSql =
     s"""WITH ${Similarity.duckdbQuantizedCte},
-       |seeds AS (
-       |  SELECT vec_id AS seed_id, q AS sq, nq AS snq FROM qv
-       |  ORDER BY vec_id LIMIT 8),
+       |${graft.embed.IvfTrain.duckdbSeedsCte()},
        |scored AS (
        |  SELECT v.vec_id, s.seed_id,
        |    CAST(${Similarity.duckdbDot("v.q", "s.sq")} AS DOUBLE)
@@ -130,12 +127,11 @@ object EmbedQueries {
     import org.apache.spark.sql.expressions.Window
     val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
       .select(col("vec_id"), col("q"), col("nq"))
-    val seeds = qd.orderBy(col("vec_id")).limit(8)
-      .select(col("vec_id").as("seed_id"), col("q").as("sq"), col("nq").as("snq"))
+    val seeds = graft.SharedStages.ivfCentroids(s, d)
     def cellRank(df: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("seed_id"))
-      df.crossJoin(broadcast(seeds)) // bounded: 8 broadcast seed rows
+      df.crossJoin(broadcast(seeds)) // bounded: ≤8 broadcast codebook rows
         .withColumn("dot", Similarity.dotQ("q", "sq"))
         .withColumn("cos", Similarity.cosine(col("dot"), col("nq"), col("snq")))
         .withColumn("rn", row_number().over(w))
@@ -158,9 +154,7 @@ object EmbedQueries {
 
   private val ivfSearchSql =
     s"""WITH ${Similarity.duckdbQuantizedCte},
-       |seeds AS (
-       |  SELECT vec_id AS seed_id, q AS sq, nq AS snq FROM qv
-       |  ORDER BY vec_id LIMIT 8),
+       |${graft.embed.IvfTrain.duckdbSeedsCte()},
        |cellranked AS (
        |  SELECT v.vec_id, s.seed_id, v.q, v.nq,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
@@ -219,17 +213,15 @@ object EmbedQueries {
        |    SELECT query_id, neighbor_id,
        |      ROW_NUMBER() OVER (PARTITION BY query_id
        |                         ORDER BY cos DESC, neighbor_id) AS rk
-       |    FROM ex_pairs) WHERE rk <= 5),
-       |iv_seeds AS (
-       |  SELECT vec_id AS seed_id, q AS sq, nq AS snq FROM qv
-       |  ORDER BY vec_id LIMIT 8),
+       |    FROM ex_pairs) WHERE rk <= $IvfK),
+       |${graft.embed.IvfTrain.duckdbSeedsCte()},
        |iv_cellranked AS (
        |  SELECT v.vec_id, s.seed_id, v.q, v.nq,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
        |      CAST(${Similarity.duckdbDot("v.q", "s.sq")} AS DOUBLE)
        |        / sqrt(CAST(v.nq AS DOUBLE) * CAST(s.snq AS DOUBLE)) DESC,
        |      s.seed_id) AS rn
-       |  FROM qv v CROSS JOIN iv_seeds s),
+       |  FROM qv v CROSS JOIN seeds s),
        |iv_assign AS (
        |  SELECT vec_id, seed_id AS cell, q, nq FROM iv_cellranked WHERE rn = 1),
        |iv_probes AS (
@@ -273,12 +265,11 @@ object EmbedQueries {
     import s.implicits._
     val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
       .select(col("vec_id"), col("q"), col("nq"))
-    val seeds = qd.orderBy(col("vec_id")).limit(8)
-      .select(col("vec_id").as("seed_id"), col("q").as("sq"), col("nq").as("snq"))
+    val seeds = graft.SharedStages.ivfCentroids(s, d)
     def cellRank(df: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("seed_id"))
-      df.crossJoin(broadcast(seeds)) // bounded: 8 broadcast seed rows
+      df.crossJoin(broadcast(seeds)) // bounded: ≤8 broadcast codebook rows
         .withColumn("dot", Similarity.dotQ("q", "sq"))
         .withColumn("cos", Similarity.cosine(col("dot"), col("nq"), col("snq")))
         .withColumn("rn", row_number().over(w))
@@ -316,9 +307,7 @@ object EmbedQueries {
 
   private val annFrontierSql =
     s"""WITH ${Similarity.duckdbQuantizedCte},
-       |seeds AS (
-       |  SELECT vec_id AS seed_id, q AS sq, nq AS snq FROM qv
-       |  ORDER BY vec_id LIMIT 8),
+       |${graft.embed.IvfTrain.duckdbSeedsCte()},
        |cellranked AS (
        |  SELECT v.vec_id, s.seed_id, v.q, v.nq,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
@@ -358,7 +347,7 @@ object EmbedQueries {
        |    SELECT query_id, neighbor_id,
        |      ROW_NUMBER() OVER (PARTITION BY query_id
        |                         ORDER BY cos DESC, neighbor_id) AS rk
-       |    FROM ex_pairs) WHERE rk <= 5),
+       |    FROM ex_pairs) WHERE rk <= $IvfK),
        |exn AS (
        |  SELECT n.nprobe, e.query_id, e.neighbor_id FROM np n CROSS JOIN ex e),
        |rec AS (

@@ -241,6 +241,93 @@ object FingerprintQueries {
        |$union""".stripMargin
   }
 
+  // ----------------------------------------------------- dup_longest_span
+  // The EXACT variable-length answer dup_span_ladder brackets: per doc,
+  // the longest token span shared verbatim with ANY other document —
+  // floor 8 (below the ladder's bottom rung reports 0), cap 64 (the
+  // ladder's top rung; a 64+ span reports 64). ONE global suffix sort +
+  // LCP walk ([[graft.text.LcpWalk]]) instead of four fixed-W passes:
+  // stride-1 suffixes capped at 64 tokens, prefiltered to positions
+  // whose 8-token prefix window is duplicated across docs (exactness-
+  // preserving — a cross-doc LCP ≥ 8 implies that duplicated window —
+  // and it makes candidates ∝ duplicated positions, not corpus size),
+  // then range-partitioned sort + per-partition adjacent-pair LCPs +
+  // driver-stitched partition boundaries. The oracle replays the same
+  // adjacent-pair maximum under DuckDB's own sort order — valid
+  // because the adjacent-different-doc-pair lemma makes the per-doc
+  // max order-independent (see LcpWalk's scaladoc).
+  private val SpanMin = 8
+  private val SpanCap = 64
+
+  private def dupLongestSpan(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = graft.Tables.parallelize(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= SpanMin)
+    val pos = tok
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (SpanMin - 1))).as("i"))
+      .select(col("doc_id"),
+        portableHash(array_join(
+          slice(col("toks"), col("i"), lit(SpanMin)), " ")).as("h"),
+        slice(col("toks"), col("i"), lit(SpanCap)).as("suf"))
+    val dupH = pos.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("h"))
+    val cand = pos.join(dupH, "h").select(col("doc_id"), col("suf"))
+    val per = graft.text.LcpWalk.maxSharedSpan(cand)
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("m"), lit(0)) >= SpanMin, coalesce(col("m"), lit(0)))
+          .otherwise(lit(0)).cast("long").as("longest_dup_span"))
+  }
+
+  private val dupLongestSpanSql = {
+    val toks = tokensSql("text")
+    s"""WITH tok AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |pos0 AS (
+       |  -- parallel unnest (lateral range over a column is unsupported)
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks) - ${SpanMin - 2}),
+       |      i -> array_to_string(toks[i : i + ${SpanMin - 1}], ' '))) AS w8,
+       |    unnest(list_transform(range(1, len(toks) - ${SpanMin - 2}),
+       |      i -> toks[i : i + ${SpanCap - 1}])) AS suf
+       |  FROM tok),
+       |pos AS (
+       |  SELECT doc_id, ${portableHashSql("w8")} AS h, suf FROM pos0),
+       |dup AS (
+       |  SELECT h FROM (SELECT DISTINCT h, doc_id FROM pos)
+       |  GROUP BY h HAVING COUNT(*) >= 2),
+       |cand AS (
+       |  SELECT p.doc_id, p.suf FROM pos p JOIN dup USING (h)),
+       |ord AS (
+       |  SELECT doc_id, suf,
+       |    lag(doc_id) OVER (ORDER BY suf) AS pdoc,
+       |    lag(suf) OVER (ORDER BY suf) AS psuf
+       |  FROM cand),
+       |lc AS (
+       |  SELECT doc_id, pdoc,
+       |    -- list_position yields 0 (not NULL) when no false exists —
+       |    -- nullif routes the all-equal case to the min-length arm
+       |    coalesce(nullif(list_position(list_transform(
+       |        range(1, least(len(suf), len(psuf)) + 1),
+       |        j -> suf[j] = psuf[j]), false), 0) - 1,
+       |      least(len(suf), len(psuf))) AS l
+       |  FROM ord WHERE pdoc IS NOT NULL AND pdoc <> doc_id),
+       |per AS (
+       |  SELECT doc_id, MAX(l) AS m FROM (
+       |    SELECT doc_id, l FROM lc
+       |    UNION ALL
+       |    SELECT pdoc AS doc_id, l FROM lc)
+       |  GROUP BY 1)
+       |SELECT t.doc_id,
+       |  CAST(CASE WHEN coalesce(m, 0) >= $SpanMin THEN coalesce(m, 0)
+       |       ELSE 0 END AS BIGINT) AS longest_dup_span
+       |FROM (SELECT doc_id FROM documents) t
+       |LEFT JOIN per USING (doc_id)""".stripMargin
+  }
+
   // ------------------------------------------------------------ rep_ngram
   // Gopher/C4-family repetition metrics per document: the fraction of
   // token bigrams taken by the single most frequent bigram, and the
@@ -465,6 +552,7 @@ object FingerprintQueries {
     QueryDef("substr_dup", substrDup, Some(substrDupSql)),
     QueryDef("substr_dup_sa", substrDupSa, Some(substrDupSql)),
     QueryDef("dup_span_ladder", dupSpanLadder, Some(dupSpanLadderSql)),
+    QueryDef("dup_longest_span", dupLongestSpan, Some(dupLongestSpanSql)),
     QueryDef("rep_ngram",
       (s, d) => graft.SharedStages.repNgramReport(s, d), Some(repNgramSql)),
     QueryDef("lm_rare_bigrams",

@@ -227,22 +227,17 @@ object MiningQueries {
   // `upsert(incomingGrams)` call. The oracle mirrors the semantics
   // (prior-gram anti-membership) — the store is the Spark-side scale
   // machinery under it.
-  private def noveltyIncr(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val nb = 16 // sized so sf-scale buckets stay single-file
-    val docs = Tables.documents(s, d)
-    val path = java.nio.file.Files
-      .createTempDirectory("novelty_store").toString
-    // both stages are consumed TWICE (a bounded bucket-id collect, then
-    // the write/join) — materialize once instead of re-running the gram
-    // pipeline per consumer (same localCheckpoint discipline as
-    // SharedStages; sf0.1 bench 6.8 s → 5.4 s)
-    val priorGrams = TextFunctions
-      .ngramRows(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", NovN)
-      .select(portableHash(col("s")).as("h")).distinct()
-      .localCheckpoint()
-    graft.sink.BucketStore.upsert(s, priorGrams, path, Seq("h"), nb)
+  private val NovBuckets = 16 // sized so sf-scale buckets stay single-file
 
+  /** The probe side shared by both forms: the incoming batch (odd ids)
+    * routes its distinct gram hashes to the store's buckets, reads ONLY
+    * those buckets, and anti-joins — cost ∝ batch, never store size. */
+  private def noveltyProbeAgainst(s: SparkSession, d: String,
+                                  storePath: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val docs = Tables.documents(s, d)
+    // consumed TWICE (bounded bucket-id collect, then the join) —
+    // materialize once (same localCheckpoint discipline as SharedStages)
     val occ = TextFunctions
       .ngramRows(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", NovN)
       .select(col("doc_id"), portableHash(col("s")).as("h"))
@@ -250,8 +245,8 @@ object MiningQueries {
       .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val schema = StructType(Seq(StructField("h", LongType)))
-    val store = graft.sink.BucketStore.readBuckets(s, path, schema,
-      graft.sink.BucketStore.touchedBuckets(occ, Seq("h"), nb))
+    val store = graft.sink.BucketStore.readBuckets(s, storePath, schema,
+      graft.sink.BucketStore.touchedBuckets(occ, Seq("h"), NovBuckets))
       .withColumn("seen", lit(1L))
     occ.join(store, Seq("h"), "left")
       .groupBy(col("doc_id"))
@@ -260,6 +255,33 @@ object MiningQueries {
       .withColumn("novelty_ratio",
         col("n_new").cast("double") / col("n_grams"))
   }
+
+  /** Bootstrap twin: build the store in-query (the honest first-ingest
+    * cost), probe, then discard the scratch store — the result is
+    * eagerly materialized first (tiny: one row per incoming doc), so
+    * the store files are not needed after this returns and repeated
+    * Verify/Bench invocations no longer leak /tmp parquet stores. */
+  private def noveltyIncr(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = graft.SharedStages.newScratchDir("novelty_incr")
+    val priorGrams = TextFunctions
+      .ngramRows(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", NovN)
+      .select(portableHash(col("s")).as("h")).distinct()
+      .localCheckpoint()
+    graft.sink.BucketStore.upsert(s, priorGrams, path, Seq("h"), NovBuckets)
+    val out = noveltyProbeAgainst(s, d, path).localCheckpoint()
+    graft.SharedStages.discardScratch(path)
+    out
+  }
+
+  /** Steady-state form: probe against the STANDING per-(session, dir)
+    * gram store ([[graft.SharedStages.noveltyGramStore]]) — what the
+    * registry should price for an ingest loop's per-batch cost. The
+    * store build is paid once by the first caller (bench warmup), like
+    * any persistent membership table maintained by the pipeline. */
+  private def noveltyProbe(s: SparkSession, d: String): DataFrame =
+    noveltyProbeAgainst(s, d,
+      graft.SharedStages.noveltyGramStore(s, d, NovN, NovBuckets))
 
   private val noveltyIncrSql = {
     val toks = tokensSql("text")
@@ -402,5 +424,6 @@ object MiningQueries {
       Some(winnowFingerprintSql)),
     QueryDef("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     QueryDef("novelty_incr", noveltyIncr, Some(noveltyIncrSql)),
+    QueryDef("novelty_probe", noveltyProbe, Some(noveltyIncrSql)),
     QueryDef("kmv_overlap", kmvOverlap, Some(kmvOverlapSql)))
 }
