@@ -118,10 +118,16 @@ object LatencyBench {
     * MERGE-capable table format) — Bench publishes both numbers so the
     * decomposition is measured, not asserted.
     */
+  /** `useTws=true` swaps the flatMapGroupsWithState sessionizer for the
+    * Spark-4 `transformWithState` form ([[graft.session.SessionizeTws]])
+    * on the RocksDB state store — the latency row for the TWS operator
+    * family (near-dup, funnel, dedup twins share the same machinery),
+    * measured at its supported trigger rather than asserted equal. */
   def runStateful(spark: SparkSession, triggerMs: Long,
                   sendEveryMs: Long = 50,
                   durationMs: Long = 15000,
-                  withStore: Boolean = true): (Double, Double, Int) = {
+                  withStore: Boolean = true,
+                  useTws: Boolean = false): (Double, Double, Int) = {
     import spark.implicits._
     import graft.schema.TelemetryModel.{SessionDoc, StatusEvent}
     import graft.sources.FileLog
@@ -180,7 +186,14 @@ object LatencyBench {
     // the session default right after.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = graft.session.Sessionize.stateful(events).writeStream
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(ProviderKey)
+    if (useTws) spark.conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sessions =
+      if (useTws) graft.session.SessionizeTws.stateful(events)
+      else graft.session.Sessionize.stateful(events)
+    val q = sessions.writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[SessionDoc], _: Long) =>
@@ -204,7 +217,13 @@ object LatencyBench {
     spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     producer.start()
     try Thread.sleep(durationMs)
-    finally { producing = false; producer.join(); q.stop() }
+    finally {
+      producing = false; producer.join(); q.stop()
+      if (useTws) prevProvider match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None    => spark.conf.unset(ProviderKey)
+      }
+    }
 
     val steady = lats.synchronized { lats.drop(lats.size / 2).sorted.toIndexedSeq }
     if (steady.isEmpty) (Double.NaN, Double.NaN, 0)

@@ -300,27 +300,30 @@ object FingerprintQueries {
        |  SELECT h FROM (SELECT DISTINCT h, doc_id FROM pos)
        |  GROUP BY h HAVING COUNT(*) >= 2),
        |cand AS (
-       |  SELECT p.doc_id, p.suf FROM pos p JOIN dup USING (h)),
-       |ord AS (
-       |  SELECT doc_id, suf,
-       |    lag(doc_id) OVER (ORDER BY suf) AS pdoc,
-       |    lag(suf) OVER (ORDER BY suf) AS psuf
-       |  FROM cand),
+       |  SELECT p.doc_id, p.h, p.suf FROM pos p JOIN dup USING (h)),
+       |-- The Spark side walks ONE globally sorted suffix layout (the
+       |-- scale path). The oracle deliberately does NOT mirror that
+       |-- adjacency walk: a global-ORDER-BY window over this derived
+       |-- input returns intermittently wrong lag() rows under DuckDB
+       |-- 1.0's parallel window execution (observed ~1-in-5 at sf0.1;
+       |-- stable and correct at threads=1 — list- and string-typed sort
+       |-- keys alike). Instead it exploits that any cross-doc LCP ≥ 8
+       |-- pair shares its first-8-token window, so the per-doc max is
+       |-- computable WITHIN h-groups: a pairwise LCP join keyed by the
+       |-- duplicated-window hash — deterministic, no sort, and bounded
+       |-- by the dup-group sizes (max 4, Σc² ≈ 45k at sf0.1).
        |lc AS (
-       |  SELECT doc_id, pdoc,
+       |  SELECT a.doc_id,
        |    -- list_position yields 0 (not NULL) when no false exists —
        |    -- nullif routes the all-equal case to the min-length arm
        |    coalesce(nullif(list_position(list_transform(
-       |        range(1, least(len(suf), len(psuf)) + 1),
-       |        j -> suf[j] = psuf[j]), false), 0) - 1,
-       |      least(len(suf), len(psuf))) AS l
-       |  FROM ord WHERE pdoc IS NOT NULL AND pdoc <> doc_id),
+       |        range(1, least(len(a.suf), len(b.suf)) + 1),
+       |        j -> a.suf[j] = b.suf[j]), false), 0) - 1,
+       |      least(len(a.suf), len(b.suf))) AS l
+       |  FROM cand a JOIN cand b
+       |    ON a.h = b.h AND a.doc_id <> b.doc_id),
        |per AS (
-       |  SELECT doc_id, MAX(l) AS m FROM (
-       |    SELECT doc_id, l FROM lc
-       |    UNION ALL
-       |    SELECT pdoc AS doc_id, l FROM lc)
-       |  GROUP BY 1)
+       |  SELECT doc_id, MAX(l) AS m FROM lc GROUP BY 1)
        |SELECT t.doc_id,
        |  CAST(CASE WHEN coalesce(m, 0) >= $SpanMin THEN coalesce(m, 0)
        |       ELSE 0 END AS BIGINT) AS longest_dup_span
