@@ -286,6 +286,73 @@ object DedupQueries {
     s"""WITH ${SimHash.duckdbCte}
        |SELECT doc_id, simhash FROM sim""".stripMargin
 
+  // -------------------------------------------------------- chunk_dedup
+  // C4/CCNet-style passage-level dedup — the removal step between
+  // whole-document hashing (dedup_exact) and window counting
+  // (substr_dup): each document splits into non-overlapping 32-token
+  // chunks; a chunk whose content fingerprint already occurred earlier
+  // in the corpus (keep-first: lowest (doc_id, chunk_idx) wins) is
+  // dropped, and the report prices what survives per document. This is
+  // the operator that strips repeated boilerplate passages from
+  // otherwise-distinct pages. Plan: the chunk expansion is map-only
+  // (sequence explode + slice, no window over token rows); the ONLY
+  // data-sized exchanges are the fp-keyed rank and the doc-keyed
+  // rollup, and both ship (digest, doc_id, chunk_idx) triples — never
+  // document text. At 100 TB the fp exchange carries ~24 bytes per
+  // chunk, and the keep-first window is a bounded per-group rank over
+  // true collisions only.
+  private val ChunkC = 32
+
+  private def chunkDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = Tables.parallelize(Tables.documents(s, d))
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") > 0)
+      .withColumn("n_chunks", expr(s"(n_tok + ${ChunkC - 1}) DIV $ChunkC"))
+      .withColumn("chunk_idx", explode(expr("sequence(0L, n_chunks - 1)")))
+      .withColumn("fp", md5(concat_ws(" ",
+        expr(s"slice(toks, CAST(chunk_idx * $ChunkC + 1 AS INT), $ChunkC)"))))
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunks"), col("fp"))
+    val w = Window.partitionBy(col("fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunks.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_chunks")).as("n_chunks"),
+        count(when(col("rn") === 1, lit(1))).as("kept_chunks"))
+      .withColumn("retained",
+        col("kept_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
+
+  private def chunkDedupSql = {
+    val toks = TextFunctions.tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |    CAST((len(toks) + ${ChunkC - 1}) // $ChunkC AS BIGINT) AS n_chunks
+       |  FROM t WHERE len(toks) > 0),
+       |x AS (
+       |  SELECT doc_id, toks, n_chunks, CAST(u.i AS BIGINT) AS chunk_idx
+       |  FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) u),
+       |y AS (
+       |  SELECT doc_id, chunk_idx, n_chunks,
+       |    md5(array_to_string(
+       |      toks[CAST(chunk_idx * $ChunkC + 1 AS INT)
+       |           : CAST(chunk_idx * $ChunkC + $ChunkC AS INT)], ' ')) AS fp
+       |  FROM x),
+       |r AS (
+       |  SELECT doc_id, n_chunks,
+       |    ROW_NUMBER() OVER (PARTITION BY fp
+       |                       ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM y)
+       |SELECT doc_id, MAX(n_chunks) AS n_chunks,
+       |  COUNT(CASE WHEN rn = 1 THEN 1 END) AS kept_chunks,
+       |  CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS DOUBLE)
+       |    / CAST(MAX(n_chunks) AS DOUBLE) AS retained
+       |FROM r GROUP BY 1""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_prefix", dedupPrefix, Some(dedupPrefixSql)),
@@ -296,5 +363,6 @@ object DedupQueries {
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QueryDef("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     QueryDef("dedup_simhash", simhashQ, Some(simhashSql)),
-    QueryDef("fuzzy_name_match", fuzzyNameMatch, Some(fuzzyNameMatchSql)))
+    QueryDef("fuzzy_name_match", fuzzyNameMatch, Some(fuzzyNameMatchSql)),
+    QueryDef("chunk_dedup", chunkDedup, Some(chunkDedupSql)))
 }

@@ -476,7 +476,10 @@ object EmbedQueries {
        |SELECT vec_id, j, code, recon_d2
        |FROM pq_assigned WHERE rn = 1""".stripMargin
 
-  private def pqSearchDf(s: SparkSession, d: String): DataFrame = {
+  /** ADC approximate distances for every (query, vector) pair — the
+    * shared stage 1 of pq_search (rank on adist directly) and
+    * pq_refine (shortlist → exact re-rank). */
+  private def pqDists(s: SparkSession, d: String): DataFrame = {
     val subs = pqSubs(s, d)
     val cb = subs.join(broadcast(pqSeedIds(s, d)), "vec_id")
       .select(col("j"), col("vec_id").as("seed_id"), col("sub").as("csub"))
@@ -487,19 +490,21 @@ object EmbedQueries {
       .join(cb, "j")
       .withColumn("dd", d2("qsub", "csub"))
       .select(col("query_id"), col("j"), col("seed_id").as("code"), col("dd"))
-    val dist = codes.join(broadcast(adc), Seq("j", "code"))
+    codes.join(broadcast(adc), Seq("j", "code"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("dd")).as("adist"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
-    graft.plans.TopK.perKey(dist, Seq("query_id"),
-      Seq(("adist", true), ("neighbor_id", true)), IvfK)
   }
 
-  private val pqSearchSql =
-    s"""WITH ${Similarity.duckdbQuantizedCte},
-       |$duckdbPqCtes,
-       |codes AS (
+  private def pqSearchDf(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopK.perKey(pqDists(s, d), Seq("query_id"),
+      Seq(("adist", true), ("neighbor_id", true)), IvfK)
+
+  /** The DuckDB mirror of [[pqDists]] (codes → ADC table → summed
+    * approximate distances), shared by pq_search and pq_refine. */
+  private val duckdbPqDistCtes: String =
+    s"""codes AS (
        |  SELECT vec_id, j, code FROM pq_assigned WHERE rn = 1),
        |adc AS (
        |  SELECT s.vec_id AS query_id, s.j, c.seed_id AS code,
@@ -510,7 +515,12 @@ object EmbedQueries {
        |  SELECT a.query_id, v.vec_id, CAST(SUM(a.dd) AS BIGINT) AS adist
        |  FROM codes v JOIN adc a ON v.j = a.j AND v.code = a.code
        |  WHERE a.query_id <> v.vec_id
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private val pqSearchSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |$duckdbPqCtes,
+       |$duckdbPqDistCtes,
        |ranked AS (
        |  SELECT query_id, vec_id, adist,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -518,6 +528,66 @@ object EmbedQueries {
        |  FROM dists)
        |SELECT query_id, vec_id AS neighbor_id, adist
        |FROM ranked WHERE rk <= $IvfK""".stripMargin
+
+  // ------------------------------------------------------------ pq_refine
+  // Two-stage retrieval — the deployment shape of PQ search: stage 1
+  // shortlists the top-$PqShort candidates per query by ADC distance
+  // (bytes-bounded scan over 8-byte codes, never the vectors); stage 2
+  // fetches ONLY those candidates' full quantized vectors and re-ranks
+  // by exact integer cosine, emitting the top-$IvfK. The refinement
+  // repairs ADC's quantization error where it matters (the top of the
+  // list) at the cost of |Q|·$PqShort exact distance evaluations —
+  // measured against brute-force in PqRefineSpec: recall@5 strictly
+  // above the unrefined pq_search on the same codebook. Plan: the
+  // shortlist is a bounded TopKPerKey heap over the ADC pass; both
+  // stage-2 joins ride broadcasts of shortlist-sized tables (≤ |Q| ×
+  // $PqShort rows), so corpus vectors are touched map-only — point
+  // lookups by neighbor_id, no shuffle of the embedding table.
+  private val PqShort = 20
+
+  private def pqRefine(s: SparkSession, d: String): DataFrame = {
+    val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), col("q"), col("nq"))
+    val short = graft.plans.TopK.perKey(pqDists(s, d), Seq("query_id"),
+      Seq(("adist", true), ("neighbor_id", true)), PqShort)
+    val queries = qd.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nq").as("qnq"))
+    val exact = qd.select(col("vec_id").as("neighbor_id"), col("q"),
+        col("nq"))
+      .join(broadcast(short), "neighbor_id") // shortlist ≤ |Q|×PqShort rows
+      .join(broadcast(queries), "query_id")  // ≤ |Q| rows
+      .withColumn("dot", Similarity.dotQ("qq", "q"))
+      .withColumn("cos", Similarity.cosine(col("dot"), col("qnq"), col("nq")))
+      .select(col("query_id"), col("neighbor_id"), col("adist"), col("cos"))
+    graft.plans.TopK.perKey(exact, Seq("query_id"),
+      Seq(("cos", false), ("neighbor_id", true)), IvfK)
+  }
+
+  private val pqRefineSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |$duckdbPqCtes,
+       |$duckdbPqDistCtes,
+       |short AS (
+       |  SELECT query_id, vec_id AS neighbor_id, adist FROM (
+       |    SELECT query_id, vec_id, adist,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY adist, vec_id) AS rk
+       |    FROM dists) WHERE rk <= $PqShort),
+       |refined AS (
+       |  SELECT s.query_id, s.neighbor_id, s.adist,
+       |    CAST(${Similarity.duckdbDot("a.q", "b.q")} AS DOUBLE)
+       |      / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
+       |  FROM short s
+       |  JOIN qv a ON a.vec_id = s.query_id
+       |  JOIN qv b ON b.vec_id = s.neighbor_id),
+       |reranked AS (
+       |  SELECT query_id, neighbor_id, adist, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM refined)
+       |SELECT query_id, neighbor_id, adist, cos
+       |FROM reranked WHERE rk <= $IvfK""".stripMargin
 
   // -------------------------------------------------------- hard_negatives
   // Contrastive-training negative mining: for each query vector the
@@ -562,6 +632,62 @@ object EmbedQueries {
        |SELECT query_id, neighbor_id, neg_label, cos
        |FROM ranked WHERE rk = 1""".stripMargin
 
+  // -------------------------------------------------------- cluster_purity
+  // Clustering quality vs ground truth — the evaluation gate an
+  // auto-labeling / topic-mining pipeline runs before trusting learned
+  // cells: every vector is assigned to its nearest Lloyd-trained
+  // centroid (ivf_assign's pass), assignments join the label column,
+  // and each cell reports its size, majority label, and purity
+  // (majority fraction). Low purity = the codebook is mixing classes —
+  // retrain or re-seed. Plan: codebook broadcast (≤8 rows) keeps
+  // assignment map-only; the only exchanges are the (cell, label)
+  // count aggregation (map-side combined) and the ≤k-row cell window.
+  // All counts are exact integers; purity is one IEEE division.
+  private def clusterPurity(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assign = ivfAssign(s, d).select(col("vec_id"), col("cell"))
+    val labels = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val cl = assign.join(labels, "vec_id")
+      .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("n").desc, col("label"))
+    cl.withColumn("rn", row_number().over(w))
+      .withColumn("n_vecs",
+        sum(col("n")).over(Window.partitionBy(col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("n_vecs"), col("label").as("top_label"),
+        col("n").as("top_n"),
+        (col("n").cast("double") / col("n_vecs").cast("double"))
+          .as("purity"))
+  }
+
+  private val clusterPuritySql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |${graft.embed.IvfTrain.duckdbSeedsCte()},
+       |cellranked AS (
+       |  SELECT v.vec_id, s.seed_id,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |      CAST(${Similarity.duckdbDot("v.q", "s.sq")} AS DOUBLE)
+       |        / sqrt(CAST(v.nq AS DOUBLE) * CAST(s.snq AS DOUBLE)) DESC,
+       |      s.seed_id) AS rn
+       |  FROM qv v CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, seed_id AS cell FROM cellranked WHERE rn = 1),
+       |cl AS (
+       |  SELECT a.cell, CAST(e.label AS BIGINT) AS label, COUNT(*) AS n
+       |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+       |  GROUP BY 1, 2),
+       |t AS (
+       |  SELECT cell, label, n,
+       |    ROW_NUMBER() OVER (PARTITION BY cell
+       |                       ORDER BY n DESC, label) AS rn,
+       |    CAST(SUM(n) OVER (PARTITION BY cell) AS BIGINT) AS n_vecs
+       |  FROM cl)
+       |SELECT cell, n_vecs, label AS top_label, CAST(n AS BIGINT) AS top_n,
+       |  CAST(n AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS purity
+       |FROM t WHERE rn = 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_topk", knnTopK, Some(knnTopKSql)),
     QueryDef("hard_negatives", hardNegatives, Some(hardNegativesSql)),
@@ -573,5 +699,7 @@ object EmbedQueries {
     QueryDef("ann_frontier", annFrontier, Some(annFrontierSql)),
     QueryDef("dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     QueryDef("pq_assign", pqAssignDf, Some(pqAssignSql)),
-    QueryDef("pq_search", pqSearchDf, Some(pqSearchSql)))
+    QueryDef("pq_search", pqSearchDf, Some(pqSearchSql)),
+    QueryDef("pq_refine", pqRefine, Some(pqRefineSql)),
+    QueryDef("cluster_purity", clusterPurity, Some(clusterPuritySql)))
 }

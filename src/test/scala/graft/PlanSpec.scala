@@ -351,6 +351,29 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("chunk_dedup: digest-keyed exchanges only, no window over token rows") {
+    val p = plan("chunk_dedup")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("Join"), s"chunk accounting must not self-join:\n$s")
+    // parallelize round-robin + the fp window + the doc rollup — the
+    // chunk expansion itself must add no exchange
+    assert(countShuffles(p) <= 3, s)
+  }
+
+  test("pq_refine: shortlist and queries ride broadcasts; corpus never shuffles for stage 2") {
+    val s = planString("pq_refine")
+    assert(!s.contains("CartesianProduct"), s)
+    // both stage-2 joins are broadcast-hash on the bounded shortlist
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("cluster_purity: codebook broadcast keeps assignment map-only") {
+    val s = planString("cluster_purity")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+  }
+
   test("partitioned layout prunes partitions at the scan (time-series layout)") {
     // the biggest 100 TB lever for the telemetry tables: a layout
     // partitioned on the routing column must turn an equality filter

@@ -51,4 +51,23 @@ class IvfRecallSpec extends SparkTestBase {
     val mean = byProbe.view.mapValues(v => v.map(_._3).sum / v.length).toMap
     info(f"mean recall@5: nprobe2=${mean(2)}%.2f nprobe4=${mean(4)}%.2f nprobe8=${mean(8)}%.2f")
   }
+
+  test("cluster_purity: cells partition the corpus; majority accounting is exact") {
+    val rows = SparkEntry.queries("cluster_purity")(spark, sf)
+      .select("cell", "n_vecs", "top_label", "top_n", "purity")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty && rows.length <= IvfTrain.K)
+    // the cells partition the corpus: sizes sum to the embedding count
+    val corpus = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum == corpus)
+    rows.foreach { case (cell, n, _, topN, purity) =>
+      assert(topN >= 1 && topN <= n, s"cell $cell: top_n $topN of $n")
+      assert(purity == topN.toDouble / n.toDouble)
+      assert(purity > 0 && purity <= 1.0)
+    }
+    val meanPurity = rows.map(_._5).sum / rows.length
+    info(f"cells=${rows.length} mean purity=$meanPurity%.2f")
+  }
 }
