@@ -286,6 +286,61 @@ object DedupQueries {
     s"""WITH ${SimHash.duckdbCte}
        |SELECT doc_id, simhash FROM sim""".stripMargin
 
+  // ------------------------------------------------------ simhash_pairs
+  // Banded Hamming-distance near-dup search over the SimHash
+  // fingerprints (Manku/Jain/Sarma, WWW'07 — the production form of
+  // dedup_simhash, which only emits fingerprints): the 32-bit simhash
+  // splits into 4 disjoint 8-bit bands; by pigeonhole, any pair within
+  // Hamming distance 3 agrees EXACTLY on at least one band, so the
+  // band-bucket self-join is a LOSSLESS blocking for the ≤3 search.
+  // Candidates come only from band collisions — never all-pairs — and
+  // the verify step is one xor + bit_count per candidate. Plan: the
+  // band expansion is map-only over the signature pass (4 rows per
+  // doc); the join is keyed on (band, value); distinct collapses
+  // multi-band collisions before the popcount filter. At 100 TB: widen
+  // the fingerprint to 64 bits with 4×16-bit bands (65k bucket values
+  // per band keeps buckets small); the blocking guarantee is the same
+  // pigeonhole argument.
+  private val SimBands = 4
+  private val SimBandBits = SimHash.Bits / SimBands
+  private val SimHammingMax = SimBands - 1
+  private val SimBandMask = (1L << SimBandBits) - 1
+
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val banded = SimHash.simhash(Tables.documents(s, d), "doc_id", "text")
+      .withColumn("b", explode(expr(s"sequence(0, ${SimBands - 1})")))
+      .withColumn("v",
+        expr(s"shiftright(simhash, b * $SimBandBits) & ${SimBandMask}L"))
+    val a = banded.select(col("b"), col("v"),
+      col("doc_id").as("a_id"), col("simhash").as("a_sim"))
+    val bs = banded.select(col("b"), col("v"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sim"))
+    a.join(bs, Seq("b", "v"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sim"), col("b_sim"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(a_sim ^ b_sim) AS INT)"))
+      .filter(col("hamming") <= SimHammingMax)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  private def simhashPairsSql =
+    s"""WITH ${SimHash.duckdbCte},
+       |banded AS (
+       |  SELECT doc_id, simhash, CAST(u.b AS INTEGER) AS b,
+       |    (simhash >> CAST(u.b * $SimBandBits AS INTEGER)) & $SimBandMask
+       |      AS v
+       |  FROM sim, LATERAL (SELECT unnest(range(0, $SimBands)) AS b) u),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.simhash AS a_sim, b.simhash AS b_sim
+       |  FROM banded a JOIN banded b ON a.b = b.b AND a.v = b.v
+       |    AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id,
+       |  CAST(bit_count(xor(a_sim, b_sim)) AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(a_sim, b_sim)) <= $SimHammingMax""".stripMargin
+
   // -------------------------------------------------------- chunk_dedup
   // C4/CCNet-style passage-level dedup — the removal step between
   // whole-document hashing (dedup_exact) and window counting
@@ -364,5 +419,6 @@ object DedupQueries {
     QueryDef("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     QueryDef("dedup_simhash", simhashQ, Some(simhashSql)),
     QueryDef("fuzzy_name_match", fuzzyNameMatch, Some(fuzzyNameMatchSql)),
-    QueryDef("chunk_dedup", chunkDedup, Some(chunkDedupSql)))
+    QueryDef("chunk_dedup", chunkDedup, Some(chunkDedupSql)),
+    QueryDef("simhash_pairs", simhashPairs, Some(simhashPairsSql)))
 }

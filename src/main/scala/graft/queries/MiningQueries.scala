@@ -418,6 +418,92 @@ object MiningQueries {
        |FROM est""".stripMargin
   }
 
+  // ---------------------------------------------------- lex_cosine_pairs
+  // All-pairs lexical similarity through an inverted index (Elsayed/
+  // Lin/Oard, ACL'08 pairwise-similarity-in-MapReduce): documents are
+  // sparse trigram tf vectors; the pairwise dot product is computed by
+  // joining posting lists term-by-term (pairs that share no trigram are
+  // NEVER materialized), with a document-frequency cut dropping
+  // ubiquitous terms — the standard df-pruning that bounds every
+  // posting list to ≤ MaxDf entries and so bounds the join fan-out to
+  // df² per term instead of |corpus|² overall. Cosine is defined over
+  // the pruned term space: dot and both norms are exact BIGINT sums of
+  // tf products (bit-portable — no float accumulation order to
+  // diverge), and the only IEEE steps are one sqrt + one division,
+  // mirrored in the oracle. Plan: zero-shuffle gram builder → one
+  // doc-keyed tf aggregation → term-keyed exchange reused by the df
+  // window and both posting-list sides → pair-keyed dot rollup; the
+  // norm joins are doc-keyed hash joins. At 100 TB the df cut is the
+  // lever: posting lists above it contribute O(df²) candidate pairs
+  // each, so capping df caps the quadratic term by construction.
+  private val LexN = 3
+  private val LexMaxDf = 25
+  private val LexMinCos = 0.5
+
+  private def lexCosinePairs(s: SparkSession, d: String): DataFrame = {
+    val tf = TextFunctions.ngramRows(
+        Tables.parallelize(Tables.documents(s, d)), "doc_id", "text", LexN)
+      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("tf"))
+    // df via a term-keyed window over the ONE tf pipeline (tf rows are
+    // unique per (doc, term), so count == document frequency); the
+    // explicit repartition makes the term exchange visible for reuse by
+    // both posting-list sides of the self-join
+    val pruned = tf.repartition(col("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= LexMaxDf)
+      .select(col("doc_id"), col("s"), col("tf"))
+    val norms = pruned.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val a = pruned.select(col("s"), col("doc_id").as("a_id"),
+      col("tf").as("a_tf"))
+    val b = pruned.select(col("s"), col("doc_id").as("b_id"),
+      col("tf").as("b_tf"))
+    val dots = a.join(b, "s")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("a_tf") * col("b_tf")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("a_id"), col("n2").as("a_n2")),
+        "a_id")
+      .join(norms.select(col("doc_id").as("b_id"), col("n2").as("b_n2")),
+        "b_id")
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("a_n2").cast("double") * col("b_n2").cast("double")))
+      .filter(col("cos") >= LexMinCos)
+      .select(col("a_id"), col("b_id"), col("dot"), col("cos"))
+  }
+
+  private val lexCosinePairsSql = {
+    val toksS = tokensSql("text")
+    val sh = shinglesSql("toks", LexN)
+    s"""WITH tokd AS (
+       |  SELECT doc_id, $toksS AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest($sh) AS s FROM tokd),
+       |tf AS (SELECT doc_id, s, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+       |df AS (SELECT s, COUNT(*) AS df FROM tf GROUP BY 1),
+       |pruned AS (
+       |  SELECT tf.doc_id, tf.s, tf.tf FROM tf JOIN df USING (s)
+       |  WHERE df.df <= $LexMaxDf),
+       |norms AS (
+       |  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+       |  FROM pruned GROUP BY 1),
+       |dots AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+       |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, dot,
+       |  CAST(dot AS DOUBLE)
+       |    / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+       |FROM dots
+       |JOIN norms na ON na.doc_id = a_id
+       |JOIN norms nb ON nb.doc_id = b_id
+       |WHERE CAST(dot AS DOUBLE)
+       |    / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+       |  >= $LexMinCos""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("hll_distinct", hllDistinct, Some(hllDistinctSql)),
     QueryDef("winnow_fingerprint", winnowFingerprint,
@@ -425,5 +511,6 @@ object MiningQueries {
     QueryDef("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     QueryDef("novelty_incr", noveltyIncr, Some(noveltyIncrSql)),
     QueryDef("novelty_probe", noveltyProbe, Some(noveltyIncrSql)),
-    QueryDef("kmv_overlap", kmvOverlap, Some(kmvOverlapSql)))
+    QueryDef("kmv_overlap", kmvOverlap, Some(kmvOverlapSql)),
+    QueryDef("lex_cosine_pairs", lexCosinePairs, Some(lexCosinePairsSql)))
 }

@@ -374,6 +374,21 @@ class PlanSpec extends SparkTestBase {
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
   }
 
+  test("simhash_pairs: band-bucket join, no cartesian, popcount stays codegen") {
+    val s = planString("simhash_pairs")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      s"band join must be keyed on (b, v):\n$s")
+    assert(!s.toLowerCase.contains("udf"), s)
+  }
+
+  test("lex_cosine_pairs: posting-list join keyed on the term, no cartesian") {
+    val s = planString("lex_cosine_pairs")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      s"posting-list self-join must be keyed on s:\n$s")
+  }
+
   test("partitioned layout prunes partitions at the scan (time-series layout)") {
     // the biggest 100 TB lever for the telemetry tables: a layout
     // partitioned on the routing column must turn an equality filter
