@@ -315,13 +315,15 @@ object DedupQueries {
       col("doc_id").as("a_id"), col("simhash").as("a_sim"))
     val bs = banded.select(col("b"), col("v"),
       col("doc_id").as("b_id"), col("simhash").as("b_sim"))
+    // verify BEFORE distinct: the popcount is one codegen'd op per
+    // candidate row, and filtering at <=3 first shrinks the distinct's
+    // exchange from every band collision to only true near-dup pairs
     a.join(bs, Seq("b", "v"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sim"), col("b_sim"))
-      .distinct()
       .withColumn("hamming", expr("CAST(bit_count(a_sim ^ b_sim) AS INT)"))
       .filter(col("hamming") <= SimHammingMax)
       .select(col("a_id"), col("b_id"), col("hamming"))
+      .distinct()
   }
 
   private def simhashPairsSql =
@@ -332,14 +334,12 @@ object DedupQueries {
        |      AS v
        |  FROM sim, LATERAL (SELECT unnest(range(0, $SimBands)) AS b) u),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-       |    a.simhash AS a_sim, b.simhash AS b_sim
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
        |  FROM banded a JOIN banded b ON a.b = b.b AND a.v = b.v
-       |    AND a.doc_id < b.doc_id)
-       |SELECT a_id, b_id,
-       |  CAST(bit_count(xor(a_sim, b_sim)) AS INTEGER) AS hamming
-       |FROM cand
-       |WHERE bit_count(xor(a_sim, b_sim)) <= $SimHammingMax""".stripMargin
+       |    AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHammingMax)
+       |SELECT DISTINCT a_id, b_id, hamming FROM cand""".stripMargin
 
   // -------------------------------------------------------- chunk_dedup
   // C4/CCNet-style passage-level dedup — the removal step between
