@@ -451,6 +451,49 @@ object CurationQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------- epoch_shuffle
+  // Deterministic per-epoch training order: each epoch reshuffles the
+  // corpus with an epoch-seeded portable hash — shard = hash % S picks
+  // the output shard, and the within-shard position orders by the same
+  // hash (tie-break doc_id). Any engine, any cluster, any partition
+  // layout reproduces the identical (epoch, shard, pos) assignment, so
+  // a resumed training run re-reads exactly the order it left — the
+  // data-order contract shard_sizes establishes for one epoch, extended
+  // to the epoch dimension (each epoch is a DIFFERENT pseudo-random
+  // permutation, as SGD wants). Scale shape: the epoch expansion is
+  // map-only; the ONLY exchange is the (epoch, shard) partitioning that
+  // the writer needs anyway, and ranking happens within each shard
+  // partition (no global sort — `partitionBy(epoch, shard)` +
+  // `sortWithinPartitions(ord)` is the write form).
+  private val ShufEpochs = 2
+  private val ShufShards = 8
+
+  private def epochShuffle(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("epoch",
+        explode(array((0 until ShufEpochs).map(lit(_)): _*)))
+      .withColumn("ord",
+        portableHash(concat(lit("epoch"), col("epoch"), lit(":"), col("doc_id"))))
+      .withColumn("shard", col("ord") % ShufShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("doc_id"), col("pos"))
+  }
+
+  private def epochShuffleSql = {
+    val h = portableHashSql(
+      "concat('epoch', CAST(e.epoch AS VARCHAR), ':', CAST(doc_id AS VARCHAR))")
+    s"""WITH x AS (
+       |  SELECT doc_id, CAST(e.epoch AS INTEGER) AS epoch, $h AS ord
+       |  FROM documents,
+       |    LATERAL (SELECT unnest(range(0, $ShufEpochs)) AS epoch) e)
+       |SELECT epoch, ord % $ShufShards AS shard, doc_id,
+       |  ROW_NUMBER() OVER (PARTITION BY epoch, ord % $ShufShards
+       |                     ORDER BY ord, doc_id) AS pos
+       |FROM x""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("shard_sizes", shardSizes, Some(shardSizesSql)),
     QueryDef("split_assign", splitAssign, Some(splitAssignSql)),
@@ -464,5 +507,6 @@ object CurationQueries {
     QueryDef("mix_interleave", mixInterleave, Some(mixInterleaveSql)),
     QueryDef("quality_deciles", qualityDeciles, Some(qualityDecilesSql)),
     QueryDef("quality_deciles_digest", qualityDecilesDigest,
-      Some(qualityDecilesDigestSql)))
+      Some(qualityDecilesDigestSql)),
+    QueryDef("epoch_shuffle", epochShuffle, Some(epochShuffleSql)))
 }

@@ -408,6 +408,106 @@ object DedupQueries {
        |FROM r GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------- lsh_recall
+  // LSH banding-parameter frontier — the lexical twin of ann_frontier:
+  // re-band the SAME 16-hash MinHash signature at (bands, rows/band) ∈
+  // {(2,8), (4,4), (8,2)} and report candidate volume, recall and
+  // precision against exact-Jaccard ground truth (threshold 0.5, the
+  // family's canonical cut). More bands of shorter rows = more
+  // candidates = higher recall / lower precision — this report is how
+  // b×r gets chosen BEFORE a 100 TB run, from a cheap sample.
+  // Cost discipline: ground truth needs all-pairs exact Jaccard, so it
+  // is SAMPLE-BOUNDED — doc_id < 200 gives ≤19 900 pairs whatever the
+  // corpus size (estimation error shrinks with sample size, not corpus
+  // size), and signatures come from the shared memoized pass. All six
+  // per-config counters compute in ONE projection over one bounded
+  // nested-loop pair join; the single agg row explodes into the three
+  // config rows — one job, no per-config rescans.
+  private val LshSampleMax = 200L
+  private val LshConfigs = Seq((2, 8), (4, 4), (8, 2)) // (bands, rows/band)
+
+  /** Band-collision predicate over a_sig/b_sig for a (bands, rows)
+    * re-banding of the 16-position signature; `elem` renders one
+    * signature element access (engine-specific syntax). */
+  private def lshCandSql(bands: Int, rows: Int,
+                         elem: (String, Int) => String): String =
+    (0 until bands).map { b =>
+      (1 to rows).map { r =>
+        val i = b * rows + r
+        s"${elem("a_sig", i)} = ${elem("b_sig", i)}"
+      }.mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+
+  private def lshRecall(s: SparkSession, d: String): DataFrame = {
+    val sample = graft.SharedStages.minhashSignatures(s, d)
+      .filter(col("doc_id") < LshSampleMax)
+    val a = sample.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("sig").as("a_sig"))
+    val b = sample.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("sig").as("b_sig"))
+    def cand(bands: Int, rows: Int) =
+      expr(lshCandSql(bands, rows, (c, i) => s"element_at($c, $i)"))
+    val pairs = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("inter",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
+      .withColumn("uni",
+        (size(col("a_sh")) + size(col("b_sh"))).cast("long") - col("inter"))
+      .withColumn("is_true", col("inter").cast("double") / col("uni") >= 0.5)
+    val cfgAggs = LshConfigs.zipWithIndex.flatMap { case ((nb, nr), i) =>
+      Seq(sum(when(cand(nb, nr), 1L).otherwise(0L)).as(s"nc_$i"),
+        sum(when(cand(nb, nr) && col("is_true"), 1L).otherwise(0L)).as(s"ng_$i"))
+    }
+    val totals = pairs.agg(
+      sum(when(col("is_true"), 1L).otherwise(0L)).as("n_truth"), cfgAggs: _*)
+    val cfgRows = LshConfigs.zipWithIndex.map { case ((nb, nr), i) =>
+      struct(lit(nb).as("bands"), lit(nr).as("rows_per_band"),
+        col("n_truth"), col(s"nc_$i").as("n_cands"),
+        col(s"ng_$i").as("n_caught"))
+    }
+    totals.select(explode(array(cfgRows: _*)).as("cfg"))
+      .select(col("cfg.*"))
+      .withColumn("recall",
+        when(col("n_truth") === 0, lit(null).cast("double"))
+          .otherwise(col("n_caught").cast("double") / col("n_truth")))
+      .withColumn("prec",
+        when(col("n_cands") === 0, lit(null).cast("double"))
+          .otherwise(col("n_caught").cast("double") / col("n_cands")))
+  }
+
+  private def lshRecallSql = {
+    def cfgCols(i: Int, nb: Int, nr: Int) = {
+      val c = lshCandSql(nb, nr, (col, j) => s"$col[$j]")
+      s"""    CAST(SUM(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT) AS nc_$i,
+         |    CAST(SUM(CASE WHEN ($c) AND is_true THEN 1 ELSE 0 END) AS BIGINT) AS ng_$i""".stripMargin
+    }
+    val aggCols = LshConfigs.zipWithIndex
+      .map { case ((nb, nr), i) => cfgCols(i, nb, nr) }.mkString(",\n")
+    val cfgSelects = LshConfigs.zipWithIndex.map { case ((nb, nr), i) =>
+      s"""SELECT $nb AS bands, $nr AS rows_per_band, n_truth,
+         |  nc_$i AS n_cands, ng_$i AS n_caught,
+         |  CASE WHEN n_truth = 0 THEN NULL
+         |       ELSE CAST(ng_$i AS DOUBLE) / n_truth END AS recall,
+         |  CASE WHEN nc_$i = 0 THEN NULL
+         |       ELSE CAST(ng_$i AS DOUBLE) / nc_$i END AS prec
+         |FROM agg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${MinHashLSH.duckdbSignatureCte},
+       |samp AS (
+       |  SELECT doc_id, sh, sig FROM sigs WHERE doc_id < $LshSampleMax),
+       |pairs AS (
+       |  SELECT a.sig AS a_sig, b.sig AS b_sig,
+       |    (CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+       |      >= 0.5 AS is_true
+       |  FROM samp a JOIN samp b ON a.doc_id < b.doc_id),
+       |agg AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       |$aggCols
+       |  FROM pairs)
+       |$cfgSelects""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_prefix", dedupPrefix, Some(dedupPrefixSql)),
@@ -420,5 +520,6 @@ object DedupQueries {
     QueryDef("dedup_simhash", simhashQ, Some(simhashSql)),
     QueryDef("fuzzy_name_match", fuzzyNameMatch, Some(fuzzyNameMatchSql)),
     QueryDef("chunk_dedup", chunkDedup, Some(chunkDedupSql)),
-    QueryDef("simhash_pairs", simhashPairs, Some(simhashPairsSql)))
+    QueryDef("simhash_pairs", simhashPairs, Some(simhashPairsSql)),
+    QueryDef("lsh_recall", lshRecall, Some(lshRecallSql)))
 }

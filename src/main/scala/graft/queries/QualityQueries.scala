@@ -146,7 +146,10 @@ object QualityQueries {
   private val Bm25Terms = Seq("spark", "query", "join") // lexical order
   private val Bm25K = 10
 
-  private def bm25Topk(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc BM25 scores for [[Bm25Terms]]: (doc_id, s_<term>…, score).
+    * Shared by bm25_topk (top-10 report) and hybrid_rrf (lexical arm of
+    * the rank fusion). */
+  private def bm25PerDoc(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDocs = docs.count()
     val toks = Tables.parallelize(docs)
@@ -174,20 +177,29 @@ object QualityQueries {
         Bm25Terms.map(t => termScore(t).as(s"s_$t")).tail: _*)
       .withColumn("score",
         Bm25Terms.map(t => col(s"s_$t")).reduceLeft(_ + _))
-    perDoc.orderBy(col("score").desc, col("doc_id"))
+    perDoc
+  }
+
+  private def bm25Topk(s: SparkSession, d: String): DataFrame =
+    bm25PerDoc(s, d)
+      .orderBy(col("score").desc, col("doc_id"))
       .select(col("doc_id") +: col("score") +:
         Bm25Terms.map(t => col(s"s_$t")): _*)
       .limit(Bm25K)
-  }
 
-  private val bm25TopkSql = {
+  private val bm25ScoreSumSql =
+    Bm25Terms.map(t => s"s_$t").reduceLeft((a, b) => s"($a + $b)")
+
+  /** DuckDB CTE chain ending in `per_doc(doc_id, s_<term>…)` — the
+    * oracle mirror of [[bm25PerDoc]], shared by the bm25_topk and
+    * hybrid_rrf oracles. */
+  private val bm25PerDocCtesSql = {
     val toks = tokensSql("text")
     val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
     val termCols = Bm25Terms.map(t =>
       s"COALESCE(MAX(CASE WHEN term = '$t' THEN w END), CAST(0 AS DOUBLE)) AS s_$t")
       .mkString(",\n    ")
-    val scoreSum = Bm25Terms.map(t => s"s_$t").reduceLeft((a, b) => s"($a + $b)")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, $toks AS toks FROM documents),
        |dl AS (
        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM toks),
@@ -213,12 +225,106 @@ object QualityQueries {
        |per_doc AS (
        |  SELECT doc_id,
        |    $termCols
-       |  FROM scored GROUP BY doc_id)
-       |SELECT doc_id, $scoreSum AS score,
+       |  FROM scored GROUP BY doc_id)""".stripMargin
+  }
+
+  private val bm25TopkSql =
+    s"""WITH $bm25PerDocCtesSql
+       |SELECT doc_id, $bm25ScoreSumSql AS score,
        |  ${Bm25Terms.map(t => s"s_$t").mkString(", ")}
        |FROM per_doc
        |ORDER BY score DESC, doc_id
        |LIMIT $Bm25K""".stripMargin
+
+  // ----------------------------------------------------------- hybrid_rrf
+  // Hybrid retrieval via reciprocal-rank fusion (Cormack/Clarke/Büttcher,
+  // SIGIR'09): fuse the BM25 lexical ranking with an embedding-cosine
+  // semantic ranking as Σ 1/(60 + rank), the standard ensembling step a
+  // curation/RAG pipeline runs over heterogeneous retrievers. Each arm
+  // contributes its top-[[RrfPool]] pool; docs missing from an arm get
+  // no contribution from it (ranks stay NULL in the report). RRF is
+  // pure rational arithmetic — two exact divisions and one IEEE add in
+  // fixed (lexical, semantic) order — so the fusion is oracle-exact.
+  // Scale shape: each arm ends in a global top-50 (TakeOrdered — map-
+  // side bounded heaps, no full sort), ranks are then assigned by a
+  // window over the 50-row materialized pool (single partition over a
+  // CONSTANT-size set — not data-sized), and the fusion join is
+  // 50×50-bounded. The semantic arm broadcasts the 1-row query vector
+  // and scores map-only, same family as knn_topk.
+  private val RrfK = 60
+  private val RrfPool = 50
+  private val RrfOut = 10
+
+  private def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import graft.embed.Similarity
+    val lexPool = bm25PerDoc(s, d)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(RrfPool)
+      .localCheckpoint() // RrfPool rows
+    val lexRank = lexPool
+      .withColumn("r_lex", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_lex"))
+    val emb = Tables.embeddings(s, d)
+    val q = Similarity.quantized(emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding")
+      .select(col("q").as("qa"), col("nq").as("na"))
+    val scored = Similarity.quantized(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding")
+      .join(broadcast(q))
+      .withColumn("cos",
+        Similarity.cosine(Similarity.dotQ("qa", "q"), col("na"), col("nq")))
+      .select(col("vec_id").as("doc_id"), col("cos"))
+    val semPool = scored
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(RrfPool)
+      .localCheckpoint() // RrfPool rows
+    val semRank = semPool
+      .withColumn("r_sem", row_number()
+        .over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_sem"))
+    lexRank.join(semRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_sem")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(RrfOut)
+      .select(col("doc_id"), col("r_lex"), col("r_sem"), col("rrf"))
+  }
+
+  private val hybridRrfSql = {
+    import graft.embed.Similarity
+    s"""WITH $bm25PerDocCtesSql,
+       |${Similarity.duckdbQuantizedCte},
+       |lex_pool AS (
+       |  SELECT doc_id, $bm25ScoreSumSql AS score FROM per_doc
+       |  ORDER BY score DESC, doc_id LIMIT $RrfPool),
+       |lex_rank AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_lex
+       |  FROM lex_pool),
+       |sem_scored AS (
+       |  SELECT b.vec_id AS doc_id,
+       |    CAST(${Similarity.duckdbDot("a.q", "b.q")} AS DOUBLE)
+       |      / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
+       |  FROM qv a JOIN qv b ON a.vec_id = 0 AND b.vec_id <> 0),
+       |sem_pool AS (
+       |  SELECT doc_id, cos FROM sem_scored
+       |  ORDER BY cos DESC, doc_id LIMIT $RrfPool),
+       |sem_rank AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_sem
+       |  FROM sem_pool),
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id, l.r_lex, r.r_sem,
+       |    COALESCE(CAST(1 AS DOUBLE) / ($RrfK + l.r_lex), CAST(0 AS DOUBLE))
+       |      + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + r.r_sem), CAST(0 AS DOUBLE))
+       |      AS rrf
+       |  FROM lex_rank l FULL OUTER JOIN sem_rank r ON l.doc_id = r.doc_id)
+       |SELECT doc_id, r_lex, r_sem, rrf FROM fused
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT $RrfOut""".stripMargin
   }
 
   // ------------------------------------------------------ char_diversity
@@ -271,5 +377,6 @@ object QualityQueries {
     QueryDef("pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("outlier_mad", outlierMad, Some(outlierMadSql)),
     QueryDef("bm25_topk", bm25Topk, Some(bm25TopkSql)),
+    QueryDef("hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("char_diversity", charDiversity, Some(charDiversitySql)))
 }

@@ -42,6 +42,27 @@ class QualityQueriesSpec extends SparkTestBase {
     assert(Seq("spark", "query", "join").exists(txt.contains))
   }
 
+  test("hybrid_rrf fuses the two arms with exact reciprocal-rank scores") {
+    val out = SparkEntry.queries("hybrid_rrf")(spark, d).collect()
+    assert(out.length == 10)
+    val rrfs = out.map(_.getAs[Double]("rrf")).toSeq
+    assert(rrfs == rrfs.sorted.reverse)
+    out.foreach { r =>
+      val lex = Option(r.getAs[java.lang.Long]("r_lex")).map(_.toLong)
+      val sem = Option(r.getAs[java.lang.Long]("r_sem")).map(_.toLong)
+      assert(lex.isDefined || sem.isDefined, "row must come from some arm")
+      assert(lex.forall(x => x >= 1 && x <= 50) && sem.forall(x => x >= 1 && x <= 50))
+      val expect = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        sem.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") == expect, s"rrf mismatch on $r")
+    }
+    // fusion actually mixes: a doc ranked by BOTH arms must beat the
+    // score either arm alone could give (1/61 max single-arm)
+    val both = out.filter(r => r.getAs[java.lang.Long]("r_lex") != null &&
+      r.getAs[java.lang.Long]("r_sem") != null)
+    both.foreach(r => assert(r.getAs[Double]("rrf") > 1.0 / 61))
+  }
+
   test("char_diversity simpson stays in [0,1) and distinct_ratio in (0,1]") {
     val out = SparkEntry.queries("char_diversity")(spark, d)
       .filter($"n_cp" > 0)
