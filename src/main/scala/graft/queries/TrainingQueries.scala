@@ -466,6 +466,122 @@ object TrainingQueries {
        |FROM scored""".stripMargin
   }
 
+  // --------------------------------------------------------- len_buckets
+  // Sequence-length bucketing report — the batch-shape planning step of
+  // a training run: docs bucket to the smallest rung in {16,32,64,128}
+  // that holds their token count (a CASE ladder, NOT ceil(log2(n)) —
+  // float log at exact powers of two differs between libm
+  // implementations, the ladder is integer-exact everywhere), and each
+  // bucket reports docs, real tokens, padded tokens at the rung length,
+  // and the padding-waste fraction. This is how one chooses bucket
+  // boundaries so dynamic batching wastes the least compute. Map-only
+  // expansion + one tiny groupBy on the rung.
+  private val LenRungs = Seq(16L, 32L, 64L, 128L)
+
+  private def lenBuckets(s: SparkSession, d: String): DataFrame = {
+    val rungCase = LenRungs.init.foldRight(lit(LenRungs.last)) {
+      case (r, rest) => when(col("n_tok") <= r, lit(r)).otherwise(rest)
+    }
+    Tables.documents(s, d)
+      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bucket", rungCase)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("real_tokens"))
+      .withColumn("padded_tokens", col("bucket") * col("n_docs"))
+      .withColumn("waste",
+        lit(1.0) - col("real_tokens").cast("double") / col("padded_tokens"))
+  }
+
+  private def lenBucketsSql = {
+    val toks = tokensSql("text")
+    val rungCase = LenRungs.init
+      .map(r => s"WHEN n_tok <= $r THEN CAST($r AS BIGINT)")
+      .mkString("CASE ", " ", s" ELSE CAST(${LenRungs.last} AS BIGINT) END")
+    s"""WITH t AS (
+       |  SELECT CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+       |b AS (
+       |  SELECT $rungCase AS bucket, n_tok FROM t WHERE n_tok > 0),
+       |g AS (
+       |  SELECT bucket, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS real_tokens
+       |  FROM b GROUP BY 1)
+       |SELECT bucket, n_docs, real_tokens,
+       |  bucket * n_docs AS padded_tokens,
+       |  CAST(1 AS DOUBLE) - CAST(real_tokens AS DOUBLE) / (bucket * n_docs)
+       |    AS waste
+       |FROM g""".stripMargin
+  }
+
+  // ------------------------------------------------------- dup_inflation
+  // Token-weighted duplication inflation per source — dedup ROI
+  // pricing: the cluster reports count duplicate DOCUMENTS, but what a
+  // training run pays for is duplicate TOKENS. A doc survives near-dedup
+  // iff it is its cluster's canonical keeper (component min id from the
+  // shared verified-pair clustering) or belongs to no cluster; per
+  // source the report prices total tokens, surviving tokens, and the
+  // inflation factor total/kept — the compute multiplier duplicated
+  // text imposes on that ingest. Plan: the component label set is tiny
+  // (∝ docs in dup clusters) and BROADCAST against the corpus scan; one
+  // map-side token count, one rollup over the handful of sources — the
+  // corpus is never shuffled.
+  private def dupInflation(s: SparkSession, d: String): DataFrame = {
+    val labels = graft.SharedStages.componentLabels(s, d)
+      .select(col("id").as("doc_id"), col("root"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("kept", col("root").isNull || col("root") === col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
+      .withColumn("inflation",
+        when(col("tokens_kept") === 0, lit(null).cast("double"))
+          .otherwise(col("tokens_total").cast("double") / col("tokens_kept")))
+  }
+
+  private val dupInflationSql =
+    s"""WITH RECURSIVE ${MinHashLSH.duckdbSignatureCte},
+       |${MinHashLSH.duckdbCandidateCte},
+       |verified AS (
+       |  SELECT c.a_id, c.b_id
+       |  FROM cands c
+       |  JOIN sigs a ON a.doc_id = c.a_id
+       |  JOIN sigs b ON b.doc_id = c.b_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM verified
+       |  UNION
+       |  SELECT b_id, a_id FROM verified),
+       |reach (id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |labels AS (
+       |  SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+       |t AS (
+       |  SELECT d.doc_id, d.source, CAST(len(k.toks) AS BIGINT) AS n_tok
+       |  FROM documents d JOIN tok k ON d.doc_id = k.doc_id),
+       |j AS (
+       |  SELECT t.source, t.n_tok,
+       |    (l.root IS NULL OR l.root = t.doc_id) AS kept
+       |  FROM t LEFT JOIN labels l ON t.doc_id = l.id),
+       |g AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+       |    CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+       |      AS tokens_kept
+       |  FROM j GROUP BY 1)
+       |SELECT source, n_docs, n_kept, tokens_total, tokens_kept,
+       |  CASE WHEN tokens_kept = 0 THEN NULL
+       |       ELSE CAST(tokens_total AS DOUBLE) / tokens_kept END AS inflation
+       |FROM g""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("split_leakage", splitLeakage, Some(splitLeakageSql)),
     QueryDef("quant_int8", quantInt8, Some(quantInt8Sql)),
@@ -475,5 +591,7 @@ object TrainingQueries {
     QueryDef("dup_cluster_sizes", dupClusterSizes, Some(dupClusterSizesSql)),
     QueryDef("dup_source_matrix", dupSourceMatrix, Some(dupSourceMatrixSql)),
     QueryDef("chunk_stride", chunkStride, Some(chunkStrideSql)),
-    QueryDef("oov_rate", oovRate, Some(oovRateSql)))
+    QueryDef("oov_rate", oovRate, Some(oovRateSql)),
+    QueryDef("len_buckets", lenBuckets, Some(lenBucketsSql)),
+    QueryDef("dup_inflation", dupInflation, Some(dupInflationSql)))
 }

@@ -9,6 +9,46 @@ class TrainingQueriesSpec extends SparkTestBase {
 
   private val d = "/root/testdata/sf0.001"
 
+  test("len_buckets conserves docs/tokens and prices padding correctly") {
+    val out = SparkEntry.queries("len_buckets")(spark, d)
+      .select($"bucket", $"n_docs", $"real_tokens", $"padded_tokens", $"waste")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (b, _, _, _, _) => Set(16L, 32L, 64L, 128L)(b) })
+    // conservation: bucket rows cover every non-empty doc exactly once
+    val docs = Tables.documents(spark, d)
+      .select(size(graft.text.TextFunctions.tokens($"text")).cast("long").as("n"))
+      .filter($"n" > 0).as[Long].collect()
+    assert(out.map(_._2).sum == docs.length)
+    assert(out.map(_._3).sum == docs.sum)
+    out.foreach { case (b, nd, real, padded, waste) =>
+      assert(padded == b * nd)
+      assert(real <= padded)
+      assert(waste == 1.0 - real.toDouble / padded)
+    }
+  }
+
+  test("dup_inflation attributes every doc once and inflation >= 1 per source") {
+    val out = SparkEntry.queries("dup_inflation")(spark, d)
+      .select($"source", $"n_docs", $"n_kept", $"tokens_total", $"tokens_kept",
+        $"inflation")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val nDocs = Tables.documents(spark, d).count()
+    assert(out.map(_._2).sum == nDocs)
+    // keepers across sources = docs minus the non-canonical cluster members
+    val dropped = SparkEntry.queries("dedup_components")(spark, d)
+      .filter($"canonical_id" =!= $"doc_id").count()
+    assert(out.map(_._3).sum == nDocs - dropped)
+    out.foreach { case (_, n, kept, tot, keptTok, infl) =>
+      assert(kept <= n && keptTok <= tot)
+      assert(infl >= 1.0)
+      assert(infl == tot.toDouble / keptTok)
+    }
+    // the corpus has engineered near-dup clusters: someone must inflate
+    assert(out.exists(_._6 > 1.0))
+  }
+
   test("split_leakage cells partition the verified pair set") {
     val out = SparkEntry.queries("split_leakage")(spark, d)
       .select($"split_a", $"split_b", $"n_pairs")
