@@ -501,16 +501,22 @@ object EmbedQueries {
     graft.plans.TopK.perKey(pqDists(s, d), Seq("query_id"),
       Seq(("adist", true), ("neighbor_id", true)), IvfK)
 
-  /** The DuckDB mirror of [[pqDists]] (codes → ADC table → summed
-    * approximate distances), shared by pq_search and pq_refine. */
-  private val duckdbPqDistCtes: String =
+  /** DuckDB codes + per-query ADC lookup table — shared by the
+    * all-pairs dists mirror below and the IVF-restricted ivf_pq_search
+    * mirror. */
+  private val duckdbPqCodeAdcCtes: String =
     s"""codes AS (
        |  SELECT vec_id, j, code FROM pq_assigned WHERE rn = 1),
        |adc AS (
        |  SELECT s.vec_id AS query_id, s.j, c.seed_id AS code,
        |    CAST(list_sum(list_transform(range(1, ${PqSub + 1}),
        |      i -> (s.sub[i] - c.csub[i]) * (s.sub[i] - c.csub[i]))) AS BIGINT) AS dd
-       |  FROM subs s JOIN cb c ON s.j = c.j WHERE s.vec_id < 10),
+       |  FROM subs s JOIN cb c ON s.j = c.j WHERE s.vec_id < 10)""".stripMargin
+
+  /** The DuckDB mirror of [[pqDists]] (codes → ADC table → summed
+    * approximate distances), shared by pq_search and pq_refine. */
+  private val duckdbPqDistCtes: String =
+    s"""$duckdbPqCodeAdcCtes,
        |dists AS (
        |  SELECT a.query_id, v.vec_id, CAST(SUM(a.dd) AS BIGINT) AS adist
        |  FROM codes v JOIN adc a ON v.j = a.j AND v.code = a.code
@@ -574,6 +580,122 @@ object EmbedQueries {
        |      ROW_NUMBER() OVER (PARTITION BY query_id
        |                         ORDER BY adist, vec_id) AS rk
        |    FROM dists) WHERE rk <= $PqShort),
+       |refined AS (
+       |  SELECT s.query_id, s.neighbor_id, s.adist,
+       |    CAST(${Similarity.duckdbDot("a.q", "b.q")} AS DOUBLE)
+       |      / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
+       |  FROM short s
+       |  JOIN qv a ON a.vec_id = s.query_id
+       |  JOIN qv b ON b.vec_id = s.neighbor_id),
+       |reranked AS (
+       |  SELECT query_id, neighbor_id, adist, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM refined)
+       |SELECT query_id, neighbor_id, adist, cos
+       |FROM reranked WHERE rk <= $IvfK""".stripMargin
+
+  // --------------------------------------------------------- ivf_pq_search
+  // The full production ANN architecture (FAISS IVFPQ + refine, Jégou
+  // et al. TPAMI'11): all three pruning levels composed in ONE plan —
+  // (1) the IVF coarse quantizer restricts candidates to the query's
+  // nprobe=2 probed cells (COMPUTE bound: cost ∝ probed-cell
+  // population, never the corpus); (2) PQ ADC scores those candidates
+  // from 8-byte codes (MEMORY bound: the scan touches codes + a
+  // broadcast 8×16 lookup table, never the vectors); (3) the top-20
+  // shortlist re-ranks by exact integer cosine (QUALITY repair where it
+  // matters). ivf_search / pq_search / pq_refine each demonstrate one
+  // level; this is the composition a deployment actually runs. Plan
+  // shapes: centroids, candidate list, ADC table and shortlist all ride
+  // broadcasts — the codes scan and the final point lookups stay
+  // map-only; nothing corpus-sized shuffles.
+  private def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), col("q"), col("nq"))
+    val seeds = graft.SharedStages.ivfCentroids(s, d)
+    def cellRank(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("seed_id"))
+      df.crossJoin(broadcast(seeds)) // bounded: ≤8 broadcast codebook rows
+        .withColumn("dot", Similarity.dotQ("q", "sq"))
+        .withColumn("cos", Similarity.cosine(col("dot"), col("nq"), col("snq")))
+        .withColumn("rn", row_number().over(w))
+    }
+    val assign = cellRank(qd).filter(col("rn") === 1)
+      .select(col("vec_id"), col("seed_id").as("cell"))
+    val probes = cellRank(qd.filter(col("vec_id") < 10))
+      .filter(col("rn") <= IvfProbe)
+      .select(col("vec_id").as("query_id"), col("seed_id").as("cell"))
+    val cand = probes.join(assign, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct() // a neighbor can sit in both probed cells
+    val subs = pqSubs(s, d)
+    val cb = subs.join(broadcast(pqSeedIds(s, d)), "vec_id")
+      .select(col("j"), col("vec_id").as("seed_id"), col("sub").as("csub"))
+    val codes = pqAssignDf(s, d).select(col("vec_id"), col("j"), col("code"))
+    val adc = subs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("j"), col("sub").as("qsub"))
+      .join(cb, "j")
+      .withColumn("dd", d2("qsub", "csub"))
+      .select(col("query_id"), col("j"), col("seed_id").as("code"), col("dd"))
+    // ADC restricted to probed-cell candidates: the codes scan joins the
+    // broadcast candidate list (≤ |Q| × probed-cell pop) and the
+    // broadcast ADC table — map-only, then one (query, neighbor) rollup
+    // of the M=8 code rows
+    val dists = codes.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(adc), Seq("query_id", "j", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dd")).as("adist"))
+    val short = graft.plans.TopK.perKey(dists, Seq("query_id"),
+      Seq(("adist", true), ("neighbor_id", true)), PqShort)
+    val queries = qd.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nq").as("qnq"))
+    val exact = qd.select(col("vec_id").as("neighbor_id"), col("q"), col("nq"))
+      .join(broadcast(short), "neighbor_id") // shortlist ≤ |Q|×PqShort rows
+      .join(broadcast(queries), "query_id")  // ≤ |Q| rows
+      .withColumn("dot", Similarity.dotQ("qq", "q"))
+      .withColumn("cos", Similarity.cosine(col("dot"), col("qnq"), col("nq")))
+      .select(col("query_id"), col("neighbor_id"), col("adist"), col("cos"))
+    graft.plans.TopK.perKey(exact, Seq("query_id"),
+      Seq(("cos", false), ("neighbor_id", true)), IvfK)
+  }
+
+  private val ivfPqSearchSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |${graft.embed.IvfTrain.duckdbSeedsCte()},
+       |iv_cellranked AS (
+       |  SELECT v.vec_id, s.seed_id,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |      CAST(${Similarity.duckdbDot("v.q", "s.sq")} AS DOUBLE)
+       |        / sqrt(CAST(v.nq AS DOUBLE) * CAST(s.snq AS DOUBLE)) DESC,
+       |      s.seed_id) AS rn
+       |  FROM qv v CROSS JOIN seeds s),
+       |iv_assign AS (
+       |  SELECT vec_id, seed_id AS cell FROM iv_cellranked WHERE rn = 1),
+       |iv_probes AS (
+       |  SELECT vec_id AS query_id, seed_id AS cell
+       |  FROM iv_cellranked WHERE vec_id < 10 AND rn <= $IvfProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM iv_probes p JOIN iv_assign a ON p.cell = a.cell
+       |  WHERE p.query_id <> a.vec_id),
+       |$duckdbPqCtes,
+       |$duckdbPqCodeAdcCtes,
+       |rdists AS (
+       |  SELECT x.query_id, x.neighbor_id, CAST(SUM(a.dd) AS BIGINT) AS adist
+       |  FROM cand x
+       |  JOIN codes v ON v.vec_id = x.neighbor_id
+       |  JOIN adc a ON a.query_id = x.query_id AND a.j = v.j AND a.code = v.code
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, neighbor_id, adist FROM (
+       |    SELECT query_id, neighbor_id, adist,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY adist, neighbor_id) AS rk
+       |    FROM rdists) WHERE rk <= $PqShort),
        |refined AS (
        |  SELECT s.query_id, s.neighbor_id, s.adist,
        |    CAST(${Similarity.duckdbDot("a.q", "b.q")} AS DOUBLE)
@@ -701,5 +823,6 @@ object EmbedQueries {
     QueryDef("pq_assign", pqAssignDf, Some(pqAssignSql)),
     QueryDef("pq_search", pqSearchDf, Some(pqSearchSql)),
     QueryDef("pq_refine", pqRefine, Some(pqRefineSql)),
+    QueryDef("ivf_pq_search", ivfPqSearch, Some(ivfPqSearchSql)),
     QueryDef("cluster_purity", clusterPurity, Some(clusterPuritySql)))
 }
