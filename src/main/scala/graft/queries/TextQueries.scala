@@ -334,6 +334,87 @@ object TextQueries {
        |FROM scored""".stripMargin
   }
 
+  // ----------------------------------------------------------- colloc_topk
+  // Collocation mining — the vocabulary-building step that finds token
+  // pairs appearing together far more than chance (candidate multi-word
+  // units for a tokenizer's vocab, named entities, domain terms). The
+  // association score is the RATIONAL lift p(ab)/(p(a)·p(b)) =
+  // c_ab·N²/(N_big·c_a·c_b), NOT log-PMI: libm log differs across
+  // engines in the last bits, while lift is five exact double products
+  // in fixed left-associated order and ONE IEEE division — bit-equal
+  // everywhere (ranking by lift ≡ ranking by PMI: log is monotone).
+  // Support floor c_ab ≥ 5 kills the unstable singleton tail. Plan: the
+  // bigram expansion is the zero-shuffle slice/arrays_zip form; two
+  // hash aggregations (bigram, unigram) with map-side partials; the
+  // scalar totals ride a 1-row broadcast; final top-20 is TakeOrdered.
+  private val CollocMinCount = 5L
+  private val CollocK = 20
+
+  private def collocTopk(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.parallelize(Tables.documents(s, d))
+      .select(tokens(col("text")).as("toks"))
+    val uni = t.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = t.agg(
+      sum(size(col("toks")).cast("long")).as("n_tok"),
+      sum(greatest(size(col("toks")) - 1, lit(0)).cast("long")).as("n_big"))
+    val bi = t
+      .withColumn("m", size(col("toks")) - 1)
+      .filter(col("m") >= 1)
+      .selectExpr("arrays_zip(slice(toks, 1, m), slice(toks, 2, m)) AS z")
+      .select(explode(col("z")).as("e"))
+      .select(col("e").getField("0").as("w1"), col("e").getField("1").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= CollocMinCount)
+    bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(totals)) // bounded: 1 scalar row
+      .withColumn("lift",
+        (col("c_ab").cast("double") * col("n_tok").cast("double") *
+          col("n_tok").cast("double")) /
+          (col("n_big").cast("double") * col("c_a").cast("double") *
+            col("c_b").cast("double")))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(CollocK)
+  }
+
+  private def collocTopkSql = {
+    val toks = tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT $toks AS toks FROM documents),
+       |uni AS (
+       |  SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM t)
+       |  GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_tok,
+       |    CAST(SUM(CASE WHEN len(toks) > 1 THEN len(toks) - 1 ELSE 0 END)
+       |      AS BIGINT) AS n_big
+       |  FROM t),
+       |bi AS (
+       |  SELECT toks[CAST(i.i AS INT)] AS w1,
+       |    toks[CAST(i.i + 1 AS INT)] AS w2
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) i),
+       |bc AS (
+       |  SELECT w1, w2, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $CollocMinCount),
+       |scored AS (
+       |  SELECT b.w1, b.w2, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+       |    (CAST(b.c_ab AS DOUBLE) * CAST(tt.n_tok AS DOUBLE)
+       |      * CAST(tt.n_tok AS DOUBLE)) /
+       |    (CAST(tt.n_big AS DOUBLE) * CAST(ua.c AS DOUBLE)
+       |      * CAST(ub.c AS DOUBLE)) AS lift
+       |  FROM bc b
+       |  JOIN uni ua ON ua.w = b.w1
+       |  JOIN uni ub ON ub.w = b.w2
+       |  CROSS JOIN tot tt)
+       |SELECT w1, w2, c_ab, c_a, c_b, lift FROM scored
+       |ORDER BY lift DESC, w1, w2
+       |LIMIT $CollocK""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_stats", textStats, Some(textStatsSql)),
     QueryDef("topic_assign", topicAssign, Some(topicAssignSql)),
@@ -342,5 +423,6 @@ object TextQueries {
     QueryDef("lang_id", langId, Some(langIdSql)),
     QueryDef("text_lang_agg", langAgg, Some(langAggSql)),
     QueryDef("pivot_lang_counts", pivotLangCounts, Some(pivotLangCountsSql)),
-    QueryDef("tok_bpe", tokBpe, Some(tokBpeSql)))
+    QueryDef("tok_bpe", tokBpe, Some(tokBpeSql)),
+    QueryDef("colloc_topk", collocTopk, Some(collocTopkSql)))
 }

@@ -73,6 +73,35 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(topCount == direct.toLong)
   }
 
+  test("colloc_topk: lift recomputes exactly from brute-force counts") {
+    val rows = SparkEntry.queries("colloc_topk")(spark, d)
+      .select($"w1", $"w2", $"c_ab", $"c_a", $"c_b", $"lift")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // brute-force the corpus token stream per doc
+    val docs = Tables.documents(spark, d)
+      .select(graft.text.TextFunctions.tokens(col("text")))
+      .as[Seq[String]].collect()
+    val nTok = docs.map(_.length.toLong).sum
+    val nBig = docs.map(t => math.max(0, t.length - 1).toLong).sum
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.length.toLong)
+    val big = docs.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+    rows.foreach { case (w1, w2, cab, ca, cb, lift) =>
+      assert(cab >= 5 && big((w1, w2)) == cab)
+      assert(uni(w1) == ca && uni(w2) == cb)
+      val expect = (cab.toDouble * nTok * nTok) / (nBig.toDouble * ca * cb)
+      assert(lift == expect, s"lift mismatch for ($w1,$w2)")
+      assert(lift > 0)
+    }
+    // descending by (lift, w1, w2): the registry order
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._6 > b._6 ||
+        (a._6 == b._6 && (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)))
+      case _ => true
+    })
+  }
+
   test("tok_fertility: strata cover the corpus, fertility >= 1") {
     val rows = SparkEntry.queries("tok_fertility")(spark, d)
       .select($"lang", $"n_docs", $"n_words", $"n_subtokens", $"fertility")

@@ -13,7 +13,7 @@ class EntrySpec extends SparkTestBase {
     // structural guard: queries and oracleSql share keys (oracle may be a
     // subset for non-SQL-expressible ops — currently none)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 117)
-    assert(SparkEntry.oracleSql.size == 117)
+    assert(SparkEntry.queries.size == 118)
+    assert(SparkEntry.oracleSql.size == 118)
   }
 }
