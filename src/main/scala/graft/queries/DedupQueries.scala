@@ -408,6 +408,95 @@ object DedupQueries {
        |FROM r GROUP BY 1""".stripMargin
   }
 
+  // ----------------------------------------------------------- cdc_dedup
+  // Content-defined chunking dedup — the variable-boundary twin of
+  // chunk_dedup. Fixed 32-token chunks miss a duplicated passage the
+  // moment one token is inserted upstream of it (every later boundary
+  // shifts); CDC (Muthitacharoen et al., LBFS, SOSP'01 — the rsync/
+  // backup-dedup trick applied to corpus text) instead opens a new
+  // chunk wherever the ROLLING CONTENT HASH of a w-token window hits
+  // 0 mod D, so boundaries re-synchronize right after any edit and
+  // shared passages fingerprint identically regardless of their offset
+  // in the document. w = 4, D = 8 → expected chunk ≈ 8 tokens.
+  // Plan: the gram pass is the shared zero-shuffle slice/arrays_zip
+  // builder; chunk assignment is ONE doc-keyed window (running count
+  // of boundary grams); the chunk rebuild reuses that same doc_id
+  // clustering (groupBy on a superset of the partitioning keys adds no
+  // exchange); then the keep-first rank and per-doc rollup ship
+  // (digest, doc_id, chunk_idx) triples exactly like chunk_dedup —
+  // document text never crosses a fp-keyed exchange. Trailing w−1
+  // tokens of each doc have no gram row and stay outside chunk text
+  // (documented, mirrored in the oracle); docs under w tokens are out
+  // of scope of the report on both engines.
+  private val CdcW = 4 // rolling-window width (tokens)
+  private val CdcD = 8 // boundary divisor: P(boundary) = 1/D
+
+  private def cdcDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = TextFunctions
+      .ngramRowsPos(Tables.parallelize(Tables.documents(s, d)),
+        "doc_id", "text", CdcW)
+      .select(col("doc_id"), col("pos"), col("n"),
+        element_at(split(col("s"), " "), 1).as("tok"),
+        when(portableHash(concat(lit("cdc"), col("s"))) % CdcD === 0
+          && col("pos") > 1, 1L).otherwise(0L).as("bnd"))
+    val wChunk = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunks = grams
+      .withColumn("chunk_idx", sum(col("bnd")).over(wChunk))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(max(col("n")).as("n_grams"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")), " ")).as("fp"))
+    val wKeep = Window.partitionBy(col("fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunks.withColumn("rn", row_number().over(wKeep))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("rn") === 1, lit(1))).as("kept_chunks"),
+        max(col("n_grams")).as("n_grams"))
+      .withColumn("retained",
+        col("kept_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
+
+  private def cdcDedupSql = {
+    val toks = TextFunctions.tokensSql("text")
+    val sh = TextFunctions.shinglesSql("toks", CdcW)
+    val h = portableHashSql("concat('cdc', CAST(u.g[2] AS VARCHAR))")
+    s"""WITH tok AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |shl AS (
+       |  SELECT doc_id, $sh AS sh FROM tok),
+       |grams AS (
+       |  SELECT doc_id, CAST(u.g[1] AS BIGINT) AS pos, len(sh) AS n,
+       |    string_split(CAST(u.g[2] AS VARCHAR), ' ')[1] AS tok,
+       |    CASE WHEN $h % $CdcD = 0 AND CAST(u.g[1] AS BIGINT) > 1
+       |         THEN 1 ELSE 0 END AS bnd
+       |  FROM shl, unnest(list_zip(range(1, len(sh) + 1), sh)) AS u(g)
+       |  WHERE len(sh) > 0),
+       |asg AS (
+       |  SELECT doc_id, pos, n, tok,
+       |    CAST(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk_idx
+       |  FROM grams),
+       |chunks AS (
+       |  SELECT doc_id, chunk_idx, MAX(n) AS n_grams,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+       |  FROM asg GROUP BY 1, 2),
+       |r AS (
+       |  SELECT doc_id, chunk_idx, n_grams,
+       |    ROW_NUMBER() OVER (PARTITION BY fp
+       |                       ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM chunks)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |  COUNT(CASE WHEN rn = 1 THEN 1 END) AS kept_chunks,
+       |  MAX(n_grams) AS n_grams,
+       |  CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS retained
+       |FROM r GROUP BY 1""".stripMargin
+  }
+
   // ---------------------------------------------------------- lsh_recall
   // LSH banding-parameter frontier — the lexical twin of ann_frontier:
   // re-band the SAME 16-hash MinHash signature at (bands, rows/band) ∈
