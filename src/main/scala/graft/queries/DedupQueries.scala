@@ -438,7 +438,7 @@ object DedupQueries {
         "doc_id", "text", CdcW)
       .select(col("doc_id"), col("pos"), col("n"),
         element_at(split(col("s"), " "), 1).as("tok"),
-        when(portableHash(concat(lit("cdc"), col("s"))) % CdcD === 0
+        when(TextFunctions.portableHash(concat(lit("cdc"), col("s"))) % CdcD === 0
           && col("pos") > 1, 1L).otherwise(0L).as("bnd"))
     val wChunk = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -463,7 +463,7 @@ object DedupQueries {
   private def cdcDedupSql = {
     val toks = TextFunctions.tokensSql("text")
     val sh = TextFunctions.shinglesSql("toks", CdcW)
-    val h = portableHashSql("concat('cdc', CAST(u.g[2] AS VARCHAR))")
+    val h = TextFunctions.portableHashSql("concat('cdc', CAST(u.g[2] AS VARCHAR))")
     s"""WITH tok AS (
        |  SELECT doc_id, $toks AS toks FROM documents),
        |shl AS (
@@ -610,5 +610,6 @@ object DedupQueries {
     QueryDef("fuzzy_name_match", fuzzyNameMatch, Some(fuzzyNameMatchSql)),
     QueryDef("chunk_dedup", chunkDedup, Some(chunkDedupSql)),
     QueryDef("simhash_pairs", simhashPairs, Some(simhashPairsSql)),
+    QueryDef("cdc_dedup", cdcDedup, Some(cdcDedupSql)),
     QueryDef("lsh_recall", lshRecall, Some(lshRecallSql)))
 }
