@@ -32,16 +32,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as
-    * a long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
-    * [[GraftSession.tune]]). Truncate nanos → micros exactly like DuckDB
-    * does when it loads TIMESTAMP_NS into its microsecond timestamps, so
-    * oracle comparisons see identical instants. */
+  /** `events.ts` has shifted parquet logical type across testdata
+    * regenerations; normalize every variant to a session-tz TIMESTAMP so
+    * downstream `unix_millis`/window/`to_date` calls type-check uniformly:
+    *   - TIMESTAMP(NANOS): Spark 4 reads it as a long
+    *     (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    *     [[GraftSession.tune]]) — truncate nanos → micros exactly like
+    *     DuckDB does loading TIMESTAMP_NS into microsecond timestamps.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *     TIMESTAMP_NTZ, which `unix_millis` rejects at analysis time —
+    *     cast to TIMESTAMP. The session tz is pinned UTC
+    *     ([[GraftSession]]), so the cast reinterprets NTZ-as-UTC,
+    *     bit-matching DuckDB's `epoch_ms(ts)` over the same file.
+    * Both keep oracle comparisons on identical instants. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

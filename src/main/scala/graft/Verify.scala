@@ -2,8 +2,32 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failure policy: a query that throws must be VISIBLE, not absent —
+  * round 9 lost 7 oracle rows because the catch printed to stderr and the
+  * driver's JSON simply lacked the keys (112 entries vs a 119 registry,
+  * and nothing downstream noticed). Each failed query now gets an
+  * `_ERROR` marker file inside its output dir (so a downstream parquet
+  * read errors loudly instead of finding nothing) and a consolidated
+  * `_errors.json` sidecar next to `oracle_sql.json`; Verify also
+  * postcondition-checks that every selected query produced either a dump
+  * or an error record.
+  */
 object Verify {
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness. */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,33 +36,58 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the dump to named
     // queries (the driver never sets it — full registry by default).
+    // Empty tokens are dropped and unknown names warned: a misspelled
+    // name would otherwise silently select nothing and write an empty
+    // dump that a downstream compare misreads as missing results.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[verify] WARNING: SPARK_GRAFT_ONLY names not in registry: ${unknown.toSeq.sorted.mkString(",")}")
+      if (names.forall(unknown.contains))
+        System.err.println(
+          "[verify] WARNING: SPARK_GRAFT_ONLY selected ZERO queries — dump will be empty")
+    }
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
+        // Loud on-disk marker: the query's dir exists but contains no
+        // parquet, so any reader that looks for the result errors
+        // instead of silently skipping the key.
+        val dir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve("_ERROR"), msg.take(4000) + "\n")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Consolidated error sidecar — present (possibly empty) every run, so
+    // "no _errors.json" can never be confused with "no errors checked".
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // Postcondition: registry ≍ artifact. Every selected query must have
+    // produced a dump dir or an error record — absence is a bug in THIS
+    // harness and must crash it, not shrink the round's artifact.
+    val unaccounted = selected.keySet.filter { name =>
+      !errors.contains(name) && !Files.exists(Paths.get(s"$outDir/$name"))
+    }
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size}/${selected.size} queries FAILED: ${errors.keys.toSeq.sorted.mkString(",")}")
     spark.stop()
+    require(unaccounted.isEmpty,
+      s"[verify] queries neither dumped nor errored: ${unaccounted.toSeq.sorted.mkString(",")}")
   }
 }

@@ -66,6 +66,25 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("\"some_longer_query_name_001\""))
   }
 
+  test("failed queries surface by name in the compact line and survive trimming") {
+    // Round 9's 7 analysis-time breaks were timed as ~70-110 ms
+    // "successes" with no failure marker anywhere in the artifact. The
+    // failed list renders even when the query map is heavily trimmed.
+    val results = (1 to 200).map(i => (f"query_name_number_$i%03d", i * 0.031))
+    val line = Bench.compactLine(results.map(_._2).sum, results, "sf0.1", lat,
+      failed = Seq("viol_derive", "detect_geofence"))
+    assert(parseable(line))
+    assert(line.getBytes("UTF-8").length <= Bench.LineBudgetBytes)
+    assert(line.contains(""""failed":["detect_geofence","viol_derive"]"""))
+    assert(line.contains("omitted_fastest")) // trimming did happen
+  }
+
+  test("no failures -> no failed key (artifact stays minimal)") {
+    val line = Bench.compactLine(1.0, Seq("q1" -> 1.0), "sf0.1", lat)
+    assert(parseable(line))
+    assert(!line.contains("failed"))
+  }
+
   test("degenerate case: even a single kept query renders within budget") {
     val results = (1 to 400).map(i =>
       (s"an_extremely_long_query_name_padding_padding_$i", i * 0.01))

@@ -9,11 +9,19 @@ class EntrySpec extends SparkTestBase {
     assert(df.columns.contains("details"))
   }
 
-  test("every registered query has matching column sets vs its oracle name expectations") {
-    // structural guard: queries and oracleSql share keys (oracle may be a
-    // subset for non-SQL-expressible ops — currently none)
+  test("registry is structurally consistent: distinct names, oracle for every query") {
+    // Structural guards instead of a literal count (a pinned number went
+    // stale twice when queries landed after the pin): every QueryDef name
+    // is unique, the maps are exactly the defs, and every query carries an
+    // oracle (non-SQL-expressible ops would shrink oracleSql — currently
+    // none, so equality is the tightest valid assertion).
+    val defs = SparkEntry.allDefs
+    val names = defs.map(_.name)
+    assert(names.distinct.sizeIs == names.size,
+      s"duplicate query names: ${names.diff(names.distinct).distinct}")
+    assert(SparkEntry.queries.keySet == names.toSet)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 118)
-    assert(SparkEntry.oracleSql.size == 118)
+    val unoracled = names.toSet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without an oracle: $unoracled")
   }
 }
