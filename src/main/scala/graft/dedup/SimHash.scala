@@ -8,60 +8,89 @@ import graft.text.TextFunctions
 /** SimHash document fingerprinting (SURVEY §7.5 dedup family).
   *
   * Charikar-style: each distinct token votes ±1 on every bit of its
-  * 32-bit hash; the fingerprint sets the bits with positive vote sums.
+  * 64-bit hash; the fingerprint sets the bits with positive vote sums.
   * Near-identical documents land on fingerprints within a small Hamming
-  * distance — at scale, group by fingerprint (or by rotated prefixes for
-  * distance-k search) instead of comparing all pairs.
+  * distance — at scale, group by fingerprint (or by banded sections for
+  * distance-k search, Manku/Jain/Sarma WWW'07) instead of comparing all
+  * pairs. 64 bits is the production width: with 4×16-bit bands each band
+  * carries 65 536 bucket values, so band buckets stay O(n/65 536) where
+  * the former 32-bit/8-bit form packed O(n/256) docs per bucket — the
+  * difference between a bounded self-join and a quadratic one at 100 TB.
   *
-  * Map-only column expressions (one `aggregate` per bit over the token
-  * hash array); portable md5 hashing keeps the DuckDB oracle bit-exact.
+  * Map-only column expressions (64 codegen'd sum aggregates over the
+  * exploded token rows); portable md5 hashing keeps the DuckDB oracle
+  * bit-exact. The token hash is carried as two 32-bit halves (`hw_lo` =
+  * md5 chars 1-8, `hw_hi` = chars 9-16) rather than one assembled long:
+  * the vote for bit b reads one bit of one half, and DuckDB cannot
+  * assemble a signed 64-bit value by `<< 32` without tripping its
+  * left-shift overflow check — the halves sidestep the problem on both
+  * sides identically.
   */
 object SimHash {
-  val Bits = 32
-  /** Token hash reduced to 32 bits so bit votes stay in Int range. */
-  val Mod = 4294967296L // 2^32
+  val Bits = 64
+  private val HalfBits = 32
+
+  /** The signed-64-bit mask with exactly bit `b` set. Bit 63 is the sign
+    * bit: `1L << 63` is Long.MinValue, which bitwise-OR assembly handles
+    * exactly (no arithmetic overflow path on either engine). */
+  private def bitMask(b: Int): Long = 1L << b
 
   /** docs(idCol, textCol) → (id, simhash: long).
     *
-    * Row pipeline (explode distinct tokens → 32 codegen'd sum aggregates
-    * → bit assembly), not array HOFs — same measured rationale as
-    * [[MinHashLSH.signatures]]: interpreted lambdas are slow and
+    * Row pipeline (explode distinct tokens → 64 codegen'd sum aggregates
+    * → bitwise-OR bit assembly), not array HOFs — same measured rationale
+    * as [[MinHashLSH.signatures]]: interpreted lambdas are slow and
     * serialize across task threads. One shuffle on the doc key with
     * map-side partial aggregation. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val voteAggs: Seq[Column] = (0 until Bits).map { b =>
-      sum(expr(s"(shiftright(hw, $b) & 1) * 2 - 1")).as(s"__v$b")
+      val half = if (b < HalfBits) "hw_lo" else "hw_hi"
+      sum(expr(s"(shiftright($half, ${b % HalfBits}) & 1) * 2 - 1")).as(s"__v$b")
     }
     val assemble: Column = (0 until Bits).map { b =>
-      when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+      when(col(s"__v$b") > 0, lit(bitMask(b))).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
     graft.Tables.parallelize(docs)
       .select(col(idCol),
         explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("w"))
-      .withColumn("hw", expr(
-        s"cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint) % $Mod"))
+      .withColumn("hw_lo", expr(
+        "cast(conv(substring(md5(w), 1, 8), 16, 10) AS bigint)"))
+      .withColumn("hw_hi", expr(
+        "cast(conv(substring(md5(w), 9, 8), 16, 10) AS bigint)"))
       .groupBy(col(idCol))
       .agg(voteAggs.head, voteAggs.tail: _*)
       .withColumn("simhash", assemble)
       .select(col(idCol), col("simhash"))
   }
 
-  /** DuckDB mirror (from the `documents` view): `sim(doc_id, simhash)`. */
+  /** DuckDB mirror (from the `documents` view): `sim(doc_id, simhash)`.
+    * Bit assembly uses `|` (no overflow path) and spells the bit-63 mask
+    * as the signed literal — DuckDB rejects `1::BIGINT << 63`. */
   def duckdbCte: String = {
     val toks = TextFunctions.tokensSql("text")
-    val hash = s"CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $Mod"
+    val hashLo = "CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)"
+    val hashHi = "CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT)"
+    def maskSql(b: Int): String =
+      if (b == 63) "CAST(-9223372036854775808 AS BIGINT)"
+      else s"(CAST(1 AS BIGINT) << $b)"
+    // joined with the OR on the END of each line: this SQL is embedded
+    // in stripMargin strings downstream, which would strip a
+    // line-LEADING `|` as a margin marker and silently delete the
+    // bitwise-or operators
     val bitTerms = (0 until Bits).map { b =>
-      s"CASE WHEN list_sum(list_transform(hw, x -> ((x >> $b) & 1) * 2 - 1)) > 0 " +
-      s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
-    }.mkString("\n      + ")
+      val half = if (b < HalfBits) "lo" else "hi"
+      s"CASE WHEN list_sum(list_transform($half, x -> ((x >> ${b % HalfBits}) & 1) * 2 - 1)) > 0 " +
+      s"THEN ${maskSql(b)} ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" |\n      ")
     s"""simtok AS (
        |  SELECT doc_id, list_distinct($toks) AS w FROM documents),
        |simhashed AS (
-       |  SELECT doc_id, list_transform(w, s -> $hash) AS hw
+       |  SELECT doc_id, list_transform(w, s -> $hashLo) AS lo,
+       |    list_transform(w, s -> $hashHi) AS hi
        |  FROM simtok WHERE len(w) > 0),
        |sim AS (
        |  SELECT doc_id,
-       |    CAST($bitTerms AS BIGINT) AS simhash
+       |    $bitTerms AS simhash
        |  FROM simhashed)""".stripMargin
   }
 }

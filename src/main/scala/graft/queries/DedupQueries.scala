@@ -289,18 +289,19 @@ object DedupQueries {
   // ------------------------------------------------------ simhash_pairs
   // Banded Hamming-distance near-dup search over the SimHash
   // fingerprints (Manku/Jain/Sarma, WWW'07 — the production form of
-  // dedup_simhash, which only emits fingerprints): the 32-bit simhash
-  // splits into 4 disjoint 8-bit bands; by pigeonhole, any pair within
+  // dedup_simhash, which only emits fingerprints): the 64-bit simhash
+  // splits into 4 disjoint 16-bit bands; by pigeonhole, any pair within
   // Hamming distance 3 agrees EXACTLY on at least one band, so the
   // band-bucket self-join is a LOSSLESS blocking for the ≤3 search.
   // Candidates come only from band collisions — never all-pairs — and
   // the verify step is one xor + bit_count per candidate. Plan: the
   // band expansion is map-only over the signature pass (4 rows per
   // doc); the join is keyed on (band, value); distinct collapses
-  // multi-band collisions before the popcount filter. At 100 TB: widen
-  // the fingerprint to 64 bits with 4×16-bit bands (65k bucket values
-  // per band keeps buckets small); the blocking guarantee is the same
-  // pigeonhole argument.
+  // multi-band collisions before the popcount filter. The 16-bit bands
+  // are the 100 TB shape: 65 536 bucket values per band keeps candidate
+  // fan-out at O(n²/65 536) per band vs the O(n²/256) the former
+  // 32-bit/8-bit layout allowed; the blocking guarantee is the same
+  // pigeonhole argument at any width.
   private val SimBands = 4
   private val SimBandBits = SimHash.Bits / SimBands
   private val SimHammingMax = SimBands - 1

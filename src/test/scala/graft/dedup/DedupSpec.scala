@@ -128,6 +128,8 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out(1L) == out(4L))
     assert(out(1L) != out(3L))
-    assert(out.values.forall(v => v >= 0 && v < (1L << 32)))
+    // 64-bit fingerprints use the full signed range (bit 63 is real);
+    // a nonzero fingerprint shows the vote→bit assembly actually fired
+    assert(out.values.exists(_ != 0L))
   }
 }

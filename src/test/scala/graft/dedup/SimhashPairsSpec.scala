@@ -31,6 +31,34 @@ class SimhashPairsSpec extends SparkTestBase {
     got.foreach { case (_, h) => assert(h >= 0 && h <= 3) }
   }
 
+  test("16-bit bands cut the candidate budget vs 8-bit bands on the same fingerprints") {
+    // The scale argument for the 64-bit/4×16 upgrade, measured: band
+    // candidates are the verify stage's input, and an 8-bit band has
+    // only 256 bucket values (collision floor ~n²/256 per band) where a
+    // 16-bit band has 65 536. Both bandings run over the SAME 64-bit
+    // fingerprints here, so the comparison isolates exactly the width
+    // lever. (Semantically related docs beyond Hamming 3 still collide
+    // on full bands — correlated votes — so an absolute true-pair floor
+    // is not assertable; the width RATIO is.)
+    def candidates(bandBits: Int): Long = {
+      val bands = 64 / bandBits
+      val mask = (1L << bandBits) - 1
+      (for {
+        b <- 0 until bands
+        (_, bucket) <- sims.groupBy { case (_, s) => (s >>> (b * bandBits)) & mask }
+      } yield bucket.length.toLong * (bucket.length - 1) / 2).sum
+    }
+    lazy val sims = SimHash.simhash(Tables.documents(spark, sf), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = sims.length.toLong
+    val c16 = candidates(16)
+    val c8 = candidates(8)
+    assert(c16 * 2 <= c8,
+      s"16-bit banding should at least halve the 8-bit budget: $c16 vs $c8")
+    assert(c16 < n * (n - 1) / 2,
+      s"budget must beat all-pairs: $c16 vs ${n * (n - 1) / 2}")
+  }
+
   test("simhash_pairs: pairs are canonical (a < b) and never self-pairs") {
     val df = SparkEntry.queries("simhash_pairs")(spark, sf)
     assert(df.filter(col("a_id") >= col("b_id")).count() == 0)
