@@ -494,8 +494,85 @@ object CurationQueries {
        |FROM x""".stripMargin
   }
 
+  // ------------------------------------------------------ dsir_importance
+  // DSIR-style importance weighting (Xie et al. 2023, Data Selection
+  // with Importance Resampling): score every document by how much its
+  // hashed-bigram distribution resembles a TARGET domain (source
+  // 'src0' stands in for "quality corpus") relative to the raw pool —
+  // the data-selection step that upweights target-like documents before
+  // sampling (samp_weighted consumes exactly such weights). The hashed
+  // LM is the scale story: both "models" are bucket-count tables capped
+  // at 4 096 rows (features are HASHED into a fixed space, per the
+  // paper), so each aggregates map-side into ≤4 096 partials per
+  // executor and the per-gram lift table BROADCASTS to every scorer —
+  // at 100 TB the only data-sized exchange is the per-doc rollup.
+  // Exactness discipline: the per-gram lift is add-1-smoothed
+  // fixed-point integer arithmetic (SCALE·(tgt+1) DIV (raw+1) — integer
+  // division, bit-identical in both engines), summed as BIGINT; the
+  // ONLY IEEE step is the final mirrored normalization divide. The
+  // log-space double form is the 100 TB rendering (overflow-free for
+  // arbitrary counts); this fixed-point form is the oracle-gated gate.
+  private val DsirBuckets = 4096
+  private val DsirScale = 1000000L
+  private val DsirTarget = "src0"
+
+  private def dsirImportance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val grams = ngramRows(Tables.parallelize(docs), "doc_id", "text", 2)
+      .select(col("doc_id"),
+        (portableHash(col("s")) % DsirBuckets).as("g"))
+    val raw = grams.groupBy(col("g")).agg(count(lit(1)).as("raw_c"))
+    val tgt = grams
+      .join(docs.filter(col("source") === DsirTarget).select("doc_id"),
+        "doc_id")
+      .groupBy(col("g")).agg(count(lit(1)).as("tgt_c"))
+    val lift = raw.join(tgt, Seq("g"), "left")
+      .select(col("g"), expr(
+        s"(CAST($DsirScale AS BIGINT) * (coalesce(tgt_c, CAST(0 AS BIGINT)) + 1))" +
+          " DIV (raw_c + 1)").as("lift"))
+    grams.join(broadcast(lift), "g") // bounded: ≤4096 hashed-LM rows
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lift")).as("score"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("imp", col("score").cast("double") /
+        (col("n_grams") * DsirScale).cast("double"))
+      .select(col("doc_id"), col("source"), col("n_grams"), col("score"),
+        col("imp"))
+  }
+
+  private val dsirImportanceSql = {
+    val toks = tokensSql("text")
+    val sh = shinglesSql("toks", 2)
+    s"""WITH tokd AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest($sh) AS s FROM tokd),
+       |gr AS (
+       |  SELECT doc_id, ${portableHashSql("s")} % $DsirBuckets AS g
+       |  FROM grams),
+       |raw AS (SELECT g, COUNT(*) AS raw_c FROM gr GROUP BY 1),
+       |tgt AS (
+       |  SELECT gr.g, COUNT(*) AS tgt_c
+       |  FROM gr JOIN documents d USING (doc_id)
+       |  WHERE d.source = '$DsirTarget' GROUP BY 1),
+       |lift AS (
+       |  SELECT raw.g,
+       |    (CAST($DsirScale AS BIGINT) * (COALESCE(tgt_c, 0) + 1))
+       |      // (raw_c + 1) AS lift
+       |  FROM raw LEFT JOIN tgt USING (g)),
+       |scored AS (
+       |  SELECT doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(lift) AS BIGINT) AS score
+       |  FROM gr JOIN lift USING (g) GROUP BY 1)
+       |SELECT s.doc_id, d.source, s.n_grams, s.score,
+       |  CAST(s.score AS DOUBLE)
+       |    / CAST(s.n_grams * $DsirScale AS DOUBLE) AS imp
+       |FROM scored s JOIN documents d ON d.doc_id = s.doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("shard_sizes", shardSizes, Some(shardSizesSql)),
+    QueryDef("dsir_importance", dsirImportance, Some(dsirImportanceSql)),
     QueryDef("split_assign", splitAssign, Some(splitAssignSql)),
     QueryDef("decontam", decontam, Some(decontamSql)),
     QueryDef("samp_hash", sampHash, Some(sampHashSql)),

@@ -810,8 +810,90 @@ object EmbedQueries {
        |  CAST(n AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS purity
        |FROM t WHERE rn = 1""".stripMargin
 
+  // ------------------------------------------------------ semdedup_prune
+  // SemDeDup-style semantic pruning (Abbas et al. 2023): cluster the
+  // embedding space, then within each cluster drop every vector that is
+  // near-identical (cos ≥ τ) to an earlier-id keeper — the step that
+  // removes "semantic duplicates" exact/lexical dedup cannot see. The
+  // Spark rendering composes the engine's two blocking primitives:
+  // the Lloyd-trained IVF cell ([[graft.SharedStages.ivfCentroids]],
+  // broadcast map-only assignment) plays SemDeDup's k-means cluster,
+  // and RP-LSH bucket collision generates the within-corpus candidate
+  // pairs — so no stage ever materializes within-cell all-pairs. (True
+  // SemDeDup compares all pairs inside a cluster; with k≈√n clusters
+  // that is the same bounded-candidate budget this LSH sub-blocking
+  // delivers at fixed k — recall < 1 at τ like any LSH path, and the
+  // oracle mirrors the identical candidate generation so results
+  // hash-match.) Keep rule: a vector is pruned iff some LOWER-id
+  // same-cell candidate verifies at cos ≥ τ; the emitted witness is the
+  // lowest such id — deterministic, order-free. Output = the pruned
+  // rows with their witness (the "removed by semantic dedup" ledger a
+  // curation pipeline prices).
+  private val SemTau = 0.4
+
+  private def semdedupPrune(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val qd = Similarity.quantized(e, "vec_id", "embedding")
+      .select(col("vec_id"), col("q"), col("nq"))
+    val seeds = graft.SharedStages.ivfCentroids(s, d)
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("seed_id"))
+    val assign = qd.crossJoin(broadcast(seeds)) // bounded: ≤8 codebook rows
+      .withColumn("dot", Similarity.dotQ("q", "sq"))
+      .withColumn("cos", Similarity.cosine(col("dot"), col("nq"), col("snq")))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("seed_id").as("cell"))
+    val pairs = RpLsh.annPairs(e, "vec_id", "embedding", SemTau)
+    val sameCell = pairs
+      .join(assign.select(col("vec_id").as("a_id"), col("cell")), "a_id")
+      .join(assign.select(col("vec_id").as("b_id"), col("cell").as("cell_b")),
+        "b_id")
+      .filter(col("cell") === col("cell_b"))
+    val ww = Window.partitionBy(col("b_id")).orderBy(col("a_id"))
+    sameCell
+      .withColumn("rn", row_number().over(ww))
+      .filter(col("rn") === 1)
+      .select(col("b_id").as("vec_id"), col("cell"),
+        col("a_id").as("witness_id"), col("cos"))
+  }
+
+  private val semdedupPruneSql = {
+    val cosAB = s"CAST(${Similarity.duckdbDot("a.q", "b.q")} AS DOUBLE)" +
+      " / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE))"
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |${graft.embed.IvfTrain.duckdbSeedsCte()},
+       |${RpLsh.duckdbCandidateCte},
+       |assigned AS (
+       |  SELECT vec_id, seed_id AS cell FROM (
+       |    SELECT v.vec_id, s.seed_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        CAST(${Similarity.duckdbDot("v.q", "s.sq")} AS DOUBLE)
+       |          / sqrt(CAST(v.nq AS DOUBLE) * CAST(s.snq AS DOUBLE)) DESC,
+       |        s.seed_id) AS rn
+       |    FROM qv v CROSS JOIN seeds s) WHERE rn = 1),
+       |verified AS (
+       |  SELECT c.a_id, c.b_id, $cosAB AS cos
+       |  FROM rp_cand c
+       |  JOIN qv a ON a.vec_id = c.a_id
+       |  JOIN qv b ON b.vec_id = c.b_id
+       |  WHERE $cosAB >= CAST(0.4 AS DOUBLE)),
+       |incell AS (
+       |  SELECT v.a_id, v.b_id, v.cos, ca.cell
+       |  FROM verified v
+       |  JOIN assigned ca ON ca.vec_id = v.a_id
+       |  JOIN assigned cb ON cb.vec_id = v.b_id AND cb.cell = ca.cell)
+       |SELECT b_id AS vec_id, cell, a_id AS witness_id, cos FROM (
+       |  SELECT a_id, b_id, cos, cell,
+       |    ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY a_id) AS rn
+       |  FROM incell)
+       |WHERE rn = 1""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_topk", knnTopK, Some(knnTopKSql)),
+    QueryDef("semdedup_prune", semdedupPrune, Some(semdedupPruneSql)),
     QueryDef("hard_negatives", hardNegatives, Some(hardNegativesSql)),
     QueryDef("embed_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
     QueryDef("ann_rp_lsh", annRpLsh, Some(annRpLshSql)),

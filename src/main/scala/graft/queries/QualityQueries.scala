@@ -373,7 +373,55 @@ object QualityQueries {
       |    CAST(st.n_distinct AS DOUBLE) / st.n_cp END AS distinct_ratio
       |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin
 
+  // ------------------------------------------------------- ccnet_buckets
+  // CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+  // within each language, rank documents by an LM quality signal and
+  // split into head/middle/tail terciles — the standard pre-training
+  // corpus partitioning ("train on head+middle, drop tail"). The LM
+  // signal is the corpus-LM rarity ratio ([[graft.SharedStages
+  // .lmRareReport]] — shared with lm_rare_bigrams and the curation
+  // funnel, built once per session): low rare-bigram ratio ≈ low
+  // perplexity ≈ head. NTILE runs per-language (a partitioned window —
+  // each language sorts independently, the same per-key discipline as
+  // every keyed window here); the exact-NTILE-vs-digest-boundary
+  // tradeoff documented at quality_deciles applies unchanged when one
+  // language dominates at 100 TB. Report totals are exact BIGINT sums
+  // (doc/char/bigram counts) — no float accumulation to diverge.
+  private def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val lm = graft.SharedStages.lmRareReport(s, d)
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        col("rare_ratio"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      col("n_chars"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("rare_ratio"), col("doc_id"))
+    lm.join(docs, "doc_id")
+      .withColumn("bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          ntile(3).over(w)))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars_total"),
+        sum(col("n_rare")).cast("long").as("rare_total"),
+        sum(col("n_bigrams")).cast("long").as("bigrams_total"))
+  }
+
+  private val ccnetBucketsSql =
+    s"""WITH lm AS (${graft.queries.FingerprintQueries.lmRareBigramsSql}),
+       |ranked AS (
+       |  SELECT d.lang, d.n_chars, lm.n_bigrams, lm.n_rare,
+       |    (['head', 'middle', 'tail'])[
+       |      NTILE(3) OVER (PARTITION BY d.lang
+       |                     ORDER BY lm.rare_ratio, lm.doc_id)] AS bucket
+       |  FROM lm JOIN documents d ON d.doc_id = lm.doc_id)
+       |SELECT lang, bucket, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       |  CAST(SUM(n_rare) AS BIGINT) AS rare_total,
+       |  CAST(SUM(n_bigrams) AS BIGINT) AS bigrams_total
+       |FROM ranked GROUP BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("ccnet_buckets", ccnetBuckets, Some(ccnetBucketsSql)),
     QueryDef("pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("outlier_mad", outlierMad, Some(outlierMadSql)),
     QueryDef("bm25_topk", bm25Topk, Some(bm25TopkSql)),
