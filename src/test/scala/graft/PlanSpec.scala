@@ -382,6 +382,29 @@ class PlanSpec extends SparkTestBase {
     assert(!s.toLowerCase.contains("udf"), s)
   }
 
+  test("semdedup_prune: LSH-keyed candidates, broadcast codebook, no cartesian") {
+    val s = planString("semdedup_prune")
+    assert(!s.contains("CartesianProduct"), s)
+    // the ≤8-row IVF codebook must broadcast (nested-loop over a
+    // broadcast dim is the bounded assignment pass, not a data×data join)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("dsir_importance: hashed-LM lift table broadcasts to the scorer") {
+    val s = planString("dsir_importance")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastHashJoin"),
+      s"the ≤4096-row lift table must broadcast:\n$s")
+  }
+
+  test("ccnet_buckets: NTILE window is language-partitioned, not global") {
+    val s = planString("ccnet_buckets")
+    // a global (unpartitioned) window renders an Exchange SinglePartition
+    // feeding the Window node — per-lang bucketing must never do that
+    assert(!s.contains("Exchange SinglePartition"),
+      s"per-language window collapsed to one partition:\n$s")
+  }
+
   test("lex_cosine_pairs: posting-list join keyed on the term, no cartesian") {
     val s = planString("lex_cosine_pairs")
     assert(!s.contains("CartesianProduct"), s)
