@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
@@ -12,7 +12,8 @@ import java.nio.file.{Files, Paths}
   * read errors loudly instead of finding nothing) and a consolidated
   * `_errors.json` sidecar next to `oracle_sql.json`; Verify also
   * postcondition-checks that every selected query produced either a dump
-  * or an error record.
+  * or an error record. The dump loop lives in [[dumpAll]] so VerifySpec
+  * can drive it with a deliberately-broken registry.
   */
 object Verify {
   /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -27,6 +28,42 @@ object Verify {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   } + "\""
+
+  private def writeJsonMap(path: String, m: Iterable[(String, String)]): Unit =
+    Files.writeString(Paths.get(path),
+      m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+
+  /** Run every query, dump each result to `outDir/<name>` parquet; a
+    * throwing query gets an `_ERROR` marker file in its dir instead.
+    * Returns name → message for the failures. Postcondition: every query
+    * is dumped or errored — absence would be a bug in THIS harness and
+    * crashes it rather than silently shrinking the round's artifact. */
+  def dumpAll(spark: SparkSession, sfDir: String, outDir: String,
+              queries: Map[String, (SparkSession, String) => DataFrame])
+  : Map[String, String] = {
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
+        val dir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve("_ERROR"), msg.take(4000) + "\n")
+      }
+    }
+    // Consolidated error sidecar — present (possibly empty) every run, so
+    // "no _errors.json" can never be confused with "no errors checked".
+    writeJsonMap(s"$outDir/_errors.json", errors)
+    val unaccounted = queries.keySet.filter { name =>
+      !errors.contains(name) && !Files.exists(Paths.get(s"$outDir/$name"))
+    }
+    require(unaccounted.isEmpty,
+      s"[verify] queries neither dumped nor errored: ${unaccounted.toSeq.sorted.mkString(",")}")
+    errors.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -53,41 +90,11 @@ object Verify {
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-        errors(name) = msg
-        System.err.println(s"[verify] $name failed: $msg")
-        // Loud on-disk marker: the query's dir exists but contains no
-        // parquet, so any reader that looks for the result errors
-        // instead of silently skipping the key.
-        val dir = Paths.get(s"$outDir/$name")
-        Files.createDirectories(dir)
-        Files.writeString(dir.resolve("_ERROR"), msg.take(4000) + "\n")
-      }
-    }
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Consolidated error sidecar — present (possibly empty) every run, so
-    // "no _errors.json" can never be confused with "no errors checked".
-    val errJson = errors
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
-    // Postcondition: registry ≍ artifact. Every selected query must have
-    // produced a dump dir or an error record — absence is a bug in THIS
-    // harness and must crash it, not shrink the round's artifact.
-    val unaccounted = selected.keySet.filter { name =>
-      !errors.contains(name) && !Files.exists(Paths.get(s"$outDir/$name"))
-    }
+    val errors = dumpAll(spark, sfDir, outDir, selected)
+    writeJsonMap(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
     if (errors.nonEmpty)
       System.err.println(
         s"[verify] ${errors.size}/${selected.size} queries FAILED: ${errors.keys.toSeq.sorted.mkString(",")}")
     spark.stop()
-    require(unaccounted.isEmpty,
-      s"[verify] queries neither dumped nor errored: ${unaccounted.toSeq.sorted.mkString(",")}")
   }
 }
