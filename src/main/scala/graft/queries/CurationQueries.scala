@@ -570,9 +570,34 @@ object CurationQueries {
        |FROM scored s JOIN documents d ON d.doc_id = s.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------- dsir_resample
+  // The RESAMPLING step completing dsir_importance (the "R" in DSIR):
+  // keep each document with probability min(1, importance) — rendered
+  // deterministically as the same salted-hash Bernoulli draw samp_hash
+  // uses, but with the per-doc importance as the acceptance threshold:
+  // accept iff hash('dsir'‖doc_id) mod (n_grams·SCALE) < score, which
+  // is exactly P(accept) = min(1, imp) in exact integer arithmetic
+  // (target-like docs with imp ≥ 1 are always kept). Composes the
+  // importance pipeline unchanged; the draw is map-only on top of it,
+  // reproducible across engines, partitionings and reruns — the
+  // auditable form a 100 TB selection pass needs (re-running selection
+  // on a different cluster keeps the SAME corpus).
+  private def dsirResample(s: SparkSession, d: String): DataFrame =
+    dsirImportance(s, d)
+      .filter(portableHash(concat(lit("dsir"), col("doc_id")))
+        % (col("n_grams") * DsirScale) < col("score"))
+      .select(col("doc_id"), col("source"), col("imp"))
+
+  private val dsirResampleSql =
+    s"""WITH scored AS ($dsirImportanceSql)
+       |SELECT doc_id, source, imp FROM scored
+       |WHERE ${portableHashSql("concat('dsir', CAST(doc_id AS VARCHAR))")}
+       |  % (n_grams * $DsirScale) < score""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("shard_sizes", shardSizes, Some(shardSizesSql)),
     QueryDef("dsir_importance", dsirImportance, Some(dsirImportanceSql)),
+    QueryDef("dsir_resample", dsirResample, Some(dsirResampleSql)),
     QueryDef("split_assign", splitAssign, Some(splitAssignSql)),
     QueryDef("decontam", decontam, Some(decontamSql)),
     QueryDef("samp_hash", sampHash, Some(sampHashSql)),

@@ -163,6 +163,50 @@ object MiningQueries {
        |FROM wmin""".stripMargin
   }
 
+  // -------------------------------------------------------- winnow_pairs
+  // MOSS-style overlap DETECTION from the winnowed fingerprints — the
+  // pair-report step the fingerprint selection exists for (Schleimer/
+  // Wilkerson/Aiken '03 §5: report pairs sharing selected
+  // fingerprints). Shape: the winnow pass already reduced every doc to
+  // ~2/(w+1) of its grams, so the pair join runs over the SELECTED
+  // hashes only; a df cut (same ≤25 discipline as lex_cosine_pairs)
+  // drops boilerplate fingerprints whose posting lists would fan out
+  // O(df²), and the report keeps pairs sharing ≥3 fingerprints. The
+  // fingerprint exchange is hash-keyed and reused by the df window and
+  // both join sides; candidate pairs are collision-proportional, never
+  // all-pairs — winnowing IS the 100 TB sampling guarantee (density
+  // bounded per document, independent of corpus size).
+  private val WinPairMaxDf = 25
+  private val WinPairMin = 3
+
+  private def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    val fps = winnowFingerprint(s, d)
+      .select(col("doc_id"), col("h")).distinct()
+      .repartition(col("h"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= WinPairMaxDf)
+      .select(col("doc_id"), col("h"))
+    val a = fps.select(col("h"), col("doc_id").as("a_id"))
+    val b = fps.select(col("h"), col("doc_id").as("b_id"))
+    a.join(b, "h")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinPairMin)
+  }
+
+  private def winnowPairsSql =
+    s"""WITH wfp AS ($winnowFingerprintSql),
+       |dfp AS (SELECT DISTINCT doc_id, h FROM wfp),
+       |kept AS (
+       |  SELECT doc_id, h FROM dfp
+       |  WHERE h IN (SELECT h FROM dfp GROUP BY h
+       |              HAVING COUNT(*) <= $WinPairMaxDf))
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+       |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= $WinPairMin""".stripMargin
+
   // ------------------------------------------------------- ngram_novelty
   // First-occurrence novelty scoring: the fraction of a document's
   // distinct 5-grams whose corpus-wide FIRST occurrence (minimum
@@ -508,6 +552,7 @@ object MiningQueries {
     QueryDef("hll_distinct", hllDistinct, Some(hllDistinctSql)),
     QueryDef("winnow_fingerprint", winnowFingerprint,
       Some(winnowFingerprintSql)),
+    QueryDef("winnow_pairs", winnowPairs, Some(winnowPairsSql)),
     QueryDef("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     QueryDef("novelty_incr", noveltyIncr, Some(noveltyIncrSql)),
     QueryDef("novelty_probe", noveltyProbe, Some(noveltyIncrSql)),
