@@ -84,6 +84,66 @@ object DedupQueries {
        |  JOIN sigs b ON b.doc_id = c.b_id)
        |SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin
 
+  // ------------------------------------------------------- minhash_bbit
+  // b-bit minwise hashing (Li & König, WWW'10): store only the LOWEST
+  // bit of each minhash value — signature memory ÷ 64 vs full 64-bit
+  // values — and recover Jaccard from the bit-match fraction M with the
+  // estimator Ĵ = (M − C)/(1 − C), where C = 1/2^b is the random-
+  // collision floor (b = 1 here: Ĵ = 2M − 1, clipped at 0). The report
+  // scores every LSH candidate pair three ways — b-bit estimate, full-
+  // signature estimate, exact shingle Jaccard — so the storage/accuracy
+  // tradeoff is measured, not asserted. At 100 TB the b-bit sketch is
+  // what a dedup index actually persists (1 bit × k per doc); banding
+  // still runs on the full values before they are thrown away, exactly
+  // the paper's deployment. All counts are exact integers; the three
+  // divisions are the only IEEE steps, mirrored in the oracle.
+  private def minhashBbit(s: SparkSession, d: String): DataFrame = {
+    val k = MinHashLSH.NumHashes
+    val sigs = graft.SharedStages.minhashSignatures(s, d)
+    val a = sigs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("sig").as("a_sig"))
+    val b = sigs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("sig").as("b_sig"))
+    val matchTerms = (1 to k).map(i =>
+      s"IF(element_at(a_sig, $i) % 2 = element_at(b_sig, $i) % 2, 1, 0)")
+      .mkString(" + ")
+    graft.SharedStages.candidatePairs(s, d)
+      .join(a, "a_id").join(b, "b_id")
+      .withColumn("n_match", expr(matchTerms).cast("long"))
+      .withColumn("j_bbit", greatest(lit(0.0),
+        (col("n_match") * 2 - k).cast("double") / k))
+      .withColumn("inter",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
+      .withColumn("j_exact", col("inter").cast("double") /
+        ((size(col("a_sh")) + size(col("b_sh"))).cast("long") - col("inter")))
+      .select(col("a_id"), col("b_id"), col("n_match"), col("j_bbit"),
+        col("est_sim").as("j_minhash"), col("j_exact"))
+  }
+
+  private def minhashBbitSql = {
+    val k = MinHashLSH.NumHashes
+    val matchTerms = (1 to k).map(i =>
+      s"CASE WHEN a.sig[$i] % 2 = b.sig[$i] % 2 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${MinHashLSH.duckdbSignatureCte},
+       |${MinHashLSH.duckdbCandidateCte},
+       |scored AS (
+       |  SELECT c.a_id, c.b_id, c.est_sim,
+       |    CAST($matchTerms AS BIGINT) AS n_match,
+       |    a.sh AS a_sh, b.sh AS b_sh
+       |  FROM cands c
+       |  JOIN sigs a ON a.doc_id = c.a_id
+       |  JOIN sigs b ON b.doc_id = c.b_id)
+       |SELECT a_id, b_id, n_match,
+       |  greatest(CAST(0 AS DOUBLE),
+       |    CAST(n_match * 2 - $k AS DOUBLE) / $k) AS j_bbit,
+       |  est_sim AS j_minhash,
+       |  CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE)
+       |    / (len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh)))
+       |    AS j_exact
+       |FROM scored""".stripMargin
+  }
+
   // --------------------------------------------------- dedup_components
   // Canonicalization: near-dup verified pairs → connected components →
   // (doc_id, canonical keeper = component min id). The step that turns
@@ -602,6 +662,7 @@ object DedupQueries {
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_prefix", dedupPrefix, Some(dedupPrefixSql)),
     QueryDef("dedup_minhash_lsh", minhashCands, Some(minhashCandsSql)),
+    QueryDef("minhash_bbit", minhashBbit, Some(minhashBbitSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_components", dedupComponents, Some(dedupComponentsSql)),
     QueryDef("components_star", componentsStar, Some(dedupComponentsSql)),

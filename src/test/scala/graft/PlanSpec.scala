@@ -405,6 +405,19 @@ class PlanSpec extends SparkTestBase {
       s"per-language window collapsed to one partition:\n$s")
   }
 
+  test("winnow_pairs: fingerprint join keyed on the hash, no cartesian") {
+    val s = planString("winnow_pairs")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      s"fingerprint self-join must be keyed on h:\n$s")
+  }
+
+  test("minhash_bbit: candidate join stays keyed, bit-match sum stays codegen") {
+    val s = planString("minhash_bbit")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.toLowerCase.contains("udf"), s)
+  }
+
   test("lex_cosine_pairs: posting-list join keyed on the term, no cartesian") {
     val s = planString("lex_cosine_pairs")
     assert(!s.contains("CartesianProduct"), s)
