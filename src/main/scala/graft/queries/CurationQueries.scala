@@ -516,7 +516,10 @@ object CurationQueries {
   private val DsirScale = 1000000L
   private val DsirTarget = "src0"
 
-  private def dsirImportance(s: SparkSession, d: String): DataFrame = {
+  /** The hashed-LM "model": per-bucket lift table, ≤ [[DsirBuckets]]
+    * rows however big the corpus. Built once batch-side; broadcast by
+    * every scorer (batch report or streaming micro-batch). */
+  private[graft] def dsirLift(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val grams = ngramRows(Tables.parallelize(docs), "doc_id", "text", 2)
       .select(col("doc_id"),
@@ -526,10 +529,21 @@ object CurationQueries {
       .join(docs.filter(col("source") === DsirTarget).select("doc_id"),
         "doc_id")
       .groupBy(col("g")).agg(count(lit(1)).as("tgt_c"))
-    val lift = raw.join(tgt, Seq("g"), "left")
+    raw.join(tgt, Seq("g"), "left")
       .select(col("g"), expr(
         s"(CAST($DsirScale AS BIGINT) * (coalesce(tgt_c, CAST(0 AS BIGINT)) + 1))" +
           " DIV (raw_c + 1)").as("lift"))
+  }
+
+  /** Score ANY batch of documents (doc_id, text, source) against a
+    * prebuilt lift table — the per-doc step is stateless given the
+    * broadcast model, which is what makes the streaming twin
+    * ([[graft.streaming.StreamingDsir]]) a plain foreachBatch of this
+    * same function. */
+  private[graft] def dsirScore(docs: DataFrame, lift: DataFrame): DataFrame = {
+    val grams = ngramRows(docs, "doc_id", "text", 2)
+      .select(col("doc_id"),
+        (portableHash(col("s")) % DsirBuckets).as("g"))
     grams.join(broadcast(lift), "g") // bounded: ≤4096 hashed-LM rows
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("lift")).as("score"))
@@ -539,6 +553,9 @@ object CurationQueries {
       .select(col("doc_id"), col("source"), col("n_grams"), col("score"),
         col("imp"))
   }
+
+  private def dsirImportance(s: SparkSession, d: String): DataFrame =
+    dsirScore(Tables.parallelize(Tables.documents(s, d)), dsirLift(s, d))
 
   private val dsirImportanceSql = {
     val toks = tokensSql("text")
