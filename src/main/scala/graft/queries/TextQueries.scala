@@ -67,6 +67,72 @@ object TextQueries {
        |FROM m""".stripMargin
   }
 
+  // -------------------------------------------------------- gopher_rules
+  // Gopher-style rule-based quality filtering (Rae et al. 2021, §A1.1),
+  // the standard pre-classifier gate: a document passes only if it
+  // clears ALL rules. Rendered to this corpus's scale (the published
+  // word-count floor of 50 assumes web pages; the synthetic docs run
+  // 20–40 tokens, so the floor is 10 — the RULE STRUCTURE is the
+  // operator, thresholds are config): word-count bounds, mean-word-
+  // length band (3–10), ≥2 stopword hits, and type-token ratio ≥ 0.2
+  // (the repetition proxy — heavily duplicated docs collapse their
+  // type set). Emits each rule's verdict so curation funnels can price
+  // which rule rejects what (the report Gopher's appendix tabulates).
+  // Map-only column arithmetic over one scan; composes with
+  // curation_funnel/dsir_resample as the cheap first gate at 100 TB.
+  private def gopherRules(s: SparkSession, d: String): DataFrame =
+    Tables.parallelize(Tables.documents(s, d))
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        length(concat_ws("", col("toks"))).cast("long").as("sum_tok_len"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"),
+        markerCount("toks", stopwords).cast("long").as("n_stop"))
+      .withColumn("r_word_count",
+        col("n_tokens") >= 10 && col("n_tokens") <= 100000)
+      .withColumn("r_mean_word_len",
+        col("sum_tok_len").cast("double") / col("n_tokens") >= 3.0 &&
+          col("sum_tok_len").cast("double") / col("n_tokens") <= 10.0)
+      .withColumn("r_stopwords", col("n_stop") >= 2)
+      .withColumn("r_ttr",
+        col("n_types").cast("double") / col("n_tokens") >= 0.2)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_stopwords") && col("r_ttr"))
+      .select(col("doc_id"), col("n_tokens"), col("r_word_count"),
+        col("r_mean_word_len"), col("r_stopwords"), col("r_ttr"),
+        col("keep"))
+
+  private def gopherRulesSql = {
+    val toks = tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+       |      AS sum_tok_len,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       |    CAST(${markerCountSql("toks", stopwords)} AS BIGINT) AS n_stop
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, n_tokens,
+       |    n_tokens >= 10 AND n_tokens <= 100000 AS r_word_count,
+       |    CAST(sum_tok_len AS DOUBLE) / n_tokens >= CAST(3 AS DOUBLE)
+       |      AND CAST(sum_tok_len AS DOUBLE) / n_tokens
+       |        <= CAST(10 AS DOUBLE) AS r_mean_word_len,
+       |    n_stop >= 2 AS r_stopwords,
+       |    CAST(n_types AS DOUBLE) / n_tokens >= CAST(0.2 AS DOUBLE)
+       |      AS r_ttr
+       |  FROM m)
+       |SELECT doc_id, n_tokens, r_word_count, r_mean_word_len,
+       |  r_stopwords, r_ttr,
+       |  r_word_count AND r_mean_word_len AND r_stopwords AND r_ttr
+       |    AS keep
+       |FROM r""".stripMargin
+  }
+
   // ------------------------------------------------------------ lang_id
   // n-gram/marker-word language scoring with deterministic priority-order
   // argmax; emits the per-language scores alongside the prediction.
@@ -417,6 +483,7 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_stats", textStats, Some(textStatsSql)),
+    QueryDef("gopher_rules", gopherRules, Some(gopherRulesSql)),
     QueryDef("topic_assign", topicAssign, Some(topicAssignSql)),
     QueryDef("tok_fertility", tokFertility, Some(tokFertilitySql)),
     QueryDef("bpe_merge_step", bpeMergeStep, Some(bpeMergeStepSql)),
