@@ -39,11 +39,20 @@ object Bench {
     // Failed queries must be visible in the artifact itself: round 9's 7
     // analysis-time breaks were timed as ~70-110 ms "successes" and the
     // judge only caught them by rerunning Verify. Failure names are never
-    // trimmed by the byte budget (they're the most important content).
+    // trimmed by the byte budget (they're the most important content) —
+    // but the LIST is capped: a mass-failure round (a broken shared
+    // table failing 100+ queries) would otherwise blow the 1900-byte
+    // line on names alone and lose the whole artifact to the driver's
+    // tail truncation. First 20 names + the true count; the full list is
+    // always in BENCH_DETAIL.json.
+    val FailNamesCap = 20
     val failJson =
       if (failed.isEmpty) ""
-      else failed.sorted.map("\"" + _ + "\"")
-        .mkString(""","failed":[""", ",", "]")
+      else {
+        val names = failed.sorted.take(FailNamesCap).map("\"" + _ + "\"")
+          .mkString("[", ",", "]")
+        s""","failed_count":${failed.size},"failed":$names"""
+      }
     def render(kept: Seq[(String, Double)], omitted: Int): String = {
       val qs = kept.map { case (k, v) => s""""$k":${dec(v, 2)}""" }
         .mkString("{", ",", "}")

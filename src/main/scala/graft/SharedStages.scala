@@ -135,6 +135,23 @@ object SharedStages {
         .localCheckpoint()
     }
 
+  /** Winnowed fingerprint selection (winnow_fingerprint) — consumed by
+    * the per-doc report AND the MOSS overlap pair join (winnow_pairs).
+    * The gram-explode + rolling-min selection is the expensive pass;
+    * its output is ~2/(w+1) of the gram stream. */
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "winnow") {
+      graft.queries.MiningQueries.winnowFingerprint(s, dir).localCheckpoint()
+    }
+
+  /** Per-doc DSIR importance report (dsir_importance) — consumed by the
+    * standalone report AND the resampling draw (dsir_resample). One row
+    * per doc; the corpus-wide bigram hash pass + lift build runs once. */
+  def dsirScores(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "dsirScores") {
+      graft.queries.CurationQueries.dsirReport(s, dir).localCheckpoint()
+    }
+
   /** Materialized per-doc repetition report (rep_ngram) — consumed by
     * the standalone report AND the curation funnel. One row per doc. */
   def repNgramReport(s: SparkSession, dir: String): DataFrame =

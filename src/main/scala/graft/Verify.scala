@@ -83,9 +83,13 @@ object Verify {
       if (unknown.nonEmpty)
         System.err.println(
           s"[verify] WARNING: SPARK_GRAFT_ONLY names not in registry: ${unknown.toSeq.sorted.mkString(",")}")
-      if (names.forall(unknown.contains))
-        System.err.println(
-          "[verify] WARNING: SPARK_GRAFT_ONLY selected ZERO queries — dump will be empty")
+      // an all-unknown (or all-empty-token) selection is always operator
+      // error — writing a structurally "clean" empty dump would be the
+      // same silent-shrinkage failure mode this harness exists to kill,
+      // so it hard-fails instead of warning on the invisible channel
+      require(names.exists(SparkEntry.queries.keySet.contains),
+        "[verify] SPARK_GRAFT_ONLY selected ZERO queries — " +
+          s"unknown names: ${unknown.toSeq.sorted.mkString(",")}")
     }
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))

@@ -554,7 +554,11 @@ object CurationQueries {
         col("imp"))
   }
 
-  private def dsirImportance(s: SparkSession, d: String): DataFrame =
+  /** The full-corpus importance report — memoized per (session, dir) in
+    * [[graft.SharedStages.dsirScores]] so the corpus-wide bigram hash
+    * pass and lift build run once for the report, the resampling draw,
+    * and any streaming setup. */
+  private[graft] def dsirReport(s: SparkSession, d: String): DataFrame =
     dsirScore(Tables.parallelize(Tables.documents(s, d)), dsirLift(s, d))
 
   private val dsirImportanceSql = {
@@ -600,7 +604,7 @@ object CurationQueries {
   // auditable form a 100 TB selection pass needs (re-running selection
   // on a different cluster keeps the SAME corpus).
   private def dsirResample(s: SparkSession, d: String): DataFrame =
-    dsirImportance(s, d)
+    graft.SharedStages.dsirScores(s, d)
       .filter(portableHash(concat(lit("dsir"), col("doc_id")))
         % (col("n_grams") * DsirScale) < col("score"))
       .select(col("doc_id"), col("source"), col("imp"))
@@ -613,7 +617,9 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("shard_sizes", shardSizes, Some(shardSizesSql)),
-    QueryDef("dsir_importance", dsirImportance, Some(dsirImportanceSql)),
+    QueryDef("dsir_importance",
+      (s, d) => graft.SharedStages.dsirScores(s, d),
+      Some(dsirImportanceSql)),
     QueryDef("dsir_resample", dsirResample, Some(dsirResampleSql)),
     QueryDef("split_assign", splitAssign, Some(splitAssignSql)),
     QueryDef("decontam", decontam, Some(decontamSql)),

@@ -878,7 +878,7 @@ object EmbedQueries {
        |  FROM rp_cand c
        |  JOIN qv a ON a.vec_id = c.a_id
        |  JOIN qv b ON b.vec_id = c.b_id
-       |  WHERE $cosAB >= CAST(0.4 AS DOUBLE)),
+       |  WHERE $cosAB >= CAST($SemTau AS DOUBLE)),
        |incell AS (
        |  SELECT v.a_id, v.b_id, v.cos, ca.cell
        |  FROM verified v

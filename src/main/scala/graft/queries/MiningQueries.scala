@@ -117,7 +117,7 @@ object MiningQueries {
   private val WinHashMod = 1L << 40 // 40-bit selection hash
   private val WinPosCap = 1L << 20  // position field of the packed key
 
-  private def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
+  private[graft] def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
     val grams = TextFunctions
       .ngramRowsPos(Tables.parallelize(Tables.documents(s, d)),
         "doc_id", "text", WinN)
@@ -180,7 +180,10 @@ object MiningQueries {
   private val WinPairMin = 3
 
   private def winnowPairs(s: SparkSession, d: String): DataFrame = {
-    val fps = winnowFingerprint(s, d)
+    // the winnow selection is shared with the winnow_fingerprint report
+    // ([[graft.SharedStages.winnowFingerprints]]) — the gram pass runs
+    // once per (session, dir), not once per consumer
+    val fps = graft.SharedStages.winnowFingerprints(s, d)
       .select(col("doc_id"), col("h")).distinct()
       .repartition(col("h"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
@@ -550,7 +553,8 @@ object MiningQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("hll_distinct", hllDistinct, Some(hllDistinctSql)),
-    QueryDef("winnow_fingerprint", winnowFingerprint,
+    QueryDef("winnow_fingerprint",
+      (s, d) => graft.SharedStages.winnowFingerprints(s, d),
       Some(winnowFingerprintSql)),
     QueryDef("winnow_pairs", winnowPairs, Some(winnowPairsSql)),
     QueryDef("ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),

@@ -89,14 +89,23 @@ object TextQueries {
         length(concat_ws("", col("toks"))).cast("long").as("sum_tok_len"),
         size(array_distinct(col("toks"))).cast("long").as("n_types"),
         markerCount("toks", stopwords).cast("long").as("n_stop"))
+      // every ratio rule carries an explicit n_tokens > 0 conjunct: a
+      // zero-token document divides 0/0, where Spark (non-ANSI) yields
+      // NULL but DuckDB's IEEE float path yields NaN — and DuckDB
+      // orders NaN above every threshold, so an unguarded rule would
+      // diverge between the engines on exactly the degenerate docs a
+      // quality gate exists to reject. FALSE AND <anything> is FALSE in
+      // both engines, so the guard pins the verdict deterministically.
       .withColumn("r_word_count",
         col("n_tokens") >= 10 && col("n_tokens") <= 100000)
       .withColumn("r_mean_word_len",
-        col("sum_tok_len").cast("double") / col("n_tokens") >= 3.0 &&
+        col("n_tokens") > 0 &&
+          col("sum_tok_len").cast("double") / col("n_tokens") >= 3.0 &&
           col("sum_tok_len").cast("double") / col("n_tokens") <= 10.0)
       .withColumn("r_stopwords", col("n_stop") >= 2)
       .withColumn("r_ttr",
-        col("n_types").cast("double") / col("n_tokens") >= 0.2)
+        col("n_tokens") > 0 &&
+          col("n_types").cast("double") / col("n_tokens") >= 0.2)
       .withColumn("keep",
         col("r_word_count") && col("r_mean_word_len") &&
           col("r_stopwords") && col("r_ttr"))
@@ -119,11 +128,13 @@ object TextQueries {
        |r AS (
        |  SELECT doc_id, n_tokens,
        |    n_tokens >= 10 AND n_tokens <= 100000 AS r_word_count,
-       |    CAST(sum_tok_len AS DOUBLE) / n_tokens >= CAST(3 AS DOUBLE)
+       |    n_tokens > 0
+       |      AND CAST(sum_tok_len AS DOUBLE) / n_tokens >= CAST(3 AS DOUBLE)
        |      AND CAST(sum_tok_len AS DOUBLE) / n_tokens
        |        <= CAST(10 AS DOUBLE) AS r_mean_word_len,
        |    n_stop >= 2 AS r_stopwords,
-       |    CAST(n_types AS DOUBLE) / n_tokens >= CAST(0.2 AS DOUBLE)
+       |    n_tokens > 0
+       |      AND CAST(n_types AS DOUBLE) / n_tokens >= CAST(0.2 AS DOUBLE)
        |      AS r_ttr
        |  FROM m)
        |SELECT doc_id, n_tokens, r_word_count, r_mean_word_len,

@@ -79,6 +79,20 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("omitted_fastest")) // trimming did happen
   }
 
+  test("mass failure (120 broken queries) still fits the budget with a capped list") {
+    // the round-9 failure class at full blast: a broken shared table
+    // fails nearly everything — the artifact must stay parseable and
+    // carry the true count even though the name list is capped
+    val failed = (1 to 120).map(i => f"some_failed_query_name_$i%03d")
+    val line = Bench.compactLine(1.0, Seq("ok_query" -> 1.0), "sf0.1", lat,
+      failed = failed)
+    assert(parseable(line))
+    assert(line.getBytes("UTF-8").length <= Bench.LineBudgetBytes)
+    assert(line.contains(""""failed_count":120"""))
+    assert(line.contains("some_failed_query_name_001"))
+    assert(!line.contains("some_failed_query_name_050")) // capped at 20
+  }
+
   test("no failures -> no failed key (artifact stays minimal)") {
     val line = Bench.compactLine(1.0, Seq("q1" -> 1.0), "sf0.1", lat)
     assert(parseable(line))

@@ -391,7 +391,11 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("dsir_importance: hashed-LM lift table broadcasts to the scorer") {
-    val s = planString("dsir_importance")
+    // audit the BUILDER, not the registered query: the registry serves
+    // the memoized localCheckpoint (a Scan ExistingRDD), which hides
+    // the build plan this test exists to pin
+    val s = graft.queries.CurationQueries.dsirReport(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(!s.contains("CartesianProduct"), s)
     assert(s.contains("BroadcastHashJoin"),
       s"the ≤4096-row lift table must broadcast:\n$s")
