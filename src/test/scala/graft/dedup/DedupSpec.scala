@@ -132,4 +132,17 @@ class DedupSpec extends SparkTestBase {
     // a nonzero fingerprint shows the vote→bit assembly actually fired
     assert(out.values.exists(_ != 0L))
   }
+
+  test("simhash golden: pinned 64-bit fingerprint for a known sentence") {
+    // independently computed (python hashlib md5, two 32-bit halves,
+    // ±1 votes over distinct tokens, bit-63 = sign bit) — any silent
+    // change to the hash scheme, half split, vote rule or bit assembly
+    // breaks this literal, not just self-consistency
+    import spark.implicits._
+    val one = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val fp = SimHash.simhash(one, "doc_id", "text")
+      .collect().head.getLong(1)
+    assert(fp == -4248259749728733000L, s"fingerprint drifted: $fp")
+  }
 }
