@@ -891,8 +891,48 @@ object EmbedQueries {
        |WHERE rn = 1""".stripMargin
   }
 
+  // -------------------------------------------------------- gram_matrix
+  // Distributed Gram matrix X^T X over the quantized embeddings — the
+  // linear-algebra scaffold under PCA / ZCA whitening / ABTT
+  // post-processing and linear probes: every one of those starts from
+  // exactly this d×d aggregation. Shape is the canonical outer-product
+  // reduction: component rows (vec, i, q_i) self-join ON THE VECTOR KEY
+  // (co-partitioned — never a cross join), upper triangle only, then
+  // ONE (i, j) aggregation whose map-side partials bound the exchange
+  // at d·(d+1)/2 = 2 080 cells per executor REGARDLESS of corpus size —
+  // X^T X is embarrassingly row-splittable, which is why it is the
+  // standard first distributed step of large-scale PCA. Exact 64-bit
+  // integer arithmetic end-to-end (quantized components are < 2^20, so
+  // a cell overflows only past ~2^23 vectors; at that scale the
+  // documented path is per-partition partial Grams over a sample, or a
+  // DECIMAL(38) accumulator — same plan, wider cell).
+  private val GramDims = 64
+
+  private def gramMatrix(s: SparkSession, d: String): DataFrame = {
+    val comps = Similarity
+      .quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "qi")))
+    val a = comps.select(col("vec_id"), col("i"), col("qi"))
+    val b = comps.select(col("vec_id"), col("i").as("j"), col("qi").as("qj"))
+    a.join(b, "vec_id")
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("qi") * col("qj")).as("g"))
+  }
+
+  private val gramMatrixSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |comp AS (
+       |  SELECT vec_id, CAST(t.i - 1 AS INT) AS i,
+       |    q[CAST(t.i AS INT)] AS qi
+       |  FROM qv, range(1, ${GramDims + 1}) t(i))
+       |SELECT a.i, b.i AS j, CAST(SUM(a.qi * b.qi) AS BIGINT) AS g
+       |FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |GROUP BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_topk", knnTopK, Some(knnTopKSql)),
+    QueryDef("gram_matrix", gramMatrix, Some(gramMatrixSql)),
     QueryDef("semdedup_prune", semdedupPrune, Some(semdedupPruneSql)),
     QueryDef("hard_negatives", hardNegatives, Some(hardNegativesSql)),
     QueryDef("embed_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
