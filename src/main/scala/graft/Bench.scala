@@ -121,22 +121,31 @@ object Bench {
     // catch sat inside the timing loop. Failed queries are excluded from
     // the timing map and total, and surfaced by name in both artifact
     // lines.
-    val raw: Seq[(String, Seq[Double], Boolean)] = names.map { name =>
-      var failed = false
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try materialize(name, sfDir)
-        catch { case e: Throwable =>
-          failed = true
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    //
+    // Reps are INTERLEAVED: `reps` round-robin passes over the whole
+    // registry, not `reps` back-to-back runs of each query. With
+    // consecutive reps a single machine-load spike spanning ~30 s
+    // inflates ALL samples of whichever query it lands on and defeats
+    // min-of-N entirely (round 10's driver artifact: pack_chunks
+    // [11.3, 5.9, 8.3] s under one spike vs [0.55, 0.23, 0.24] on the
+    // same commit off-spike — 15 false >1.5x flags from one load
+    // window). Interleaved, a spike costs each query at most one
+    // sample and min-of-N discards it.
+    val timeAcc = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    val failedSet = scala.collection.mutable.LinkedHashSet[String]()
+    for (pass <- 1 to reps; name <- names) {
+      val t0 = System.nanoTime()
+      try materialize(name, sfDir)
+      catch { case e: Throwable =>
+        failedSet += name
+        System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
       }
-      (name, times, failed)
+      val dt = (System.nanoTime() - t0) / 1e9
+      timeAcc(name) = timeAcc.getOrElse(name, Vector.empty) :+ dt
     }
-    val failedNames = raw.collect { case (n, _, true) => n }
+    val failedNames = failedSet.toSeq
     val samples: Seq[(String, Seq[Double])] =
-      raw.collect { case (n, ts, false) => n -> ts }
+      names.filterNot(failedSet).map(n => n -> (timeAcc(n): Seq[Double]))
     val results = samples.map { case (n, ts) => n -> best(ts) }
 
     // BENCH_DIFF: this round vs the previous committed BENCH_DETAIL.json
@@ -220,7 +229,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullFailed = failedNames.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","reps":$reps,"failed":$fullFailed,"samples":$fullSamples,"bench_diff_gt1.5x":$diffFull$latJson}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","reps":$reps,"stat":"min","interleaved":true,"failed":$fullFailed,"samples":$fullSamples,"bench_diff_gt1.5x":$diffFull$latJson}"""
     println(fullJson)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),

@@ -165,6 +165,29 @@ object SharedStages {
       graft.queries.FingerprintQueries.lmRareBigrams(s, dir).localCheckpoint()
     }
 
+  // --------------------------------------------------- PCA component
+  // The fixed-point power-iteration component over the distributed
+  // Gram matrix ([[graft.embed.PcaPower]]) — d·(d+1)/2 bounded cells
+  // collected once per (session, dir), shared by the pca_power report
+  // and the pca_project projection scan. Same build-outside-the-lock
+  // discipline as [[stage]] (the Gram aggregation is deterministic, so
+  // a concurrent duplicate build is merely discarded).
+  private val pcaMemo =
+    new ConcurrentHashMap[(SparkSession, String), graft.embed.PcaPower.Component]()
+
+  def pcaComponent(s: SparkSession, dir: String): graft.embed.PcaPower.Component = {
+    val key = (s, dir)
+    val existing = pcaMemo.get(key)
+    if (existing != null) existing
+    else {
+      val rows = graft.queries.EmbedQueries.gramMatrix(s, dir).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+      val built = graft.embed.PcaPower.power(rows)
+      val prev = pcaMemo.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
   // ------------------------------------------------- on-disk scratch
   // Per-JVM scratch root for query-internal stores (the BucketStore
   // gram store behind novelty_incr/novelty_probe). One root, removed on

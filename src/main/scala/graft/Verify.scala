@@ -50,6 +50,20 @@ object Verify {
         errors(name) = msg
         System.err.println(s"[verify] $name failed: $msg")
         val dir = Paths.get(s"$outDir/$name")
+        // Scrub anything a failed (or prior) write left behind BEFORE
+        // planting the marker: Spark's reader ignores underscore-prefixed
+        // files, so a partially-committed part file would read back as
+        // truncated-but-valid data with the `_ERROR` marker silently
+        // skipped. After the scrub the dir holds ONLY the marker and a
+        // parquet read fails loudly (no data files to infer schema from).
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          val walk = Files.walk(dir)
+          try walk.iterator().asScala.toSeq.reverse
+            .filterNot(_ == dir)
+            .foreach(p => try Files.delete(p) catch { case _: Throwable => () })
+          finally walk.close()
+        }
         Files.createDirectories(dir)
         Files.writeString(dir.resolve("_ERROR"), msg.take(4000) + "\n")
       }

@@ -101,16 +101,48 @@ object CurationQueries {
   // into fixed token-budget chunks — the pre-tokenization step that
   // turns a corpus into training sequences. A doc belongs to the chunk
   // where its START lands: chunk = (cumsum − n_tok) DIV budget. Pure
-  // integer window arithmetic → deterministic and engine-identical.
-  // One shuffle on source; at scale the per-source sort is the packing
-  // order contract (doc_id), not an optimization artifact.
+  // integer arithmetic → deterministic and engine-identical.
+  //
+  // The running sum is a DISTRIBUTED PREFIX SUM, not a per-source
+  // window: `Window.partitionBy(source)` puts each source in ONE window
+  // partition, and at 100 TB a dominant source (the web crawl ≈ most of
+  // the corpus) would make one task sort and scan nearly everything.
+  // The doc_id-within-source ordering CONTRACT does not require a
+  // single task: range-partition on (source, doc_id) so each source's
+  // rows split across partitions in order; compute the partition-local
+  // cumsum (window keyed by (pid, source) — bounded by the range
+  // partition size, never by a source's size); then add each
+  // (pid, source) cell's exclusive prefix offset, derived from the
+  // per-partition totals (a ≤ P×|sources|-row side table) and broadcast
+  // back. Identical output to the single-window form (oracle unchanged);
+  // no task ever holds a whole source. PlanSpec pins the shape.
   private val ChunkBudget = 512L
   private def packChunks(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val nPart = s.sessionState.conf.numShufflePartitions
+    // persisted: the tokenize+range-exchange pass feeds both the offset
+    // side table and the main cumsum (same discipline as decontam)
+    val toks = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .repartitionByRange(nPart, col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    // exclusive running offset per source across partitions; the side
+    // table is ≤ nPart×|sources| rows, so its per-source window is
+    // bounded by nPart — driver-scale, not data-scale
+    val offW = Window.partitionBy(col("source")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col("pid"), col("source"))
+      .agg(sum(col("n_tok")).as("part_sum"))
+      .withColumn("offset", coalesce(sum(col("part_sum")).over(offW), lit(0L)))
+      .select(col("pid"), col("source"), col("offset"))
+    val localW = Window.partitionBy(col("pid"), col("source"))
+      .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
-      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
+    toks
+      .withColumn("cum_local", sum(col("n_tok")).over(localW))
+      .join(broadcast(offsets), Seq("pid", "source"))
+      .withColumn("cum", col("cum_local") + col("offset"))
       .withColumn("chunk_id", expr(s"(cum - n_tok) DIV $ChunkBudget"))
       .groupBy(col("source"), col("chunk_id"))
       .agg(
@@ -544,7 +576,17 @@ object CurationQueries {
     val grams = ngramRows(docs, "doc_id", "text", 2)
       .select(col("doc_id"),
         (portableHash(col("s")) % DsirBuckets).as("g"))
-    grams.join(broadcast(lift), "g") // bounded: ≤4096 hashed-LM rows
+    // LEFT join + smoothing floor, not inner: a gram whose bucket is
+    // absent from the lift table scores at the add-1 floor
+    // SCALE·(0+1) DIV (0+1) = SCALE instead of being dropped. In batch
+    // the two are identical (the lift is built from the same corpus, so
+    // every observed bucket is covered — the oracle's inner join stays
+    // valid); in the STREAMING deployment new data arrives after the
+    // model was built, and an inner join would silently delete any
+    // document whose every bucket is unseen. The floor makes the
+    // contract explicit: unseen evidence is neutral-ish, never fatal.
+    grams.join(broadcast(lift), Seq("g"), "left") // bounded: ≤4096 hashed-LM rows
+      .withColumn("lift", coalesce(col("lift"), lit(DsirScale)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("lift")).as("score"))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")

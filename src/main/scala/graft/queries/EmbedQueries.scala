@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.embed.{RpLsh, Similarity}
+import graft.embed.{PcaPower, RpLsh, Similarity}
 
 /** Similarity-search operator exposure over `embeddings` (SURVEY §7.5). */
 object EmbedQueries {
@@ -908,7 +908,7 @@ object EmbedQueries {
   // DECIMAL(38) accumulator — same plan, wider cell).
   private val GramDims = 64
 
-  private def gramMatrix(s: SparkSession, d: String): DataFrame = {
+  private[graft] def gramMatrix(s: SparkSession, d: String): DataFrame = {
     val comps = Similarity
       .quantized(Tables.embeddings(s, d), "vec_id", "embedding")
       .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "qi")))
@@ -920,19 +920,149 @@ object EmbedQueries {
       .agg(sum(col("qi") * col("qj")).as("g"))
   }
 
+  // the component expansion derives its bound from len(q) — the SAME
+  // source of truth the Spark side's posexplode uses — so a change in
+  // embedding dimensionality can never make the two engines silently
+  // diverge (a hardcoded range would emit NULL-product rows instead)
+  private val gramCompCte =
+    s"""comp AS MATERIALIZED (
+       |  SELECT vec_id, CAST(t.i AS INT) AS i,
+       |    q[CAST(t.i AS INT) + 1] AS qi
+       |  FROM qv, LATERAL (SELECT unnest(range(0, len(q))) AS i) t)""".stripMargin
+
+  private val gramUpperCte =
+    s"""gu AS MATERIALIZED (
+       |  SELECT a.i, b.i AS j, CAST(SUM(a.qi * b.qi) AS BIGINT) AS g
+       |  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2)""".stripMargin
+
   private val gramMatrixSql =
     s"""WITH ${Similarity.duckdbQuantizedCte},
-       |comp AS (
-       |  SELECT vec_id, CAST(t.i - 1 AS INT) AS i,
-       |    q[CAST(t.i AS INT)] AS qi
-       |  FROM qv, range(1, ${GramDims + 1}) t(i))
-       |SELECT a.i, b.i AS j, CAST(SUM(a.qi * b.qi) AS BIGINT) AS g
-       |FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
-       |GROUP BY 1, 2""".stripMargin
+       |$gramCompCte,
+       |$gramUpperCte
+       |SELECT i, j, g FROM gu""".stripMargin
+
+  // ----------------------------------------------- pca_power, pca_project
+  // The gram_matrix CONSUMER: fixed-point power iteration on the
+  // driver-sized Gram ([[graft.embed.PcaPower]] — exact integer
+  // arithmetic, so the oracle replays the SAME unrolled iterations as
+  // CTEs, the IvfTrain discipline) yielding the top principal
+  // component, its eigenvalue estimate and explained-variance share;
+  // then a map-only projection of every embedding onto the broadcast
+  // component — the whitening/ABTT-shaped read path. At 100 TB the
+  // driver holds d(d+1)/2 = 2 080 cells and d = 64 longs; the
+  // data-sized work is the Gram aggregation (bounded exchange) and the
+  // projection scan (zero joins — PlanSpec pins it).
+  private def pcaPower(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = graft.SharedStages.pcaComponent(s, d)
+    c.v.toSeq.zipWithIndex
+      .map { case (vi, i) => (i, vi, c.lambdaEst, c.evRatio) }
+      .toDF("i", "v", "lambda_est", "ev_ratio")
+  }
+
+  /** Unrolled fixed-point power iteration over the full Gram (gf =
+    * mirrored upper triangle), in lockstep with [[graft.embed.PcaPower
+    * .power]]: rescale to |g| ≲ 2^30, then Iters rounds of
+    * (matrix-vector product, ∞-norm renormalize) — all divisions
+    * sign-decomposed so DuckDB's floor `//` equals Scala's
+    * truncate-toward-zero on the non-negative operands. Every CTE is
+    * MATERIALIZED: DuckDB inlines plain CTEs at each reference, and an
+    * iteration chain where r_t references both gm and v_{t-1} would
+    * re-expand the corpus-sized gram scan 2^Iters times (observed as
+    * "Too many open files" on the parquet). */
+  private def pcaIterCtes: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""gf AS MATERIALIZED (
+         |  SELECT i, j, g FROM gu
+         |  UNION ALL
+         |  SELECT j AS i, i AS j, g FROM gu WHERE i < j),
+         |gs AS MATERIALIZED (SELECT GREATEST(MAX(ABS(g)) // ${PcaPower.GCap}, 1) AS gdiv FROM gf),
+         |gm AS MATERIALIZED (
+         |  SELECT i, j, CASE WHEN g < 0 THEN -(ABS(g) // gdiv)
+         |               ELSE ABS(g) // gdiv END AS g
+         |  FROM gf, gs),
+         |tr AS MATERIALIZED (SELECT CAST(SUM(g) AS BIGINT) AS trace FROM gf WHERE i = j),
+         |v0 AS MATERIALIZED (SELECT DISTINCT i, CAST(${PcaPower.VCap} AS BIGINT) AS v FROM gm)""".stripMargin)
+    for (t <- 1 to PcaPower.Iters) {
+      val p = s"v${t - 1}"
+      sb.append(
+        s""",
+           |r$t AS MATERIALIZED (
+           |  SELECT gm.i AS i, CAST(SUM(gm.g * $p.v) AS BIGINT) AS raw
+           |  FROM gm JOIN $p ON $p.i = gm.j GROUP BY 1),
+           |d$t AS MATERIALIZED (SELECT GREATEST(MAX(ABS(raw)) // ${PcaPower.VCap}, 1) AS dd FROM r$t),
+           |v$t AS MATERIALIZED (
+           |  SELECT i, CASE WHEN raw < 0 THEN -(ABS(raw) // dd)
+           |            ELSE ABS(raw) // dd END AS v
+           |  FROM r$t, d$t)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def pcaPowerSql = {
+    val T = PcaPower.Iters
+    val sh = PcaPower.RayShift
+    // exact Rayleigh via the hi/lo split (see PcaPower.Component):
+    // v·raw = Shift·(v·hi) + v·(raw − Shift·hi); recombined by two
+    // element-wise double ops, mirrored operation-for-operation
+    val lambda =
+      s"(CAST(num_hi AS DOUBLE) * CAST($sh AS DOUBLE) + CAST(num_lo AS DOUBLE)) / CAST(den AS DOUBLE)"
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |$gramCompCte,
+       |$gramUpperCte,
+       |$pcaIterCtes,
+       |rh AS MATERIALIZED (
+       |  SELECT i, raw, CASE WHEN raw < 0 THEN -(ABS(raw) // $sh)
+       |                 ELSE raw // $sh END AS hi
+       |  FROM r$T),
+       |ray AS MATERIALIZED (
+       |  SELECT CAST(SUM(p.v * rh.hi) AS BIGINT) AS num_hi,
+       |         CAST(SUM(p.v * (rh.raw - $sh * rh.hi)) AS BIGINT) AS num_lo,
+       |         CAST(SUM(p.v * p.v) AS BIGINT) AS den
+       |  FROM v${T - 1} p JOIN rh ON rh.i = p.i)
+       |SELECT vf.i, vf.v,
+       |  $lambda AS lambda_est,
+       |  (($lambda) * CAST(gdiv AS DOUBLE)) / CAST(trace AS DOUBLE) AS ev_ratio
+       |FROM v$T vf, ray, gs, tr""".stripMargin
+  }
+
+  private def pcaProject(s: SparkSession, d: String): DataFrame = {
+    val c = graft.SharedStages.pcaComponent(s, d)
+    Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .withColumn("pc", typedLit(c.v.toSeq))
+      .withColumn("proj", Similarity.dotQ("q", "pc"))
+      .withColumn("score", when(col("nq") === 0, lit(null).cast("double"))
+        .otherwise(col("proj").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(lit(c.vNormSq.toDouble)))))
+      .select(col("vec_id"), col("label"), col("proj"), col("score"))
+  }
+
+  private def pcaProjectSql = {
+    val T = PcaPower.Iters
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |$gramCompCte,
+       |$gramUpperCte,
+       |$pcaIterCtes,
+       |vn AS (SELECT CAST(SUM(v * v) AS BIGINT) AS vn FROM v$T),
+       |proj AS (
+       |  SELECT c.vec_id, CAST(SUM(c.qi * v.v) AS BIGINT) AS proj
+       |  FROM comp c JOIN v$T v ON v.i = c.i GROUP BY 1)
+       |SELECT q.vec_id, q.label, p.proj,
+       |  CASE WHEN q.nq = 0 THEN CAST(NULL AS DOUBLE)
+       |       ELSE CAST(p.proj AS DOUBLE)
+       |         / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(vn AS DOUBLE))) END AS score
+       |FROM proj p
+       |JOIN qv q ON q.vec_id = p.vec_id
+       |CROSS JOIN vn""".stripMargin
+  }
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_topk", knnTopK, Some(knnTopKSql)),
     QueryDef("gram_matrix", gramMatrix, Some(gramMatrixSql)),
+    QueryDef("pca_power", pcaPower, Some(pcaPowerSql)),
+    QueryDef("pca_project", pcaProject, Some(pcaProjectSql)),
     QueryDef("semdedup_prune", semdedupPrune, Some(semdedupPruneSql)),
     QueryDef("hard_negatives", hardNegatives, Some(hardNegativesSql)),
     QueryDef("embed_cosine_pairs", cosinePairs, Some(cosinePairsSql)),

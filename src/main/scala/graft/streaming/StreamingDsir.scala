@@ -22,6 +22,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * StreamingDsirSpec pins batch ≡ streaming: the union of per-batch
   * scores over a split stream equals the one-shot batch scoring of the
   * same documents against the same lift.
+  *
+  * New-data contract: a streamed document whose hashed-bigram buckets
+  * were never observed when the model was built still scores — each
+  * unseen bucket contributes the add-1 smoothing floor (lift = SCALE,
+  * i.e. the value the table itself would hold for a zero-count bucket)
+  * via `dsirScore`'s left join, so no document is silently dropped by
+  * model staleness. Pinned by the unseen-bucket test in
+  * StreamingDsirSpec.
   */
 object StreamingDsir {
 

@@ -361,6 +361,36 @@ class PlanSpec extends SparkTestBase {
     assert(countShuffles(p) <= 3, s)
   }
 
+  test("pack_chunks: distributed prefix sum — no per-source unbounded window remains") {
+    val s = planString("pack_chunks")
+    // the prefix-sum signature: a range exchange on (source, doc_id)
+    assert(s.contains("rangepartitioning(source"),
+      s"no range partitioning — prefix sum degraded to a hash shape:\n$s")
+    // the data-scale cumsum window must be keyed by (pid, source) —
+    // bounded by the range partition size, never by a source's size
+    assert("windowspecdefinition\\(pid#\\d+, source#".r.findFirstIn(s).isDefined,
+      s"partition-local cumsum window missing:\n$s")
+    // the scale-killer shape: a window partitioned by source alone and
+    // ordered by doc_id puts a whole source in one task — must be gone
+    // (the offsets window orders by pid over a ≤P×|sources| side table,
+    // which this pattern deliberately does not match)
+    assert("windowspecdefinition\\(source#\\d+, doc_id#".r.findFirstIn(s).isEmpty,
+      s"per-source unbounded window still present:\n$s")
+    // offsets ride a broadcast back onto the big side
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("pca_project: projection is a map-only scan — no joins, component rides as a literal") {
+    val p = plan("pca_project")
+    val s = p.toString
+    // the component is a driver-side literal array, not a join side
+    assert(!s.contains("Join"), s"projection must not join:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+    // only the parallelize round-robin exchange — nothing data-keyed
+    assert(countShuffles(p) <= 1, s)
+  }
+
   test("pq_refine: shortlist and queries ride broadcasts; corpus never shuffles for stage 2") {
     val s = planString("pq_refine")
     assert(!s.contains("CartesianProduct"), s)

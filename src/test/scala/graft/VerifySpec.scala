@@ -46,6 +46,24 @@ class VerifySpec extends SparkTestBase {
     assert(Files.readString(Paths.get(s"$out/_errors.json")) == "{}")
   }
 
+  test("a failed query's dir is scrubbed of stale part files — a partial dump can never read back as success") {
+    val out = Files.createTempDirectory("verify_spec_scrub").toString
+    // simulate a partially-committed (or stale previous-run) dump: valid
+    // parquet already sits where the failing query will land
+    spark.range(5).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/broken_query")
+    assert(spark.read.parquet(s"$out/broken_query").count() == 5) // readable pre-scrub
+    Verify.dumpAll(spark, "/unused", out, fakeRegistry)
+    // marker present, and NO parquet survives — a read now fails loudly
+    // instead of returning the stale 5 rows with the marker skipped
+    assert(Files.exists(Paths.get(s"$out/broken_query/_ERROR")))
+    import scala.jdk.CollectionConverters._
+    val leftover = Files.list(Paths.get(s"$out/broken_query")).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(leftover == Set("_ERROR"), s"unexpected survivors: $leftover")
+    intercept[Exception](spark.read.parquet(s"$out/broken_query").count())
+  }
+
   test("every registry query lands in the dump dir (registry-artifact guard)") {
     val out = Files.createTempDirectory("verify_spec_all").toString
     Verify.dumpAll(spark, "/unused", out, fakeRegistry)

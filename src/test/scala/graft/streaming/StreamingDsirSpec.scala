@@ -52,4 +52,21 @@ class StreamingDsirSpec extends SparkTestBase {
     // every doc with at least one bigram is scored exactly once
     assert(collected.size == collected.map(key).distinct.size)
   }
+
+  test("a doc whose every bucket is unseen by the lift still scores (floor, not drop)") {
+    // a 2-row "lift" that cannot cover this doc's bigram buckets: the
+    // streaming deployment's new-data-after-model-build case. The doc
+    // must come back scored at the add-1 smoothing floor per gram
+    // (lift = SCALE), never vanish from the output.
+    val lift = Seq((-1L, 7L), (-2L, 7L)).toDF("g", "lift")
+    val novel = Seq(DocRow(99L, "wholly novel bigram text here", "srcX")).toDF()
+    val out = graft.queries.CurationQueries.dsirScore(novel, lift).collect()
+    assert(out.length == 1, "unseen-bucket doc was dropped")
+    val r = out.head
+    val nGrams = r.getLong(r.fieldIndex("n_grams"))
+    assert(nGrams == 4) // 5 tokens → 4 bigrams, all unseen
+    // score = n_grams × floor(SCALE)
+    assert(r.getLong(r.fieldIndex("score")) == nGrams * 1000000L)
+    assert(r.getDouble(r.fieldIndex("imp")) == 1.0)
+  }
 }
