@@ -165,6 +165,25 @@ object SharedStages {
       graft.queries.FingerprintQueries.lmRareBigrams(s, dir).localCheckpoint()
     }
 
+  /** Materialized distinct prior-batch gram hashes (even doc_ids,
+    * n-gram size n) — the shared input of the standing novelty store
+    * build ([[noveltyGramStore]]) AND novelty_incr's per-run store
+    * write. In a real ingest pipeline the prior corpus' gram table is
+    * a maintained intermediate, not recomputed per probe batch; this
+    * memo is its single-session rendering. novelty_incr still pays the
+    * store WRITE each run (the honest incremental-ingest cost) — only
+    * the corpus-wide hash pass is shared. */
+  def priorGramSet(s: SparkSession, dir: String, n: Int): DataFrame =
+    stage(s, dir, s"priorGrams_$n") {
+      import org.apache.spark.sql.functions.col
+      graft.text.TextFunctions
+        .ngramRows(Tables.documents(s, dir)
+          .filter(col("doc_id") % 2 === 0), "doc_id", "text", n)
+        .select(graft.text.TextFunctions.portableHash(col("s")).as("h"))
+        .distinct()
+        .localCheckpoint()
+    }
+
   // --------------------------------------------------- PCA component
   // The fixed-point power-iteration component over the distributed
   // Gram matrix ([[graft.embed.PcaPower]]) — d·(d+1)/2 bounded cells
@@ -184,6 +203,25 @@ object SharedStages {
         .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
       val built = graft.embed.PcaPower.power(rows)
       val prev = pcaMemo.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  // --------------------------------------------------- BPE training
+  // The iterated BPE vocabulary ([[graft.text.BpeTrain]]) — NMerges
+  // distributed top-1 rounds, trained once per (session, dir) and
+  // shared by the merge-table report (bpe_train) and the
+  // learned-vocabulary report (bpe_tokenize).
+  private val bpeMemo =
+    new ConcurrentHashMap[(SparkSession, String), graft.text.BpeTrain.Trained]()
+
+  def bpeTrained(s: SparkSession, dir: String): graft.text.BpeTrain.Trained = {
+    val key = (s, dir)
+    val existing = bpeMemo.get(key)
+    if (existing != null) existing
+    else {
+      val built = graft.text.BpeTrain.train(s, dir)
+      val prev = bpeMemo.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
   }
@@ -236,13 +274,8 @@ object SharedStages {
     if (existing != null) existing
     else {
       val path = newScratchDir("novelty_store")
-      val docs = Tables.documents(s, dir)
-      import org.apache.spark.sql.functions.col
-      val priorGrams = graft.text.TextFunctions
-        .ngramRows(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", n)
-        .select(graft.text.TextFunctions.portableHash(col("s")).as("h"))
-        .distinct()
-      graft.sink.BucketStore.upsert(s, priorGrams, path, Seq("h"), numBuckets)
+      graft.sink.BucketStore.upsert(s, priorGramSet(s, dir, n), path,
+        Seq("h"), numBuckets)
       val prev = storeMemo.putIfAbsent(key, path)
       if (prev != null) { discardScratch(path); prev } else path
     }

@@ -552,8 +552,15 @@ object FingerprintQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql)),
-    QueryDef("substr_dup", substrDup, Some(substrDupSql)),
-    QueryDef("substr_dup_sa", substrDupSa, Some(substrDupSql)),
+    // substr_dup runs the SUFFIX-ARRAY pass as the production path
+    // (≈4× faster at sf0.1 — one digest per distinct window per shard
+    // vs hashing every stride-1 occurrence); the gram-hash formulation
+    // stays registered as the cross-check twin, both on the SAME DuckDB
+    // mirror — the quality_deciles exact-gate/production-twin pattern.
+    // (Renamed from substr_dup_sa in round 11 when it became the
+    // default; the twin carries the _gram suffix now.)
+    QueryDef("substr_dup", substrDupSa, Some(substrDupSql)),
+    QueryDef("substr_dup_gram", substrDup, Some(substrDupSql)),
     QueryDef("dup_span_ladder", dupSpanLadder, Some(dupSpanLadderSql)),
     QueryDef("dup_longest_span", dupLongestSpan, Some(dupLongestSpanSql)),
     QueryDef("rep_ngram",

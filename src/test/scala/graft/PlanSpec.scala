@@ -324,15 +324,15 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
 
-  test("substr_dup_sa: suffix-array rows into one h exchange, no self-join") {
-    val p = plan("substr_dup_sa")
+  test("substr_dup (SA production path): suffix-array rows into one h exchange, no self-join") {
+    val p = plan("substr_dup")
     val s = p.toString
     assert(!s.contains("CartesianProduct"), s)
     assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"),
       s"occurrence self-join crept in:\n$s")
     // parallelize spread + the explicit hash(h) repartition + the doc
     // rollup; the defensive (h, doc) agg and the per-h window REUSE the
-    // h exchange (identical budget to substr_dup)
+    // h exchange (identical budget to the gram-hash twin)
     assert(countShuffles(p) <= 3, s)
   }
 
