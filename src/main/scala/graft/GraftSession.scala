@@ -22,4 +22,13 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); read as long + convert
       // (Tables.events) — Spark has no nanosecond timestamp type.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Generated-class cache (static conf, default 100 entries): this
+      // library registers 131 distinct query plans — far more codegen
+      // fragments than the default LRU holds, so cycling through the
+      // registry (Verify, the interleaved Bench passes, any multi-query
+      // pipeline) recompiles every fragment on every pass (~100-300 ms
+      // per query of pure Janino time, measured as a uniform ~1.6x
+      // inflation on sub-second queries in the first interleaved bench).
+      // Sized to hold the whole registry's fragments at once.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
 }
