@@ -1058,11 +1058,92 @@ object EmbedQueries {
        |CROSS JOIN vn""".stripMargin
   }
 
+  // ---------------------------------------------------------- abtt_pairs
+  // All-But-The-Top whitened near-dup pairs (Mu & Viswanath 2018 made
+  // the observation for word vectors; SemDeDup-era pipelines apply it
+  // to document embeddings): corpus embeddings share a dominant
+  // "common direction" that inflates every cosine, so near-dup
+  // verification AFTER removing the top principal component separates
+  // genuinely-similar pairs from common-direction artifacts. This is
+  // the consumer the pca_power component exists for: the scaled
+  // residual r = q·‖v‖² − (q·v)·v is EXACT 64-bit integer arithmetic
+  // per component (≤2^59), downshifted once (sign-decomposed DIV 2^32)
+  // so pairwise residual dots stay in 64 bits; blocking and the pair
+  // join are identical to embed_cosine_pairs (label cell — a real IVF
+  // cell at 100 TB), so candidates stay ∝ Σ cell², never n². The
+  // threshold sits lower than the raw-cosine 0.35 because removing the
+  // common direction deflates every cosine.
+  private val AbttTau = 0.2
+  private val AbttShift = 1L << 32
+
+  private def abttPairs(s: SparkSession, d: String): DataFrame = {
+    val c = graft.SharedStages.pcaComponent(s, d)
+    val vn = c.vNormSq
+    val rd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .withColumn("pc", typedLit(c.v.toSeq))
+      .withColumn("proj", Similarity.dotQ("q", "pc"))
+      .withColumn("r", expr(
+        s"zip_with(q, pc, (a, b) -> a * CAST($vn AS BIGINT) - proj * b)"))
+      .withColumn("rs", expr(
+        s"transform(r, x -> CASE WHEN x < 0 THEN -((-x) DIV CAST($AbttShift AS BIGINT)) " +
+          s"ELSE x DIV CAST($AbttShift AS BIGINT) END)"))
+      .withColumn("nr", expr("int_dot(rs, rs)"))
+      .filter(col("nr") > 0) // a vector parallel to the component has no residual direction
+      .select(col("label"), col("vec_id"), col("rs"), col("nr"))
+    val a = rd.select(col("label").as("cell"), col("vec_id").as("a_id"),
+      col("rs").as("ra"), col("nr").as("na"))
+    val b = rd.select(col("label").as("cell"), col("vec_id").as("b_id"),
+      col("rs").as("rb"), col("nr").as("nb"))
+    a.join(b, "cell")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos",
+        Similarity.cosine(Similarity.dotQ("ra", "rb"), col("na"), col("nb")))
+      .filter(col("cos") >= AbttTau)
+      .select(col("cell"), col("a_id"), col("b_id"), col("cos"))
+  }
+
+  private def abttPairsSql = {
+    val T = PcaPower.Iters
+    val sh = AbttShift
+    val dot = Similarity.duckdbDot("a.r", "b.r")
+    val cos = s"CAST($dot AS DOUBLE)" +
+      " / sqrt(CAST(a.nr AS DOUBLE) * CAST(b.nr AS DOUBLE))"
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |$gramCompCte,
+       |$gramUpperCte,
+       |$pcaIterCtes,
+       |vnq AS MATERIALIZED (SELECT CAST(SUM(v * v) AS BIGINT) AS vn FROM v$T),
+       |pr AS MATERIALIZED (
+       |  SELECT c.vec_id, CAST(SUM(c.qi * v.v) AS BIGINT) AS proj
+       |  FROM comp c JOIN v$T v ON v.i = c.i GROUP BY 1),
+       |rsi AS MATERIALIZED (
+       |  SELECT c.vec_id, c.i,
+       |    CASE WHEN c.qi * vn - p.proj * v.v < 0
+       |      THEN -((-(c.qi * vn - p.proj * v.v)) // $sh)
+       |      ELSE (c.qi * vn - p.proj * v.v) // $sh END AS r
+       |  FROM comp c
+       |  JOIN v$T v ON v.i = c.i
+       |  JOIN pr p ON p.vec_id = c.vec_id
+       |  CROSS JOIN vnq),
+       |rv AS MATERIALIZED (
+       |  SELECT r0.vec_id, q.label,
+       |    list(r0.r ORDER BY r0.i) AS r,
+       |    CAST(SUM(r0.r * r0.r) AS BIGINT) AS nr
+       |  FROM rsi r0 JOIN qv q ON q.vec_id = r0.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT a.label AS cell, a.vec_id AS a_id, b.vec_id AS b_id,
+       |  $cos AS cos
+       |FROM rv a JOIN rv b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE a.nr > 0 AND b.nr > 0
+       |  AND $cos >= CAST($AbttTau AS DOUBLE)""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_topk", knnTopK, Some(knnTopKSql)),
     QueryDef("gram_matrix", gramMatrix, Some(gramMatrixSql)),
     QueryDef("pca_power", pcaPower, Some(pcaPowerSql)),
     QueryDef("pca_project", pcaProject, Some(pcaProjectSql)),
+    QueryDef("abtt_pairs", abttPairs, Some(abttPairsSql)),
     QueryDef("semdedup_prune", semdedupPrune, Some(semdedupPruneSql)),
     QueryDef("hard_negatives", hardNegatives, Some(hardNegativesSql)),
     QueryDef("embed_cosine_pairs", cosinePairs, Some(cosinePairsSql)),

@@ -391,6 +391,15 @@ class PlanSpec extends SparkTestBase {
     assert(countShuffles(p) <= 1, s)
   }
 
+  test("abtt_pairs: residual pair join stays cell-keyed, never a cartesian") {
+    val s = planString("abtt_pairs")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    // the join key is the blocking cell (label), like embed_cosine_pairs
+    assert(s.contains("SortMergeJoin") || s.contains("BroadcastHashJoin") ||
+      s.contains("ShuffledHashJoin"), s"no keyed join found:\n$s")
+  }
+
   test("pq_refine: shortlist and queries ride broadcasts; corpus never shuffles for stage 2") {
     val s = planString("pq_refine")
     assert(!s.contains("CartesianProduct"), s)

@@ -40,6 +40,18 @@ class PcaPowerSpec extends AnyFunSuite {
     assert(PcaPower.tdiv(0, 5) == 0)
   }
 
+  test("residuals are near-orthogonal to the component (the ABTT contract)") {
+    // r = q·‖v‖² − (q·v)·v is exactly orthogonal to v in rationals; the
+    // only error is the DIV 2^32 downshift. Check on a synthetic q.
+    val c = PcaPower.power(Seq((0, 0, 4L), (0, 1, 1L), (1, 1, 3L)))
+    val vn = c.vNormSq
+    val q = Array(123456L, -98765L)
+    val proj = q(0) * c.v(0) + q(1) * c.v(1)
+    val r = Array(q(0) * vn - proj * c.v(0), q(1) * vn - proj * c.v(1))
+    // exact form: r·v = (q·v)·‖v‖² − (q·v)·‖v‖² = 0
+    assert(r(0) * c.v(0) + r(1) * c.v(1) == 0L)
+  }
+
   test("identity-like diagonal: all-ones start is already the fixpoint scale") {
     val c = PcaPower.power(Seq((0, 0, 5L), (1, 1, 5L)))
     // degenerate spectrum: vector stays proportional to the start
