@@ -191,6 +191,24 @@ object SharedStages {
   // and the pca_project projection scan. Same build-outside-the-lock
   // discipline as [[stage]] (the Gram aggregation is deterministic, so
   // a concurrent duplicate build is merely discarded).
+  private val gramMemo =
+    new ConcurrentHashMap[(SparkSession, String), Seq[(Int, Int, Long)]]()
+
+  /** Collected upper-triangle Gram rows — d(d+1)/2 = 2 080 cells
+    * regardless of corpus size; shared by the PCA component and the
+    * linear probe so the distributed aggregation runs once. */
+  def gramUpper(s: SparkSession, dir: String): Seq[(Int, Int, Long)] = {
+    val key = (s, dir)
+    val existing = gramMemo.get(key)
+    if (existing != null) existing
+    else {
+      val rows = graft.queries.EmbedQueries.gramMatrix(s, dir).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+      val prev = gramMemo.putIfAbsent(key, rows)
+      if (prev != null) prev else rows
+    }
+  }
+
   private val pcaMemo =
     new ConcurrentHashMap[(SparkSession, String), graft.embed.PcaPower.Component]()
 
@@ -199,10 +217,27 @@ object SharedStages {
     val existing = pcaMemo.get(key)
     if (existing != null) existing
     else {
-      val rows = graft.queries.EmbedQueries.gramMatrix(s, dir).collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
-      val built = graft.embed.PcaPower.power(rows)
+      val built = graft.embed.PcaPower.power(gramUpper(s, dir))
       val prev = pcaMemo.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  // ---------------------------------------------------- linear probe
+  // Ridge probe trained from the shared Gram + one Xᵀy aggregation
+  // ([[graft.embed.ProbeTrain]]) — trained once per (session, dir),
+  // shared by the weight report (linear_probe) and the scoring/accuracy
+  // report (probe_eval).
+  private val probeMemo =
+    new ConcurrentHashMap[(SparkSession, String), graft.embed.ProbeTrain.Probe]()
+
+  def probe(s: SparkSession, dir: String): graft.embed.ProbeTrain.Probe = {
+    val key = (s, dir)
+    val existing = probeMemo.get(key)
+    if (existing != null) existing
+    else {
+      val built = graft.queries.EmbedQueries.trainProbe(s, dir)
+      val prev = probeMemo.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
   }
@@ -286,6 +321,10 @@ object SharedStages {
     * scratch stores are removed eagerly. */
   def clear(): Unit = {
     memo.clear()
+    gramMemo.clear()
+    pcaMemo.clear()
+    probeMemo.clear()
+    bpeMemo.clear()
     import scala.jdk.CollectionConverters._
     storeMemo.values().asScala.foreach(discardScratch)
     storeMemo.clear()

@@ -1138,8 +1138,344 @@ object EmbedQueries {
        |  AND $cos >= CAST($AbttTau AS DOUBLE)""".stripMargin
   }
 
+  // ------------------------------------- linear_probe, probe_eval
+  // Ridge-regularized linear probe trained on the NORMAL EQUATIONS —
+  // the linear-probe consumer promised by the gram_matrix scaffold
+  // (the standard embedding-space eval, and the cheap quality-
+  // classifier shape curation pipelines train on weak labels; see
+  // Abbas '23-era "linear probe on frozen features" practice). The
+  // corpus-sized work is two bounded aggregations — the SHARED Gram
+  // (d(d+1)/2 cells) and b = Xᵀy (d cells) — plus a map-only scoring
+  // pass with the broadcast weights; training itself is d = 64 longs
+  // of fixed-point Richardson iteration on the driver
+  // ([[graft.embed.ProbeTrain]] — exact integer arithmetic, so the
+  // oracle replays the SAME unrolled iterations as CTEs and
+  // hash-matches bit-for-bit; the PcaPower/IvfTrain discipline). At
+  // 100 TB nothing driver-side grows with the data.
+  private[graft] def trainProbe(s: SparkSession, d: String)
+  : graft.embed.ProbeTrain.Probe = {
+    val comps = Similarity
+      .quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), col("label"), posexplode(col("q")).as(Seq("i", "qi")))
+    val bRows = comps
+      .withColumn("y", when(col("label") === graft.embed.ProbeTrain.PosLabel, 1L)
+        .otherwise(-1L))
+      .groupBy(col("i")).agg(sum(col("qi") * col("y")).as("b"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val b = Array.ofDim[Long](bRows.iterator.map(_._1).max + 1)
+    bRows.foreach { case (i, v) => b(i) = v }
+    graft.embed.ProbeTrain.train(graft.SharedStages.gramUpper(s, d), b)
+  }
+
+  private def linearProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = graft.SharedStages.probe(s, d)
+    p.w.toSeq.zipWithIndex
+      .map { case (wi, i) => (i, wi, p.lam, p.d) }
+      .toDF("i", "w", "lam", "d")
+  }
+
+  /** Unrolled Richardson iterations in lockstep with
+    * [[graft.embed.ProbeTrain.train]]: rescale gram and b, ridge the
+    * diagonal, derive the power-of-two step D from a 63-row powers
+    * table (`MIN(p) WHERE p >= trace + lam` — no float log2 at a
+    * power-of-two boundary), then Iters rounds of
+    * w += (b·S − A·w) DIV D with the defensive clamp. All divisions
+    * sign-decomposed; every CTE MATERIALIZED (see pcaIterCtes). */
+  private def probeIterCtes: String = {
+    val P = graft.embed.ProbeTrain
+    val sb = new StringBuilder
+    sb.append(
+      s"""gf AS MATERIALIZED (
+         |  SELECT i, j, g FROM gu
+         |  UNION ALL
+         |  SELECT j AS i, i AS j, g FROM gu WHERE i < j),
+         |gs AS MATERIALIZED (SELECT GREATEST(MAX(ABS(g)) // ${P.GCap}, 1) AS gdiv FROM gf),
+         |gm AS MATERIALIZED (
+         |  SELECT i, j, CASE WHEN g < 0 THEN -(ABS(g) // gdiv)
+         |               ELSE ABS(g) // gdiv END AS g
+         |  FROM gf, gs),
+         |tr AS MATERIALIZED (SELECT CAST(SUM(g) AS BIGINT) AS trace FROM gm WHERE i = j),
+         |lm AS MATERIALIZED (SELECT GREATEST(trace // ${P.RidgeDiv}, 1) AS lam FROM tr),
+         |am AS MATERIALIZED (
+         |  SELECT i, j, g + CASE WHEN i = j THEN lam ELSE CAST(0 AS BIGINT) END AS a
+         |  FROM gm, lm),
+         |dv AS MATERIALIZED (
+         |  SELECT MIN(p) AS d
+         |  FROM (SELECT CAST(power(2, k) AS BIGINT) AS p
+         |        FROM (SELECT unnest(range(0, 63)) AS k)) pows, tr, lm
+         |  WHERE p >= trace + lam),
+         |yv AS MATERIALIZED (
+         |  SELECT vec_id, CASE WHEN label = ${P.PosLabel} THEN CAST(1 AS BIGINT)
+         |                 ELSE CAST(-1 AS BIGINT) END AS y
+         |  FROM qv),
+         |bv AS MATERIALIZED (
+         |  SELECT c.i, CAST(SUM(c.qi * y.y) AS BIGINT) AS b
+         |  FROM comp c JOIN yv y ON y.vec_id = c.vec_id GROUP BY 1),
+         |bs AS MATERIALIZED (
+         |  SELECT GREATEST(GREATEST(MAX(ABS(b)), 1) // ${P.BCap}, 1) AS bdiv FROM bv),
+         |bm AS MATERIALIZED (
+         |  SELECT i, CASE WHEN b < 0 THEN -(ABS(b) // bdiv)
+         |            ELSE ABS(b) // bdiv END AS b
+         |  FROM bv, bs),
+         |w0 AS MATERIALIZED (SELECT i, CAST(0 AS BIGINT) AS w FROM bm)""".stripMargin)
+    for (t <- 1 to P.Iters) {
+      val p = s"w${t - 1}"
+      sb.append(
+        s""",
+           |r$t AS MATERIALIZED (
+           |  SELECT b.i AS i, CAST(b.b * ${P.WScale} - aw.s AS BIGINT) AS r
+           |  FROM bm b JOIN (
+           |    SELECT am.i AS i, CAST(SUM(am.a * p.w) AS BIGINT) AS s
+           |    FROM am JOIN $p p ON p.i = am.j GROUP BY 1) aw ON aw.i = b.i),
+           |w$t AS MATERIALIZED (
+           |  SELECT i, CASE WHEN wn > ${P.WClamp} THEN CAST(${P.WClamp} AS BIGINT)
+           |            WHEN wn < -${P.WClamp} THEN CAST(-${P.WClamp} AS BIGINT)
+           |            ELSE wn END AS w
+           |  FROM (
+           |    SELECT r.i AS i, p.w + (CASE WHEN r.r < 0 THEN -((-r.r) // dv.d)
+           |                            ELSE r.r // dv.d END) AS wn
+           |    FROM r$t r JOIN $p p ON p.i = r.i CROSS JOIN dv))""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def linearProbeSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |$gramCompCte,
+       |$gramUpperCte,
+       |$probeIterCtes
+       |SELECT w.i, w.w, lam, d FROM w${graft.embed.ProbeTrain.Iters} w, lm, dv""".stripMargin
+
+  private def probeEval(s: SparkSession, d: String): DataFrame = {
+    val p = graft.SharedStages.probe(s, d)
+    Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .withColumn("wv", typedLit(p.w.toSeq))
+      .withColumn("score", Similarity.dotQ("q", "wv"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("pred_pos"))
+  }
+
+  private def probeEvalSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |$gramCompCte,
+       |$gramUpperCte,
+       |$probeIterCtes,
+       |sc AS MATERIALIZED (
+       |  SELECT c.vec_id, CAST(SUM(c.qi * w.w) AS BIGINT) AS score
+       |  FROM comp c JOIN w${graft.embed.ProbeTrain.Iters} w ON w.i = c.i
+       |  GROUP BY 1)
+       |SELECT q.label, COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN s.score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pred_pos
+       |FROM sc s JOIN qv q ON q.vec_id = s.vec_id
+       |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------ knn_classify
+  // Leave-one-out k-NN label prediction over the RP-LSH candidate
+  // graph — the standard "is the embedding space label-consistent"
+  // eval (and the label-noise detector shape: rows whose neighbors
+  // out-vote their own label). Candidates come from shared LSH
+  // buckets, NOT all pairs, so the comparison count stays ∝ bucket
+  // collisions at any corpus size (recall is partial BY DESIGN — the
+  // oracle mirrors the identical candidate generation, the annRpLsh
+  // precedent). Top-5 per query by exact quantized cosine through the
+  // custom top-k physical operator (bounded map-side heaps), majority
+  // vote with (count desc, label asc) tie-break, then the confusion
+  // matrix — output is O(labels²), the whole reduction is two keyed
+  // exchanges.
+  private val KnnClassK = 5
+
+  private def knnClassify(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val bk = RpLsh.buckets(e, "vec_id", "embedding")
+    val cands = bk.as("a").join(bk.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
+      .distinct()
+    val qd = Similarity.quantized(e, "vec_id", "embedding")
+    val scored = cands
+      .join(qd.select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("q").as("qa"), col("nq").as("na")), "query_id")
+      .join(qd.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+        col("q").as("qb"), col("nq").as("nb")), "neighbor_id")
+      .withColumn("cos",
+        Similarity.cosine(Similarity.dotQ("qa", "qb"), col("na"), col("nb")))
+      .select(col("query_id"), col("true_label"), col("n_label"),
+        col("neighbor_id"), col("cos"))
+    val top = graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(("cos", false), ("neighbor_id", true)), KnnClassK)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("n_label"))
+    top.groupBy(col("query_id"), col("true_label"), col("n_label"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("true_label").as("label"), col("n_label").as("pred_label"))
+      .groupBy(col("label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private def knnClassifySql = {
+    val cos = s"CAST(${Similarity.duckdbDot("a.q", "b.q")} AS DOUBLE)" +
+      " / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE))"
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |${RpLsh.duckdbCandidateCte},
+       |cand2 AS (
+       |  SELECT a_id AS query_id, b_id AS neighbor_id FROM rp_cand
+       |  UNION ALL
+       |  SELECT b_id AS query_id, a_id AS neighbor_id FROM rp_cand),
+       |scored AS MATERIALIZED (
+       |  SELECT c.query_id, a.label AS true_label, b.label AS n_label,
+       |    c.neighbor_id, $cos AS cos
+       |  FROM cand2 c
+       |  JOIN qv a ON a.vec_id = c.query_id
+       |  JOIN qv b ON b.vec_id = c.neighbor_id),
+       |top5 AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rk
+       |    FROM scored)
+       |  WHERE rk <= $KnnClassK),
+       |votes AS (
+       |  SELECT query_id, true_label, n_label, COUNT(*) AS c
+       |  FROM top5 GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT query_id, true_label, n_label FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY c DESC, n_label) AS rn
+       |    FROM votes)
+       |  WHERE rn = 1)
+       |SELECT true_label AS label, n_label AS pred_label, COUNT(*) AS n
+       |FROM pred GROUP BY 1, 2""".stripMargin
+  }
+
+  // -------------------------------------------------------- mmr_select
+  // Greedy maximal-marginal-relevance selection (Carbonell &
+  // Goldstein '98; the diverse-subset shape data-curation pipelines
+  // use for "representative but not redundant" sampling): pick K
+  // vectors maximizing rel − λ·max-sim-to-selected, relevance =
+  // cosine to the corpus centroid. Greedy is inherently sequential in
+  // K, but each step is ONE distributed argmax (sort-limit-1) over a
+  // map-only scoring pass against the ≤K-row broadcast selected set —
+  // K passes total, nothing driver-sized grows with the corpus. The
+  // centroid is exact integer (Σq per dim, rescaled to ≤2^21 so dots
+  // fit 64-bit at ANY corpus size); scores are element-wise doubles on
+  // exact integers with vec_id tie-break, so the oracle replays the
+  // identical greedy unrolled as K CTEs.
+  private val MmrK = 8
+  private val MmrCCap = 1L << 20
+
+  private def mmrSelect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), col("q"), col("nq"))
+    val cent = qd.select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy(col("i")).agg(sum(col("qi")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    val cmax = math.max(cent.iterator.map(math.abs).max, 1L)
+    val cdiv = math.max(cmax / MmrCCap, 1L)
+    val cm = cent.map(PcaPower.tdiv(_, cdiv))
+    val ncm = cm.iterator.map(x => x * x).sum
+    val base = qd
+      .filter(col("nq") > 0)
+      .withColumn("cv", typedLit(cm.toSeq))
+      .withColumn("dot", Similarity.dotQ("q", "cv"))
+      .withColumn("rel", col("dot").cast("double") /
+        sqrt(col("nq").cast("double") * lit(ncm.toDouble)))
+      .select(col("vec_id"), col("q"), col("nq"), col("rel"))
+      .persist()
+    try {
+      var selected = Vector.empty[(Long, Seq[Long], Long, Double, Double)]
+      for (_ <- 1 to MmrK) {
+        val winner =
+          if (selected.isEmpty)
+            base.withColumn("score", col("rel"))
+              .orderBy(col("rel").desc, col("vec_id")).limit(1)
+          else {
+            val selDf = selected.map(x => (x._1, x._2, x._3))
+              .toDF("s_id", "qs", "ns")
+            base.filter(!col("vec_id").isin(selected.map(_._1): _*))
+              .crossJoin(broadcast(selDf))
+              .withColumn("cos",
+                Similarity.cosine(Similarity.dotQ("q", "qs"), col("nq"), col("ns")))
+              .groupBy(col("vec_id"))
+              .agg(max(col("cos")).as("ms"), max(col("rel")).as("rel"))
+              .withColumn("score", col("rel") - lit(0.5) * col("ms"))
+              .join(base.select(col("vec_id"), col("q"), col("nq")), "vec_id")
+              .orderBy(col("score").desc, col("vec_id")).limit(1)
+          }
+        val row = winner.select(col("vec_id"), col("q"), col("nq"),
+          col("rel"), col("score")).head()
+        selected = selected :+ ((row.getLong(0), row.getSeq[Long](1),
+          row.getLong(2), row.getDouble(3), row.getDouble(4)))
+      }
+      selected.zipWithIndex
+        .map { case ((id, _, _, rel, score), idx) => (idx + 1L, id, rel, score) }
+        .toDF("rank", "vec_id", "rel", "score")
+    } finally base.unpersist()
+  }
+
+  private def mmrIterCtes: String = {
+    val dotRS = Similarity.duckdbDot("r.q", "s.q")
+    val sb = new StringBuilder
+    sb.append(
+      s"""cd AS MATERIALIZED (
+         |  SELECT i, CAST(SUM(qi) AS BIGINT) AS c FROM comp GROUP BY 1),
+         |cs AS MATERIALIZED (
+         |  SELECT GREATEST(GREATEST(MAX(ABS(c)), 1) // $MmrCCap, 1) AS cdiv FROM cd),
+         |cmv AS MATERIALIZED (
+         |  SELECT i, CASE WHEN c < 0 THEN -(ABS(c) // cdiv)
+         |            ELSE ABS(c) // cdiv END AS c
+         |  FROM cd, cs),
+         |ncv AS MATERIALIZED (SELECT CAST(SUM(c * c) AS BIGINT) AS ncm FROM cmv),
+         |rl AS MATERIALIZED (
+         |  SELECT q.vec_id, q.q, q.nq,
+         |    CAST(dt.dot AS DOUBLE)
+         |      / sqrt(CAST(q.nq AS DOUBLE) * CAST(ncv.ncm AS DOUBLE)) AS rel
+         |  FROM qv q
+         |  JOIN (SELECT c.vec_id, CAST(SUM(c.qi * cmv.c) AS BIGINT) AS dot
+         |        FROM comp c JOIN cmv ON cmv.i = c.i GROUP BY 1) dt
+         |    ON dt.vec_id = q.vec_id
+         |  CROSS JOIN ncv
+         |  WHERE q.nq > 0),
+         |a1 AS MATERIALIZED (
+         |  SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel, rel AS score
+         |  FROM rl ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin)
+    for (t <- 2 to MmrK) {
+      val p = s"a${t - 1}"
+      sb.append(
+        s""",
+           |m$t AS MATERIALIZED (
+           |  SELECT r.vec_id, r.rel,
+           |    MAX(CAST($dotRS AS DOUBLE)
+           |      / sqrt(CAST(r.nq AS DOUBLE) * CAST(s.nq AS DOUBLE))) AS ms
+           |  FROM rl r
+           |  JOIN qv s ON s.vec_id IN (SELECT vec_id FROM $p)
+           |  WHERE r.vec_id NOT IN (SELECT vec_id FROM $p)
+           |  GROUP BY 1, 2),
+           |a$t AS MATERIALIZED (
+           |  SELECT * FROM $p
+           |  UNION ALL
+           |  (SELECT CAST($t AS BIGINT) AS rank, vec_id, rel,
+           |     rel - 0.5 * ms AS score
+           |   FROM m$t ORDER BY score DESC, vec_id LIMIT 1))""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def mmrSelectSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |$gramCompCte,
+       |$mmrIterCtes
+       |SELECT rank, vec_id, rel, score FROM a$MmrK""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_topk", knnTopK, Some(knnTopKSql)),
+    QueryDef("linear_probe", linearProbe, Some(linearProbeSql)),
+    QueryDef("probe_eval", probeEval, Some(probeEvalSql)),
+    QueryDef("knn_classify", knnClassify, Some(knnClassifySql)),
+    QueryDef("mmr_select", mmrSelect, Some(mmrSelectSql)),
     QueryDef("gram_matrix", gramMatrix, Some(gramMatrixSql)),
     QueryDef("pca_power", pcaPower, Some(pcaPowerSql)),
     QueryDef("pca_project", pcaProject, Some(pcaProjectSql)),

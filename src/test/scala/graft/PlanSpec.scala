@@ -510,4 +510,23 @@ class PlanSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("probe_eval: scoring is a map-only scan — weights ride as a literal, no joins") {
+    val p = plan("probe_eval")
+    val s = p.toString
+    // the trained w is a driver-side literal array (the broadcast-model
+    // read path), never a join side; the only exchanges are the
+    // parallelize round-robin and the label aggregation
+    assert(!s.contains("Join"), s"scoring must not join:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(countShuffles(p) <= 2, s)
+  }
+
+  test("knn_classify: candidate join stays bucket-keyed, never a cartesian") {
+    val s = planString("knn_classify")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    // the custom bounded-heap top-k operator carries the 5-NN cut
+    assert(s.contains("TopKPerKey"), s"expected the top-k physical operator:\n$s")
+  }
 }
