@@ -117,7 +117,10 @@ object CurationQueries {
   // back. Identical output to the single-window form (oracle unchanged);
   // no task ever holds a whole source. PlanSpec pins the shape.
   private val ChunkBudget = 512L
-  private def packChunks(s: SparkSession, d: String): DataFrame = {
+
+  /** (source, doc_id, n_tok, chunk_id) — the distributed-prefix-sum
+    * chunk assignment shared by pack_chunks and pack_mask. */
+  private def packedDocs(s: SparkSession, d: String): DataFrame = {
     val nPart = s.sessionState.conf.numShufflePartitions
     // persisted: the tokenize+range-exchange pass feeds both the offset
     // side table and the main cumsum (same discipline as decontam)
@@ -144,12 +147,64 @@ object CurationQueries {
       .join(broadcast(offsets), Seq("pid", "source"))
       .withColumn("cum", col("cum_local") + col("offset"))
       .withColumn("chunk_id", expr(s"(cum - n_tok) DIV $ChunkBudget"))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("chunk_id"))
+  }
+
+  private def packChunks(s: SparkSession, d: String): DataFrame =
+    packedDocs(s, d)
       .groupBy(col("source"), col("chunk_id"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("chunk_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
+
+  // ---------------------------------------------------------- pack_mask
+  // Packing quality of the pack_chunks sequences under CAUSAL ATTENTION
+  // with document masking (the "attention contamination" metric
+  // packed-training pipelines track): per packed chunk, the fraction of
+  // causal attention pairs that would cross a document boundary if the
+  // pack trained WITHOUT a block-diagonal mask. Exact from the doc
+  // lengths alone — within-doc pairs Σ lᵢ(lᵢ+1)/2 over total T(T+1)/2 —
+  // so the report costs one extra integer aggregate on the shared
+  // chunk assignment, no token-level work.
+  private def packMask(s: SparkSession, d: String): DataFrame =
+    packedDocs(s, d)
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("seq_len"),
+        sum(expr("n_tok * (n_tok + 1) DIV 2")).as("within_pairs"))
+      .withColumn("total_pairs", expr("seq_len * (seq_len + 1) DIV 2"))
+      .withColumn("cross_frac",
+        when(col("total_pairs") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("within_pairs").cast("double") /
+            col("total_pairs").cast("double")))
+      .select(col("source"), col("chunk_id"), col("n_docs"), col("seq_len"),
+        col("within_pairs"), col("total_pairs"), col("cross_frac"))
+
+  private def packMaskSql = {
+    val toks = tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |                     ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t),
+       |g AS (
+       |  SELECT source, CAST((cum - n_tok) // $ChunkBudget AS BIGINT) AS chunk_id,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS seq_len,
+       |    CAST(SUM(n_tok * (n_tok + 1) // 2) AS BIGINT) AS within_pairs
+       |  FROM c GROUP BY 1, 2)
+       |SELECT source, chunk_id, n_docs, seq_len, within_pairs,
+       |  seq_len * (seq_len + 1) // 2 AS total_pairs,
+       |  CASE WHEN seq_len = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE CAST(1 AS DOUBLE) - CAST(within_pairs AS DOUBLE)
+       |         / CAST(seq_len * (seq_len + 1) // 2 AS DOUBLE) END AS cross_frac
+       |FROM g""".stripMargin
   }
 
   private def packChunksSql = {
@@ -669,6 +724,7 @@ object CurationQueries {
     QueryDef("samp_quota", sampQuota, Some(sampQuotaSql)),
     QueryDef("samp_weighted", sampWeighted, Some(sampWeightedSql)),
     QueryDef("pack_chunks", packChunks, Some(packChunksSql)),
+    QueryDef("pack_mask", packMask, Some(packMaskSql)),
     QueryDef("vocab_topk", vocabTopK, Some(vocabTopKSql)),
     QueryDef("heavy_cms", heavyCms, Some(heavyCmsSql)),
     QueryDef("mix_interleave", mixInterleave, Some(mixInterleaveSql)),

@@ -658,8 +658,108 @@ object DedupQueries {
        |$cfgSelects""".stripMargin
   }
 
+  // ------------------------------------------------------ dedup_funnel
+  // The PRODUCTION cascade: exact hash → MinHash-verified Jaccard →
+  // SimHash Hamming, each stage applied only to the previous stage's
+  // survivors — cheapest-first ordering is how web-scale pipelines
+  // (C4/RefinedWeb-era) actually sequence dedup, because every doc the
+  // exact stage removes never pays the shingle pass. Removal rule per
+  // near-dup stage: a doc is removed iff it has ANY smaller-id
+  // surviving partner (the deterministic keep-first greedy; documented
+  // non-transitive — a chain c<a<b removes both a and b). Per-source
+  // funnel report; all three pair sets come from the SHARED memoized
+  // stages, so the funnel prices only the joins. Scale shape: one
+  // fp-keyed window for the exact stage, id-keyed semi-joins for the
+  // two pair stages — candidates ∝ collisions, never n².
+  private def dedupFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), col("text"))
+    val ex = docs
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .withColumn("rm_exact", (col("doc_id") =!= col("keep_id")).cast("long"))
+      .select(col("doc_id"), col("source"), col("rm_exact"))
+    val s1 = ex.filter(col("rm_exact") === 0).select(col("doc_id"))
+    val rm2 = graft.SharedStages.verifiedPairs(s, d)
+      .join(s1.withColumnRenamed("doc_id", "a_id"), "a_id")
+      .join(s1.withColumnRenamed("doc_id", "b_id"), "b_id")
+      .select(col("b_id").as("doc_id")).distinct()
+    val s2 = s1.join(rm2, Seq("doc_id"), "left_anti")
+    val rm3 = simhashPairs(s, d)
+      .join(s2.withColumnRenamed("doc_id", "a_id"), "a_id")
+      .join(s2.withColumnRenamed("doc_id", "b_id"), "b_id")
+      .select(col("b_id").as("doc_id")).distinct()
+    ex.join(rm2.withColumn("rm_minhash", lit(1L)), Seq("doc_id"), "left")
+      .join(rm3.withColumn("rm_simhash", lit(1L)), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("rm_minhash", "rm_simhash"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("rm_exact")).as("rm_exact"),
+        sum(col("rm_minhash")).as("rm_minhash"),
+        sum(col("rm_simhash")).as("rm_simhash"),
+        sum(when(col("rm_exact") === 0 && col("rm_minhash") === 0 &&
+          col("rm_simhash") === 0, 1L).otherwise(0L)).as("survivors"))
+  }
+
+  private def dedupFunnelSql =
+    s"""WITH ${MinHashLSH.duckdbSignatureCte},
+       |${MinHashLSH.duckdbCandidateCte},
+       |${SimHash.duckdbCte},
+       |fps AS (
+       |  SELECT doc_id, source, md5(lower(trim(text))) AS fp FROM documents),
+       |ex AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY fp)
+       |    THEN 1 ELSE 0 END AS rm_exact
+       |  FROM fps),
+       |s1 AS (SELECT doc_id FROM ex WHERE rm_exact = 0),
+       |verified AS (
+       |  SELECT c.a_id, c.b_id
+       |  FROM cands c
+       |  JOIN sigs a ON a.doc_id = c.a_id
+       |  JOIN sigs b ON b.doc_id = c.b_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |      >= CAST(0.5 AS DOUBLE)),
+       |rm2 AS (
+       |  SELECT DISTINCT v.b_id AS doc_id
+       |  FROM verified v
+       |  JOIN s1 a ON a.doc_id = v.a_id
+       |  JOIN s1 b ON b.doc_id = v.b_id),
+       |s2 AS (
+       |  SELECT doc_id FROM s1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM rm2)),
+       |sbanded AS (
+       |  SELECT doc_id, simhash, CAST(u.b AS INTEGER) AS b,
+       |    (simhash >> CAST(u.b * $SimBandBits AS INTEGER)) & $SimBandMask AS v
+       |  FROM sim, LATERAL (SELECT unnest(range(0, $SimBands)) AS b) u),
+       |spairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM sbanded a JOIN sbanded b ON a.b = b.b AND a.v = b.v
+       |    AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHammingMax),
+       |rm3 AS (
+       |  SELECT DISTINCT p.b_id AS doc_id
+       |  FROM spairs p
+       |  JOIN s2 a ON a.doc_id = p.a_id
+       |  JOIN s2 b ON b.doc_id = p.b_id)
+       |SELECT e.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(e.rm_exact) AS BIGINT) AS rm_exact,
+       |  CAST(SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS rm_minhash,
+       |  CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS rm_simhash,
+       |  CAST(SUM(CASE WHEN e.rm_exact = 0 AND m.doc_id IS NULL
+       |    AND h.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS survivors
+       |FROM ex e
+       |LEFT JOIN rm2 m ON m.doc_id = e.doc_id
+       |LEFT JOIN rm3 h ON h.doc_id = e.doc_id
+       |GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("dedup_funnel", dedupFunnel, Some(dedupFunnelSql)),
     QueryDef("dedup_prefix", dedupPrefix, Some(dedupPrefixSql)),
     QueryDef("dedup_minhash_lsh", minhashCands, Some(minhashCandsSql)),
     QueryDef("minhash_bbit", minhashBbit, Some(minhashBbitSql)),

@@ -1257,6 +1257,43 @@ object EmbedQueries {
         sum(when(col("score") > 0, 1L).otherwise(0L)).as("pred_pos"))
   }
 
+  // The retrieval read of the probe: top-20 highest-scoring vectors
+  // with their labels — precision@k for the positive class, and the
+  // label-noise shortlist (high-scoring negatives are either probe
+  // errors or mislabeled rows). Map-only scoring + TakeOrdered: the
+  // per-partition top-20 heaps ship ≤ partitions·20 rows, never a full
+  // sort; ties broken by vec_id. Integer scores, so ordering is exact.
+  private val ProbeTopK = 20
+
+  private def probeTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = graft.SharedStages.probe(s, d)
+    val scored = Similarity
+      .quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .withColumn("wv", typedLit(p.w.toSeq))
+      .withColumn("score", Similarity.dotQ("q", "wv"))
+      .select(col("vec_id"), col("label"), col("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(ProbeTopK)
+    val w = Window.orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("vec_id"), col("label"), col("score"))
+  }
+
+  private def probeTopkSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |$gramCompCte,
+       |$gramUpperCte,
+       |$probeIterCtes,
+       |sc AS MATERIALIZED (
+       |  SELECT c.vec_id, CAST(SUM(c.qi * w.w) AS BIGINT) AS score
+       |  FROM comp c JOIN w${graft.embed.ProbeTrain.Iters} w ON w.i = c.i
+       |  GROUP BY 1)
+       |SELECT rk, vec_id, label, score FROM (
+       |  SELECT s.vec_id, q.label, s.score,
+       |    ROW_NUMBER() OVER (ORDER BY s.score DESC, s.vec_id) AS rk
+       |  FROM sc s JOIN qv q ON q.vec_id = s.vec_id)
+       |WHERE rk <= $ProbeTopK""".stripMargin
+
   private def probeEvalSql =
     s"""WITH ${Similarity.duckdbQuantizedCte},
        |$gramCompCte,
@@ -1474,6 +1511,7 @@ object EmbedQueries {
     QueryDef("knn_topk", knnTopK, Some(knnTopKSql)),
     QueryDef("linear_probe", linearProbe, Some(linearProbeSql)),
     QueryDef("probe_eval", probeEval, Some(probeEvalSql)),
+    QueryDef("probe_topk", probeTopk, Some(probeTopkSql)),
     QueryDef("knn_classify", knnClassify, Some(knnClassifySql)),
     QueryDef("mmr_select", mmrSelect, Some(mmrSelectSql)),
     QueryDef("gram_matrix", gramMatrix, Some(gramMatrixSql)),

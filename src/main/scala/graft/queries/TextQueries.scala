@@ -529,8 +529,91 @@ object TextQueries {
        |LIMIT $CollocK""".stripMargin
   }
 
+  // --------------------------------------------------------- zipf_tail
+  // Frequency-of-frequencies in power-of-two decades: how many distinct
+  // words fall in each floor(log2(freq)) bucket and the token mass the
+  // bucket carries — the Zipf-tail diagnostic that sizes hapax/rare-
+  // word mass before vocabulary or BPE decisions (a corpus whose low
+  // buckets carry 40 % of types but 2 % of tokens prunes safely; one
+  // where they carry 20 % of tokens does not). The bucket is the
+  // binary-string length of the exact integer count (no float log2 at
+  // a power-of-two boundary). Two keyed aggregations, map-side
+  // combining both; output is ≤ 64 rows at any corpus size.
+  private def zipfTail(s: SparkSession, d: String): DataFrame =
+    Tables.parallelize(Tables.documents(s, d))
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .groupBy((length(expr("bin(freq)")) - 1).cast("long").as("k"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("freq")).as("total_occ"))
+
+  private def zipfTailSql = {
+    val toks = tokensSql("text")
+    s"""WITH t AS (SELECT $toks AS toks FROM documents),
+       |wf AS (
+       |  SELECT w, COUNT(*) AS freq
+       |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1)
+       |SELECT CAST(length(bin(freq)) - 1 AS BIGINT) AS k,
+       |  COUNT(*) AS n_words,
+       |  CAST(SUM(freq) AS BIGINT) AS total_occ
+       |FROM wf GROUP BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------ vocab_growth
+  // Heaps-law vocabulary growth: distinct-word count after the first
+  // 1/5/10/25/50/75/100 % of the doc-id range — the "will the vocab
+  // keep growing at 100 TB" extrapolation check. Deliberately defined
+  // on doc-id VALUE cuts, not row ranks: a global ROW_NUMBER needs a
+  // single-partition sort, while value cuts need only MIN/MAX (driver
+  // scalars) + one min-per-word aggregation + a 7-row broadcast — the
+  // whole curve costs one corpus pass at any scale.
+  private val GrowthPcts = Seq(1, 5, 10, 25, 50, 75, 100)
+
+  private def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val th = GrowthPcts.map(p => (p, lo + (hi - lo + 1) * p / 100))
+      .toDF("pct", "cut")
+    val firstDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+    val vocab = firstDoc.crossJoin(broadcast(th))
+      .filter(col("fd") < col("cut"))
+      .groupBy(col("pct")).agg(count(lit(1)).as("vocab"))
+    val seen = docs.crossJoin(broadcast(th))
+      .filter(col("doc_id") < col("cut"))
+      .groupBy(col("pct")).agg(count(lit(1)).as("docs_seen"))
+    seen.join(vocab, "pct").select(col("pct"), col("docs_seen"), col("vocab"))
+  }
+
+  private def vocabGrowthSql = {
+    val toks = tokensSql("text")
+    val pcts = GrowthPcts.map(p => s"($p)").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |bd AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+       |th AS (
+       |  SELECT pct, lo + ((hi - lo + 1) * pct) // 100 AS cut
+       |  FROM bd, (VALUES $pcts) p(pct)),
+       |fw AS (
+       |  SELECT w, MIN(doc_id) AS fd
+       |  FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1),
+       |vocab AS (
+       |  SELECT th.pct, COUNT(*) AS vocab
+       |  FROM fw, th WHERE fw.fd < th.cut GROUP BY 1),
+       |seen AS (
+       |  SELECT th.pct, COUNT(*) AS docs_seen
+       |  FROM documents d, th WHERE d.doc_id < th.cut GROUP BY 1)
+       |SELECT s.pct, s.docs_seen, v.vocab
+       |FROM seen s JOIN vocab v ON v.pct = s.pct""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_stats", textStats, Some(textStatsSql)),
+    QueryDef("zipf_tail", zipfTail, Some(zipfTailSql)),
+    QueryDef("vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     QueryDef("gopher_rules", gopherRules, Some(gopherRulesSql)),
     QueryDef("topic_assign", topicAssign, Some(topicAssignSql)),
     QueryDef("tok_fertility", tokFertility, Some(tokFertilitySql)),
