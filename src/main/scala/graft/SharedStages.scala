@@ -135,6 +135,15 @@ object SharedStages {
         .localCheckpoint()
     }
 
+  /** Banded SimHash Hamming≤3 near-dup pairs (a_id, b_id, hamming) —
+    * consumed by the simhash_pairs report AND the cascade funnel's
+    * third stage (dedup_funnel). The signature + band join is the
+    * expensive pass; the pair set is ∝ true near-dups. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "simPairs") {
+      graft.queries.DedupQueries.buildSimhashPairs(s, dir).localCheckpoint()
+    }
+
   /** Winnowed fingerprint selection (winnow_fingerprint) — consumed by
     * the per-doc report AND the MOSS overlap pair join (winnow_pairs).
     * The gram-explode + rolling-min selection is the expensive pass;

@@ -27,13 +27,16 @@ object Similarity {
   val Scale = 1048576L // 2^20
 
   /** (id, embedding: array<float>) → (id, q: array<bigint>, nq: bigint).
-    * The norm uses the native [[graft.functions.IntDot]] codegen
-    * expression (self-dot) — the `aggregate(transform(...))` HOF form it
-    * replaces evaluated interpreted and serialized across task threads. */
+    * Both steps are native codegen expressions: the quantization is
+    * [[graft.functions.IntQuantize]] (bit-identical to the
+    * `transform(... floor ...)` HOF it replaces — same widen, multiply,
+    * floor, truncate — but a generated primitive loop instead of
+    * interpreted per-element lambdas) and the norm is the
+    * [[graft.functions.IntDot]] self-dot. */
   def quantized(embeds: DataFrame, idCol: String, embCol: String): DataFrame =
     graft.Tables.parallelize(embeds)
       .withColumn("q", expr(
-        s"transform($embCol, x -> cast(floor(cast(x AS double) * cast($Scale AS double)) AS bigint))"))
+        s"int_quantize($embCol, CAST($Scale AS BIGINT))"))
       .withColumn("nq", expr("int_dot(q, q)"))
 
   /** Integer dot product of two quantized arrays — native codegen

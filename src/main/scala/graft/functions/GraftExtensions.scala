@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         IntDot(exprs.head, exprs(1))))
     ext.injectFunction((
+      new FunctionIdentifier("int_quantize"),
+      new ExpressionInfo(classOf[IntQuantize].getName, "int_quantize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        IntQuantize(exprs.head, exprs(1))))
+    ext.injectFunction((
       new FunctionIdentifier("char_diversity"),
       new ExpressionInfo(classOf[CharDiversity].getName, "char_diversity"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -367,7 +367,10 @@ object DedupQueries {
   private val SimHammingMax = SimBands - 1
   private val SimBandMask = (1L << SimBandBits) - 1
 
-  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** The banded pair builder behind [[graft.SharedStages.simhashPairs]]
+    * — the registered query and the cascade funnel both read the
+    * materialized stage. */
+  private[graft] def buildSimhashPairs(s: SparkSession, d: String): DataFrame = {
     val banded = SimHash.simhash(Tables.documents(s, d), "doc_id", "text")
       .withColumn("b", explode(expr(s"sequence(0, ${SimBands - 1})")))
       .withColumn("v",
@@ -686,7 +689,7 @@ object DedupQueries {
       .join(s1.withColumnRenamed("doc_id", "b_id"), "b_id")
       .select(col("b_id").as("doc_id")).distinct()
     val s2 = s1.join(rm2, Seq("doc_id"), "left_anti")
-    val rm3 = simhashPairs(s, d)
+    val rm3 = graft.SharedStages.simhashPairs(s, d)
       .join(s2.withColumnRenamed("doc_id", "a_id"), "a_id")
       .join(s2.withColumnRenamed("doc_id", "b_id"), "b_id")
       .select(col("b_id").as("doc_id")).distinct()
@@ -771,7 +774,8 @@ object DedupQueries {
     QueryDef("dedup_simhash", simhashQ, Some(simhashSql)),
     QueryDef("fuzzy_name_match", fuzzyNameMatch, Some(fuzzyNameMatchSql)),
     QueryDef("chunk_dedup", chunkDedup, Some(chunkDedupSql)),
-    QueryDef("simhash_pairs", simhashPairs, Some(simhashPairsSql)),
+    QueryDef("simhash_pairs",
+      (s, d) => graft.SharedStages.simhashPairs(s, d), Some(simhashPairsSql)),
     QueryDef("cdc_dedup", cdcDedup, Some(cdcDedupSql)),
     QueryDef("lsh_recall", lshRecall, Some(lshRecallSql)))
 }

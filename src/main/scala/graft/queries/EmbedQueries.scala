@@ -1247,14 +1247,25 @@ object EmbedQueries {
        |$probeIterCtes
        |SELECT w.i, w.w, lam, d FROM w${graft.embed.ProbeTrain.Iters} w, lm, dv""".stripMargin
 
+  /** Per-vector probe scoring of an embeddings batch against FIXED
+    * weights — the stateless per-batch kernel shared by probe_eval and
+    * the streaming twin ([[graft.streaming.StreamingProbe]]): scoring
+    * is map-only given the broadcast w, so the online form is a
+    * foreachBatch of exactly this function (the StreamingDsir
+    * discipline — train the model batch-side, stream the scoring). */
+  private[graft] def probeScores(batch: DataFrame, w: Seq[Long]): DataFrame =
+    Similarity.quantized(batch, "vec_id", "embedding")
+      .withColumn("wv", typedLit(w))
+      .withColumn("score", Similarity.dotQ("q", "wv"))
+      .withColumn("pred_pos", (col("score") > 0).cast("long"))
+      .select(col("vec_id"), col("label"), col("score"), col("pred_pos"))
+
   private def probeEval(s: SparkSession, d: String): DataFrame = {
     val p = graft.SharedStages.probe(s, d)
-    Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
-      .withColumn("wv", typedLit(p.w.toSeq))
-      .withColumn("score", Similarity.dotQ("q", "wv"))
+    probeScores(Tables.embeddings(s, d), p.w.toSeq)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("score") > 0, 1L).otherwise(0L)).as("pred_pos"))
+        sum(col("pred_pos")).as("pred_pos"))
   }
 
   // The retrieval read of the probe: top-20 highest-scoring vectors
@@ -1432,14 +1443,16 @@ object EmbedQueries {
           else {
             val selDf = selected.map(x => (x._1, x._2, x._3))
               .toDF("s_id", "qs", "ns")
+            // q/nq ride the aggregation via first() (constant per
+            // vec_id) — no second join against base per greedy round
             base.filter(!col("vec_id").isin(selected.map(_._1): _*))
               .crossJoin(broadcast(selDf))
               .withColumn("cos",
                 Similarity.cosine(Similarity.dotQ("q", "qs"), col("nq"), col("ns")))
               .groupBy(col("vec_id"))
-              .agg(max(col("cos")).as("ms"), max(col("rel")).as("rel"))
+              .agg(max(col("cos")).as("ms"), first(col("rel")).as("rel"),
+                first(col("q")).as("q"), first(col("nq")).as("nq"))
               .withColumn("score", col("rel") - lit(0.5) * col("ms"))
-              .join(base.select(col("vec_id"), col("q"), col("nq")), "vec_id")
               .orderBy(col("score").desc, col("vec_id")).limit(1)
           }
         val row = winner.select(col("vec_id"), col("q"), col("nq"),
@@ -1507,8 +1520,88 @@ object EmbedQueries {
        |$mmrIterCtes
        |SELECT rank, vec_id, rel, score FROM a$MmrK""".stripMargin
 
+  // ------------------------------------------------------ embed_outliers
+  // Per-label centroid outliers: the 5 vectors per label FARTHEST (by
+  // quantized cosine) from their own label's exact-integer centroid —
+  // the mislabeled-row / anomaly shortlist that complements
+  // knn_classify (neighbor vote) with a global per-class view. The
+  // centroids are a bounded collect (labels × d cells, the KMeans-
+  // centroid class), rescaled ≤2^21 per label so dots fit 64-bit at
+  // any corpus size; scoring is a map-only pass against the ≤|labels|-
+  // row broadcast, and the bottom-5 cut runs through the bounded-heap
+  // top-k operator — never a global sort.
+  private val OutlierK = 5
+  private val OutlierCCap = 1L << 20
+
+  private def embedOutliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+    val centRows = qd
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy(col("label"), col("i")).agg(sum(col("qi")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val cents = centRows.groupBy(_._1).map { case (l, rows) =>
+      val dims = rows.map(_._2).max + 1
+      val c = Array.ofDim[Long](dims)
+      rows.foreach { case (_, i, v) => c(i) = v }
+      val cdiv = math.max(math.max(c.iterator.map(math.abs).max, 1L) / OutlierCCap, 1L)
+      val cm = c.map(PcaPower.tdiv(_, cdiv))
+      (l, cm.toSeq, cm.iterator.map(x => x * x).sum)
+    }.toSeq
+    val cDf = cents.toDF("label", "cv", "ncm")
+    val scored = qd.join(broadcast(cDf), "label")
+      .filter(col("nq") > 0 && col("ncm") > 0)
+      .withColumn("cos",
+        Similarity.cosine(Similarity.dotQ("q", "cv"), col("nq"), col("ncm")))
+      .select(col("label"), col("vec_id"), col("cos"))
+    val bottom = graft.plans.TopK.perKey(scored, Seq("label"),
+      Seq(("cos", true), ("vec_id", true)), OutlierK)
+    val w = Window.partitionBy(col("label")).orderBy(col("cos"), col("vec_id"))
+    bottom.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("label"), col("rk"), col("vec_id"), col("cos"))
+  }
+
+  private def embedOutliersSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |compl AS MATERIALIZED (
+       |  SELECT vec_id, label, CAST(t.i AS INT) AS i,
+       |    q[CAST(t.i AS INT) + 1] AS qi
+       |  FROM qv, LATERAL (SELECT unnest(range(0, len(q))) AS i) t),
+       |cent AS MATERIALIZED (
+       |  SELECT label, i, CAST(SUM(qi) AS BIGINT) AS c
+       |  FROM compl GROUP BY 1, 2),
+       |cdv AS MATERIALIZED (
+       |  SELECT label, GREATEST(GREATEST(MAX(ABS(c)), 1) // $OutlierCCap, 1)
+       |    AS cdiv
+       |  FROM cent GROUP BY 1),
+       |cmv AS MATERIALIZED (
+       |  SELECT c.label, c.i, CASE WHEN c.c < 0 THEN -(ABS(c.c) // v.cdiv)
+       |                       ELSE ABS(c.c) // v.cdiv END AS c
+       |  FROM cent c JOIN cdv v ON v.label = c.label),
+       |cn AS MATERIALIZED (
+       |  SELECT label, CAST(SUM(c * c) AS BIGINT) AS ncm FROM cmv GROUP BY 1),
+       |dt AS MATERIALIZED (
+       |  SELECT l.vec_id, l.label, CAST(SUM(l.qi * m.c) AS BIGINT) AS dot
+       |  FROM compl l JOIN cmv m ON m.label = l.label AND m.i = l.i
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT d.vec_id, d.label,
+       |    CAST(d.dot AS DOUBLE)
+       |      / sqrt(CAST(q.nq AS DOUBLE) * CAST(n.ncm AS DOUBLE)) AS cos
+       |  FROM dt d
+       |  JOIN qv q ON q.vec_id = d.vec_id
+       |  JOIN cn n ON n.label = d.label
+       |  WHERE q.nq > 0 AND n.ncm > 0)
+       |SELECT label, rk, vec_id, cos FROM (
+       |  SELECT label, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos, vec_id) AS rk
+       |  FROM sc)
+       |WHERE rk <= $OutlierK""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_topk", knnTopK, Some(knnTopKSql)),
+    QueryDef("embed_outliers", embedOutliers, Some(embedOutliersSql)),
     QueryDef("linear_probe", linearProbe, Some(linearProbeSql)),
     QueryDef("probe_eval", probeEval, Some(probeEvalSql)),
     QueryDef("probe_topk", probeTopk, Some(probeTopkSql)),
