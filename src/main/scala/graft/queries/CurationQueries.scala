@@ -352,6 +352,68 @@ object CurationQueries {
       |  FROM r)
       |SELECT pos, source, doc_id FROM g WHERE pos <= 100""".stripMargin
 
+  // ----------------------------------------------------- budget_select
+  // Greedy token-budget curation: fill a FIXED training-token budget
+  // with the best docs first (quality = n_chars, the quality_deciles
+  // signal, doc_id tiebreak for a total order) — "give me the top docs
+  // until 16 Ki tokens" is THE selection step between scoring and
+  // training. A doc is selected iff the cumulative token count of all
+  // strictly-better docs is under budget (exclusive prefix — the
+  // pack_chunks start-lands rule), so selection is a pure function of
+  // the global quality order.
+  //
+  // The running sum is the SAME distributed prefix sum as packedDocs,
+  // but over the (quality DESC, doc_id) order: range-partition on the
+  // order keys, partition-local cumsum, broadcast the ≤P-row exclusive
+  // partition offsets. The only global window runs over the ≤P offset
+  // rows — driver-scale, never data-scale; no task holds the corpus.
+  private val SelBudget = 16384L
+
+  private def budgetSelect(s: SparkSession, d: String): DataFrame = {
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val toks = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .repartitionByRange(nPart, col("n_chars").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val offW = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col("pid")).agg(sum(col("n_tok")).as("part_sum"))
+      .withColumn("offset", coalesce(sum(col("part_sum")).over(offW), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val localW = Window.partitionBy(col("pid"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum_local", sum(col("n_tok")).over(localW))
+      .join(broadcast(offsets), "pid")
+      .withColumn("cum_excl", col("cum_local") + col("offset") - col("n_tok"))
+      .withColumn("sel", (col("cum_excl") < SelBudget).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("sel")).as("n_sel"),
+        sum(when(col("sel") === 1, col("n_tok")).otherwise(0L)).as("sel_tokens"))
+  }
+
+  private def budgetSelectSql = {
+    val toks = tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT source, doc_id, n_chars, CAST(len($toks) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, n_tok,
+       |    SUM(n_tok) OVER (ORDER BY n_chars DESC, doc_id
+       |                     ROWS UNBOUNDED PRECEDING) - n_tok AS cum_excl
+       |  FROM t)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN cum_excl < $SelBudget THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_sel,
+       |  CAST(SUM(CASE WHEN cum_excl < $SelBudget THEN n_tok ELSE 0 END) AS BIGINT)
+       |    AS sel_tokens
+       |FROM c GROUP BY 1""".stripMargin
+  }
+
   // ---------------------------------------------------- quality_deciles
   // Decile binning of a per-doc quality signal (n_chars here) with a
   // doc_id tiebreak so the NTILE assignment is a total-order function —
@@ -712,7 +774,81 @@ object CurationQueries {
        |WHERE ${portableHashSql("concat('dsir', CAST(doc_id AS VARCHAR))")}
        |  % (n_grams * $DsirScale) < score""".stripMargin
 
+  // ------------------------------------------------------ dataset_card
+  // The per-source datasheet — the summary table a corpus release
+  // attaches (Datasheets-for-Datasets shape): doc/token/vocab counts,
+  // exact-duplicate count, mean length, majority language. One
+  // composed report instead of five ad-hoc queries; every column is a
+  // keyed aggregation (vocab needs its own (source, word) distinct
+  // pass; the language mode is a per-source top-1), output is
+  // |sources| rows at any corpus size. Mean length is the exact
+  // integer-sum ratio, divided once in IEEE at the end.
+  private def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, d))
+      .select(col("source"), col("text"), col("lang"), col("n_chars"))
+    val base = docs
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("fp")).as("n_distinct_fp"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("dup_docs", col("n_docs") - col("n_distinct_fp"))
+      .withColumn("mean_chars",
+        col("sum_chars").cast("double") / col("n_docs").cast("double"))
+    val vocab = docs
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source")).agg(count(lit(1)).as("vocab"))
+    val lw = Window.partitionBy(col("source"))
+      .orderBy(col("ln").desc, col("lang"))
+    val topLang = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("ln"))
+      .withColumn("rn", row_number().over(lw)).filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    base.join(vocab, "source").join(topLang, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("vocab"),
+        col("dup_docs"), col("mean_chars"), col("top_lang"))
+  }
+
+  private def datasetCardSql = {
+    val toks = tokensSql("text")
+    s"""WITH t AS (
+       |  SELECT source, text, lang, n_chars,
+       |    md5(lower(trim(text))) AS fp,
+       |    CAST(len($toks) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |base AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |    COUNT(DISTINCT fp) AS n_distinct_fp,
+       |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |  FROM t GROUP BY 1),
+       |voc AS (
+       |  SELECT source, COUNT(*) AS vocab FROM (
+       |    SELECT source, w, COUNT(*) AS c
+       |    FROM (SELECT source, unnest($toks) AS w FROM documents)
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |tl AS (
+       |  SELECT source, lang AS top_lang FROM (
+       |    SELECT source, lang, COUNT(*) AS ln,
+       |      ROW_NUMBER() OVER (PARTITION BY source
+       |        ORDER BY COUNT(*) DESC, lang) AS rn
+       |    FROM documents GROUP BY 1, 2)
+       |  WHERE rn = 1)
+       |SELECT b.source, b.n_docs, b.n_tokens, v.vocab,
+       |  b.n_docs - b.n_distinct_fp AS dup_docs,
+       |  CAST(b.sum_chars AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS mean_chars,
+       |  tl.top_lang
+       |FROM base b
+       |JOIN voc v ON v.source = b.source
+       |JOIN tl ON tl.source = b.source""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("dataset_card", datasetCard, Some(datasetCardSql)),
     QueryDef("shard_sizes", shardSizes, Some(shardSizesSql)),
     QueryDef("dsir_importance",
       (s, d) => graft.SharedStages.dsirScores(s, d),
@@ -729,6 +865,7 @@ object CurationQueries {
     QueryDef("heavy_cms", heavyCms, Some(heavyCmsSql)),
     QueryDef("mix_interleave", mixInterleave, Some(mixInterleaveSql)),
     QueryDef("quality_deciles", qualityDeciles, Some(qualityDecilesSql)),
+    QueryDef("budget_select", budgetSelect, Some(budgetSelectSql)),
     QueryDef("quality_deciles_digest", qualityDecilesDigest,
       Some(qualityDecilesDigestSql)),
     QueryDef("epoch_shuffle", epochShuffle, Some(epochShuffleSql)))

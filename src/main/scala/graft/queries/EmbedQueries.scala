@@ -1533,15 +1533,16 @@ object EmbedQueries {
   private val OutlierK = 5
   private val OutlierCCap = 1L << 20
 
-  private def embedOutliers(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
+  /** Per-label rescaled exact-integer centroids (label, cm, ‖cm‖²) —
+    * a labels×d bounded collect shared by embed_outliers and
+    * centroid_classify; mirrors [[labelCentroidCtes]]. */
+  private def labelCentroids(s: SparkSession, d: String): Seq[(Int, Seq[Long], Long)] = {
     val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
     val centRows = qd
       .select(col("label"), posexplode(col("q")).as(Seq("i", "qi")))
       .groupBy(col("label"), col("i")).agg(sum(col("qi")).as("c"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-    val cents = centRows.groupBy(_._1).map { case (l, rows) =>
+    centRows.groupBy(_._1).map { case (l, rows) =>
       val dims = rows.map(_._2).max + 1
       val c = Array.ofDim[Long](dims)
       rows.foreach { case (_, i, v) => c(i) = v }
@@ -1549,7 +1550,13 @@ object EmbedQueries {
       val cm = c.map(PcaPower.tdiv(_, cdiv))
       (l, cm.toSeq, cm.iterator.map(x => x * x).sum)
     }.toSeq
-    val cDf = cents.toDF("label", "cv", "ncm")
+  }
+
+  private def embedOutliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+    val cDf = labelCentroids(s, d).toDF("label", "cv", "ncm")
     val scored = qd.join(broadcast(cDf), "label")
       .filter(col("nq") > 0 && col("ncm") > 0)
       .withColumn("cos",
@@ -1562,9 +1569,11 @@ object EmbedQueries {
       .select(col("label"), col("rk"), col("vec_id"), col("cos"))
   }
 
-  private def embedOutliersSql =
-    s"""WITH ${Similarity.duckdbQuantizedCte},
-       |compl AS MATERIALIZED (
+  /** DuckDB CTEs: per-label exact-integer centroids rescaled ≤2^21 —
+    * `cmv(label, i, c)` + norms `cn(label, ncm)`; needs `qv` in scope.
+    * Shared by embed_outliers and centroid_classify. */
+  private def labelCentroidCtes =
+    s"""compl AS MATERIALIZED (
        |  SELECT vec_id, label, CAST(t.i AS INT) AS i,
        |    q[CAST(t.i AS INT) + 1] AS qi
        |  FROM qv, LATERAL (SELECT unnest(range(0, len(q))) AS i) t),
@@ -1580,7 +1589,11 @@ object EmbedQueries {
        |                       ELSE ABS(c.c) // v.cdiv END AS c
        |  FROM cent c JOIN cdv v ON v.label = c.label),
        |cn AS MATERIALIZED (
-       |  SELECT label, CAST(SUM(c * c) AS BIGINT) AS ncm FROM cmv GROUP BY 1),
+       |  SELECT label, CAST(SUM(c * c) AS BIGINT) AS ncm FROM cmv GROUP BY 1)""".stripMargin
+
+  private def embedOutliersSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |$labelCentroidCtes,
        |dt AS MATERIALIZED (
        |  SELECT l.vec_id, l.label, CAST(SUM(l.qi * m.c) AS BIGINT) AS dot
        |  FROM compl l JOIN cmv m ON m.label = l.label AND m.i = l.i
@@ -1599,9 +1612,60 @@ object EmbedQueries {
        |  FROM sc)
        |WHERE rk <= $OutlierK""".stripMargin
 
+  // -------------------------------------------------- centroid_classify
+  // Nearest-centroid (Rocchio) classification — the parametric third
+  // leg of the classifier triad next to knn_classify (instance-based)
+  // and linear_probe (discriminative): predict each vector's label as
+  // the argmax cosine over the ≤|labels| broadcast centroids, report
+  // the label×pred confusion matrix. One bounded centroid collect +
+  // one map-side crossjoin against ≤|labels| rows + two keyed
+  // aggregations; at any corpus size the only data-scale pass is the
+  // scoring scan.
+  private def centroidClassify(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+    val cDf = labelCentroids(s, d).toDF("c_label", "cv", "ncm")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("c_label"))
+    qd.filter(col("nq") > 0)
+      .crossJoin(broadcast(cDf.filter(col("ncm") > 0)))
+      .withColumn("cos",
+        Similarity.cosine(Similarity.dotQ("q", "cv"), col("nq"), col("ncm")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("label"), col("c_label").as("pred_label"))
+      .groupBy(col("label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private def centroidClassifySql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |$labelCentroidCtes,
+       |dots AS MATERIALIZED (
+       |  SELECT l.vec_id, m.label AS c_label, CAST(SUM(l.qi * m.c) AS BIGINT) AS dot
+       |  FROM compl l JOIN cmv m ON m.i = l.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.vec_id, q.label, d.c_label,
+       |    CAST(d.dot AS DOUBLE)
+       |      / sqrt(CAST(q.nq AS DOUBLE) * CAST(n.ncm AS DOUBLE)) AS cos
+       |  FROM dots d
+       |  JOIN qv q ON q.vec_id = d.vec_id
+       |  JOIN cn n ON n.label = d.c_label
+       |  WHERE q.nq > 0 AND n.ncm > 0),
+       |pred AS (
+       |  SELECT vec_id, label, c_label AS pred_label FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, c_label) AS rn
+       |    FROM scored)
+       |  WHERE rn = 1)
+       |SELECT label, pred_label, COUNT(*) AS n
+       |FROM pred GROUP BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_topk", knnTopK, Some(knnTopKSql)),
     QueryDef("embed_outliers", embedOutliers, Some(embedOutliersSql)),
+    QueryDef("centroid_classify", centroidClassify, Some(centroidClassifySql)),
     QueryDef("linear_probe", linearProbe, Some(linearProbeSql)),
     QueryDef("probe_eval", probeEval, Some(probeEvalSql)),
     QueryDef("probe_topk", probeTopk, Some(probeTopkSql)),

@@ -511,6 +511,20 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("budget_select: prefix sum over the quality order — no data-scale global window") {
+    val s = planString("budget_select")
+    // range exchange on the (quality DESC, doc_id) order keys
+    assert(s.contains("rangepartitioning(n_chars"),
+      s"no range partitioning on the quality order:\n$s")
+    // the data-scale cumsum window must be pid-keyed (bounded by the
+    // range partition), never a global ORDER BY over the corpus
+    assert("windowspecdefinition\\(pid#\\d+, n_chars#".r.findFirstIn(s).isDefined,
+      s"partition-local cumsum window missing:\n$s")
+    // offsets ride a broadcast back onto the big side
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("probe_eval: scoring is a map-only scan — weights ride as a literal, no joins") {
     val p = plan("probe_eval")
     val s = p.toString
