@@ -116,11 +116,11 @@ object CurationQueries {
   // per-partition totals (a ≤ P×|sources|-row side table) and broadcast
   // back. Identical output to the single-window form (oracle unchanged);
   // no task ever holds a whole source. PlanSpec pins the shape.
-  private val ChunkBudget = 512L
+  private[graft] val ChunkBudget = 512L
 
   /** (source, doc_id, n_tok, chunk_id) — the distributed-prefix-sum
     * chunk assignment shared by pack_chunks and pack_mask. */
-  private def packedDocs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def packedDocs(s: SparkSession, d: String): DataFrame = {
     val nPart = s.sessionState.conf.numShufflePartitions
     // persisted: the tokenize+range-exchange pass feeds both the offset
     // side table and the main cumsum (same discipline as decontam)

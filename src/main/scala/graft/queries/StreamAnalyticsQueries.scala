@@ -388,7 +388,44 @@ object StreamAnalyticsQueries {
        |SELECT user_id, ts AS minute_ts, value_locf, last_obs
        |FROM carried WHERE src = 1""".stripMargin
 
+  // ----------------------------------------------------- gap_histogram
+  // Inter-arrival-time distribution in power-of-two microsecond
+  // decades: per-user event gaps (lag over the (user, ts, event_id)
+  // total order — a keyed window, each user's rows sort within their
+  // hash partition), bucketed by exact binary-string length (the
+  // zipf_tail discipline — no float log2 at bucket boundaries). The
+  // telemetry-health diagnostic that sizes burst vs idle behavior and
+  // feeds watermark/session-gap tuning; output ≤ ~64 rows at any
+  // event volume. Zero/negative gaps (same-timestamp events) keep
+  // their own -1 bucket rather than vanishing.
+  private def gapHistogram(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .withColumn("k", when(col("gap") <= 0, lit(-1L))
+        .otherwise((length(expr("bin(gap)")) - 1).cast("long")))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        min(col("gap")).as("min_gap"),
+        max(col("gap")).as("max_gap"))
+  }
+
+  private val gapHistogramSql =
+    """WITH g AS (
+      |  SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events)
+      |SELECT CASE WHEN gap <= 0 THEN CAST(-1 AS BIGINT)
+      |       ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END AS k,
+      |  COUNT(*) AS n, MIN(gap) AS min_gap, MAX(gap) AS max_gap
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("gap_histogram", gapHistogram, Some(gapHistogramSql)),
     QueryDef("resample_locf", resampleLocf, Some(resampleLocfSql)),
     QueryDef("range_join_sessions", rangeJoin, Some(rangeJoinSql)),
     QueryDef("q15_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
