@@ -511,6 +511,22 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("gap_histogram: lag window is user-keyed, never a global sort") {
+    val s = planString("gap_histogram")
+    assert("windowspecdefinition\\(user_id#".r.findFirstIn(s).isDefined,
+      s"lag window must partition by user_id:\n$s")
+    // a window with no partition key would single-task the event stream
+    assert("windowspecdefinition\\(ts#".r.findFirstIn(s).isEmpty,
+      s"unkeyed window over the event stream:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("dedup_funnel: stage joins stay id-keyed, never a cartesian") {
+    val s = planString("dedup_funnel")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("budget_select: prefix sum over the quality order — no data-scale global window") {
     val s = planString("budget_select")
     // range exchange on the (quality DESC, doc_id) order keys
