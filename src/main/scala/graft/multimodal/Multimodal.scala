@@ -103,4 +103,20 @@ object Multimodal {
     df.select(col(idCol).as("id"), col(binCol).as("content"))
       .as[BinaryRecord]
       .mapPartitions(_.map(r => FakeCodec.resize(r.id, r.content)))
+
+  case class BlobFp(id: Long, format: String, content_hash: String)
+
+  private implicit val fpEnc: Encoder[BlobFp] = Encoders.product[BlobFp]
+
+  /** df(idCol, binCol) → content fingerprint per blob — the
+    * identical-media dedup key, hashed through the same per-partition
+    * codec seam (a real pipeline reuses the decoder's I/O pass for the
+    * digest rather than re-reading the blob). */
+  def fingerprintBlobs(df: DataFrame, idCol: String, binCol: String): Dataset[BlobFp] =
+    df.select(col(idCol).as("id"), col(binCol).as("content"))
+      .as[BinaryRecord]
+      .mapPartitions(_.map { r =>
+        BlobFp(r.id, FakeCodec.decode(r.id, r.content).format,
+          FakeCodec.md5Hex(r.content))
+      })
 }

@@ -760,9 +760,64 @@ object DedupQueries {
        |LEFT JOIN rm3 h ON h.doc_id = e.doc_id
        |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------- dup_quality_matrix
+  // Quality-quartile × duplication-status counts — the "are duplicates
+  // concentrated in low-quality content" diagnostic that decides
+  // whether dedup and quality filtering are redundant or complementary
+  // gates. Quartiles come from n_chars VALUE cuts (min/max driver
+  // scalars — the vocab_growth discipline, no global NTILE sort);
+  // duplication status is membership in any verified near-dup pair
+  // (the SHARED MinHash-verified edge set). Output ≤ 8 rows at any
+  // corpus size.
+  private def dupQualityMatrix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_chars"))
+    val b = docs.agg(min(col("n_chars")), max(col("n_chars"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val pairs = graft.SharedStages.verifiedPairs(s, d)
+    val dupIds = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+    docs.join(dupIds.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("is_dup"))
+      .withColumn("qbin",
+        expr(s"((n_chars - $lo) * 4) DIV ${hi - lo + 1}"))
+      .groupBy(col("qbin"), col("is_dup"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  private def dupQualityMatrixSql =
+    s"""WITH ${MinHashLSH.duckdbSignatureCte},
+       |${MinHashLSH.duckdbCandidateCte},
+       |verified AS (
+       |  SELECT c.a_id, c.b_id
+       |  FROM cands c
+       |  JOIN sigs a ON a.doc_id = c.a_id
+       |  JOIN sigs b ON b.doc_id = c.b_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |      >= CAST(0.5 AS DOUBLE)),
+       |dup AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT a_id AS doc_id FROM verified
+       |    UNION ALL
+       |    SELECT b_id AS doc_id FROM verified)),
+       |bd AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents)
+       |SELECT CAST((d.n_chars - bd.lo) * 4 // (bd.hi - bd.lo + 1) AS BIGINT)
+       |    AS qbin,
+       |  CASE WHEN p.doc_id IS NOT NULL THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS is_dup,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+       |FROM documents d
+       |CROSS JOIN bd
+       |LEFT JOIN dup p ON p.doc_id = d.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_funnel", dedupFunnel, Some(dedupFunnelSql)),
+    QueryDef("dup_quality_matrix", dupQualityMatrix, Some(dupQualityMatrixSql)),
     QueryDef("dedup_prefix", dedupPrefix, Some(dedupPrefixSql)),
     QueryDef("dedup_minhash_lsh", minhashCands, Some(minhashCandsSql)),
     QueryDef("minhash_bbit", minhashBbit, Some(minhashBbitSql)),

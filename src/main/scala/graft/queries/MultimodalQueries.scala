@@ -179,8 +179,37 @@ object MultimodalQueries {
       |  md5(substring(text, 1, CAST(half_len AS INT))) AS resized_hash
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------- mm_dedup
+  // Identical-media dedup: per-format exact blob dedup counts keyed on
+  // the content digest, computed through the SAME per-partition codec
+  // seam as decode (a real pipeline digests during the decoder's I/O
+  // pass instead of re-reading the blob). Per format: blobs, distinct
+  // contents, duplicates — the first gate of any media-curation
+  // cascade, ahead of perceptual-hash near-dup.
+  private def mmDedup(s: SparkSession, d: String): DataFrame =
+    Multimodal.fingerprintBlobs(
+      Tables.parallelize(Tables.documents(s, d))
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")),
+      "doc_id", "blob")
+      .toDF()
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_blobs"),
+        countDistinct(col("content_hash")).as("n_distinct"))
+      .withColumn("dup_blobs", col("n_blobs") - col("n_distinct"))
+
+  private val mmDedupSql =
+    """SELECT
+      |  CASE length(text) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+      |  ELSE 'webp' END AS format,
+      |  COUNT(*) AS n_blobs,
+      |  COUNT(DISTINCT md5(text)) AS n_distinct,
+      |  COUNT(*) - COUNT(DISTINCT md5(text)) AS dup_blobs
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("mm_decode_meta", mmDecode, Some(mmDecodeSql)),
+    QueryDef("mm_dedup", mmDedup, Some(mmDedupSql)),
     QueryDef("mm_sample_frames", mmFrames, Some(mmFramesSql)),
     QueryDef("mm_frame_vbow", mmFrameVbow, Some(mmFrameVbowSql)),
     QueryDef("mm_resize", mmResize, Some(mmResizeSql)))
