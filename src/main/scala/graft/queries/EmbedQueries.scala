@@ -109,6 +109,48 @@ object EmbedQueries {
        |  FROM scored)
        |SELECT vec_id, seed_id AS cell, cos FROM ranked WHERE rn = 1""".stripMargin
 
+  // ------------------------------------------------------ ann_cell_balance
+  // IVF cell-population balance: per cell, its vector count plus the
+  // corpus-wide min/max/imbalance summary — the operational diagnostic
+  // for the ANN scale path, where one hot cell IS the search
+  // bottleneck (probe cost ∝ probed-cell population) and the signal
+  // that triggers re-training or cell splitting. One keyed count over
+  // the shared assignment; output ≤ |cells| rows.
+  private def annCellBalance(s: SparkSession, d: String): DataFrame = {
+    val counts = ivfAssign(s, d).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(min(col("n_vecs")).as("min_n"),
+      max(col("n_vecs")).as("max_n"), sum(col("n_vecs")).as("total"))
+    counts.crossJoin(broadcast(tot)) // 1-row summary rides along
+      .withColumn("imbalance",
+        col("max_n").cast("double") / col("min_n").cast("double"))
+      .select(col("cell"), col("n_vecs"), col("min_n"), col("max_n"),
+        col("imbalance"))
+  }
+
+  private val annCellBalanceSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |${graft.embed.IvfTrain.duckdbSeedsCte()},
+       |scored AS (
+       |  SELECT v.vec_id, s.seed_id,
+       |    CAST(${Similarity.duckdbDot("v.q", "s.sq")} AS DOUBLE)
+       |      / sqrt(CAST(v.nq AS DOUBLE) * CAST(s.snq AS DOUBLE)) AS cos
+       |  FROM qv v CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, seed_id AS cell FROM (
+       |    SELECT vec_id, seed_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY cos DESC, seed_id) AS rn
+       |    FROM scored)
+       |  WHERE rn = 1),
+       |counts AS (
+       |  SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY 1),
+       |summ AS (
+       |  SELECT MIN(n_vecs) AS min_n, MAX(n_vecs) AS max_n FROM counts)
+       |SELECT c.cell, c.n_vecs, s.min_n, s.max_n,
+       |  CAST(s.max_n AS DOUBLE) / CAST(s.min_n AS DOUBLE) AS imbalance
+       |FROM counts c CROSS JOIN summ s""".stripMargin
+
   // ----------------------------------------------------------- ivf_search
   // The IVF ANN search completing ivf_assign: vectors are indexed by
   // their nearest cell; a query probes its nprobe=2 closest cells and
@@ -1680,6 +1722,7 @@ object EmbedQueries {
     QueryDef("embed_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
     QueryDef("ann_rp_lsh", annRpLsh, Some(annRpLshSql)),
     QueryDef("ivf_assign", ivfAssign, Some(ivfAssignSql)),
+    QueryDef("ann_cell_balance", annCellBalance, Some(annCellBalanceSql)),
     QueryDef("ivf_search", ivfSearch, Some(ivfSearchSql)),
     QueryDef("ann_recall", annRecall, Some(annRecallSql)),
     QueryDef("ann_frontier", annFrontier, Some(annFrontierSql)),
