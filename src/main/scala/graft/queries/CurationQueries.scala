@@ -120,7 +120,17 @@ object CurationQueries {
 
   /** (source, doc_id, n_tok, chunk_id) — the distributed-prefix-sum
     * chunk assignment shared by pack_chunks and pack_mask. */
-  private[graft] def packedDocs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def packedDocs(s: SparkSession, d: String): DataFrame =
+    packedCum(s, d)
+      .withColumn("chunk_id", expr(s"(cum - n_tok) DIV $ChunkBudget"))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("chunk_id"))
+
+  /** (source, doc_id, n_tok, cum) — the budget-INDEPENDENT distributed
+    * prefix sum under packedDocs: the running token offset of each doc
+    * within its source. Factored out so budget sweeps (pack_sweep)
+    * derive every chunking from ONE prefix-sum pass — chunk_b =
+    * (cum − n_tok) DIV b is a map-only function of cum. */
+  private[graft] def packedCum(s: SparkSession, d: String): DataFrame = {
     val nPart = s.sessionState.conf.numShufflePartitions
     // persisted: the tokenize+range-exchange pass feeds both the offset
     // side table and the main cumsum (same discipline as decontam)
@@ -146,8 +156,7 @@ object CurationQueries {
       .withColumn("cum_local", sum(col("n_tok")).over(localW))
       .join(broadcast(offsets), Seq("pid", "source"))
       .withColumn("cum", col("cum_local") + col("offset"))
-      .withColumn("chunk_id", expr(s"(cum - n_tok) DIV $ChunkBudget"))
-      .select(col("source"), col("doc_id"), col("n_tok"), col("chunk_id"))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("cum"))
   }
 
   private def packChunks(s: SparkSession, d: String): DataFrame =
@@ -223,6 +232,71 @@ object CurationQueries {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c
        |GROUP BY 1, 2""".stripMargin
+  }
+
+  // -------------------------------------------------------- pack_sweep
+  // Packing-budget tuning sweep: the per-source packing efficiency
+  // report (chunk count, padding waste, start-lands overflow, padding
+  // fraction) at three candidate token budgets — the measurement that
+  // PICKS ChunkBudget before a production packing run. Every chunking
+  // derives from the ONE shared prefix-sum pass ([[packedCum]]):
+  // chunk_b = (cum − n_tok) DIV b is map-only in cum, so the sweep
+  // costs |budgets| keyed aggregations over the same scan, not
+  // |budgets| prefix sums. The budget table is a bounded 3-row
+  // broadcast (an annotated nested loop, not an unguarded cross join);
+  // output is |budgets|×|sources| rows at any corpus size. Padding
+  // counts each chunk's shortfall below budget (undersized tails),
+  // overflow each chunk's excess above it (the start-lands rule lets a
+  // doc spill past its chunk boundary).
+  private val SweepBudgets = Seq(256L, 512L, 1024L)
+  private def packSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budgets = broadcast(SweepBudgets.toDF("budget")) // bounded: 3 rows
+    packedCum(s, d)
+      .crossJoin(budgets) // bounded: 3 sweep points per doc row
+      .withColumn("chunk_id", expr("(cum - n_tok) DIV budget"))
+      .groupBy(col("budget"), col("source"), col("chunk_id"))
+      .agg(sum(col("n_tok")).as("chunk_tokens"))
+      .groupBy(col("budget"), col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).as("tokens"),
+        sum(greatest(col("budget") - col("chunk_tokens"), lit(0L)))
+          .as("pad_tokens"),
+        sum(greatest(col("chunk_tokens") - col("budget"), lit(0L)))
+          .as("overflow_tokens"))
+      .withColumn("pad_frac",
+        col("pad_tokens").cast("double") /
+          (col("n_chunks") * col("budget")).cast("double"))
+  }
+
+  private def packSweepSql = {
+    val toks = tokensSql("text")
+    val budgetRows = SweepBudgets
+      .map(b => s"(CAST($b AS BIGINT))").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |                     ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t),
+       |b(budget) AS (VALUES $budgetRows),
+       |g AS (
+       |  SELECT b.budget, c.source,
+       |    CAST((cum - n_tok) // b.budget AS BIGINT) AS chunk_id,
+       |    CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens
+       |  FROM c, b GROUP BY 1, 2, 3)
+       |SELECT budget, source, COUNT(*) AS n_chunks,
+       |  CAST(SUM(chunk_tokens) AS BIGINT) AS tokens,
+       |  CAST(SUM(GREATEST(budget - chunk_tokens, 0)) AS BIGINT)
+       |    AS pad_tokens,
+       |  CAST(SUM(GREATEST(chunk_tokens - budget, 0)) AS BIGINT)
+       |    AS overflow_tokens,
+       |  CAST(SUM(GREATEST(budget - chunk_tokens, 0)) AS DOUBLE)
+       |    / CAST(COUNT(*) * budget AS DOUBLE) AS pad_frac
+       |FROM g GROUP BY 1, 2""".stripMargin
   }
 
   // -------------------------------------------------------- vocab_topk
@@ -861,6 +935,7 @@ object CurationQueries {
     QueryDef("samp_weighted", sampWeighted, Some(sampWeightedSql)),
     QueryDef("pack_chunks", packChunks, Some(packChunksSql)),
     QueryDef("pack_mask", packMask, Some(packMaskSql)),
+    QueryDef("pack_sweep", packSweep, Some(packSweepSql)),
     QueryDef("vocab_topk", vocabTopK, Some(vocabTopKSql)),
     QueryDef("heavy_cms", heavyCms, Some(heavyCmsSql)),
     QueryDef("mix_interleave", mixInterleave, Some(mixInterleaveSql)),

@@ -1704,8 +1704,84 @@ object EmbedQueries {
        |SELECT label, pred_label, COUNT(*) AS n
        |FROM pred GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------ embed_dim_stats
+  // Per-dimension moment report over the quantized embeddings: count,
+  // exact first/second moments (DECIMAL accumulation — order-free and
+  // engine-identical — cast to double once), min/max, and mean / raw
+  // second moment with ONE IEEE divide each on identical operands. The
+  // anisotropy / dead-dimension diagnostic that decides whether the
+  // whitening path (pca_power → pca_project → abtt_pairs) is worth
+  // running: a ~zero-variance dimension carries no signal, an outsized
+  // mean marks a common-direction candidate. Scale shape: map-only
+  // posexplode with map-side combine into exactly d = |q| groups — the
+  // exchange carries ≤ d cells per executor REGARDLESS of corpus size
+  // (each qi ≤ 2^20 so qi² ≤ 2^40 fits a long per element; the sums
+  // accumulate as DECIMAL(38,0), overflow-free at any corpus size).
+  private def embedDimStats(s: SparkSession, d: String): DataFrame =
+    Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(posexplode(col("q")).as(Seq("dim", "qi")))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("qi").cast("decimal(38,0)")).cast("double").as("s1"),
+        sum((col("qi") * col("qi")).cast("decimal(38,0)")).cast("double").as("s2"),
+        min(col("qi")).as("vmin"),
+        max(col("qi")).as("vmax"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("ex2", col("s2") / col("n"))
+
+  // dim bound derives from len(q) — the same source of truth as the
+  // Spark posexplode (the gramCompCte discipline)
+  private val embedDimStatsSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |comp AS (
+       |  SELECT CAST(t.i AS INT) AS dim, q[CAST(t.i AS INT) + 1] AS qi
+       |  FROM qv, LATERAL (SELECT unnest(range(0, len(q))) AS i) t)
+       |SELECT dim, COUNT(*) AS n,
+       |  CAST(SUM(CAST(qi AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+       |  CAST(SUM(CAST(qi * qi AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+       |  MIN(qi) AS vmin, MAX(qi) AS vmax,
+       |  CAST(SUM(CAST(qi AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS mean,
+       |  CAST(SUM(CAST(qi * qi AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS ex2
+       |FROM comp GROUP BY dim""".stripMargin
+
+  // ----------------------------------------------------- cos_calibration
+  // Similarity-threshold calibration curve: EVERY RP-LSH bucket-collision
+  // candidate pair (no cosine floor), exact quantized cosine, bucketed at
+  // width 0.05 via floor(cos·20) — both engines compute the identical
+  // double, so the boundary floor is deterministic. This is the histogram
+  // an operator reads to PICK the near-dup threshold (where does the
+  // candidate mass fall off?) and to sanity-check LSH bucketing before a
+  // full dedup pass. Candidates stay bucket-bounded — never all-pairs —
+  // and the output is ≤ 41 bucket rows at any corpus size.
+  private def cosCalibration(s: SparkSession, d: String): DataFrame =
+    RpLsh.annPairs(Tables.embeddings(s, d), "vec_id", "embedding", -1.0)
+      .withColumn("bucket", floor(col("cos") * 20).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cos_lo", col("bucket").cast("double") / 20)
+
+  private val cosCalibrationSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |${RpLsh.duckdbCandidateCte},
+       |scored AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(${Similarity.duckdbDot("a.q", "b.q")} AS DOUBLE)
+       |      / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
+       |  FROM rp_cand c
+       |  JOIN qv a ON a.vec_id = c.a_id
+       |  JOIN qv b ON b.vec_id = c.b_id),
+       |kept AS (
+       |  SELECT CAST(floor(cos * 20) AS BIGINT) AS bucket
+       |  FROM scored WHERE cos >= CAST(-1.0 AS DOUBLE))
+       |SELECT bucket, COUNT(*) AS n_pairs,
+       |  CAST(bucket AS DOUBLE) / 20 AS cos_lo
+       |FROM kept GROUP BY bucket""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_topk", knnTopK, Some(knnTopKSql)),
+    QueryDef("embed_dim_stats", embedDimStats, Some(embedDimStatsSql)),
+    QueryDef("cos_calibration", cosCalibration, Some(cosCalibrationSql)),
     QueryDef("embed_outliers", embedOutliers, Some(embedOutliersSql)),
     QueryDef("centroid_classify", centroidClassify, Some(centroidClassifySql)),
     QueryDef("linear_probe", linearProbe, Some(linearProbeSql)),

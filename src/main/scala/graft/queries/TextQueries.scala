@@ -191,6 +191,24 @@ object TextQueries {
        |FROM scored""".stripMargin
   }
 
+  // ------------------------------------------------------ lang_confusion
+  // Language-ID evaluation: the labeled-vs-predicted confusion matrix
+  // over the lang_id scorer — the eval a curation pipeline runs before
+  // trusting a classifier to route documents (per-language precision/
+  // recall fall straight out of the cells). One keyed count over the
+  // per-doc prediction; output ≤ |langs|² rows at any corpus size, and
+  // the marker scoring underneath is map-only.
+  private def langConfusion(s: SparkSession, d: String): DataFrame =
+    langId(s, d)
+      .groupBy(col("lang_label"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
+  private def langConfusionSql =
+    s"""SELECT lang_label, lang_pred, COUNT(*) AS n
+       |FROM (
+       |$langIdSql
+       |) li GROUP BY 1, 2""".stripMargin
+
   // ----------------------------------------------------- text_lang_agg
   // Corpus-level rollup: token totals per (label, source) — the grouped
   // shape a curation pipeline reports on.
@@ -621,6 +639,7 @@ object TextQueries {
     QueryDef("bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("bpe_tokenize", bpeTokenize, Some(bpeTokenizeSql)),
     QueryDef("lang_id", langId, Some(langIdSql)),
+    QueryDef("lang_confusion", langConfusion, Some(langConfusionSql)),
     QueryDef("text_lang_agg", langAgg, Some(langAggSql)),
     QueryDef("pivot_lang_counts", pivotLangCounts, Some(pivotLangCountsSql)),
     QueryDef("tok_bpe", tokBpe, Some(tokBpeSql)),
