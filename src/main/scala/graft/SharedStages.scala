@@ -193,6 +193,19 @@ object SharedStages {
         .localCheckpoint()
     }
 
+  /** Materialized budget-independent packing prefix sum (source,
+    * doc_id, n_tok, cum) — shared by pack_chunks, pack_mask and
+    * pack_sweep (each previously rebuilt it and leaked the internal
+    * persisted tokenize pass). One row per doc; the eager
+    * localCheckpoint lets the builder release its persist immediately. */
+  def packedCum(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "packedCum") {
+      val (cum, cleanup) = graft.queries.CurationQueries.packedCumPlan(s, dir)
+      val out = cum.localCheckpoint()
+      cleanup()
+      out
+    }
+
   // --------------------------------------------------- PCA component
   // The fixed-point power-iteration component over the distributed
   // Gram matrix ([[graft.embed.PcaPower]]) — d·(d+1)/2 bounded cells

@@ -69,6 +69,12 @@ object RpLsh {
     cands
       .join(qd.select(col(idCol).as("a_id"), col("q").as("qa"), col("nq").as("na")), "a_id")
       .join(qd.select(col(idCol).as("b_id"), col("q").as("qb"), col("nq").as("nb")), "b_id")
+      // zero-norm guard: cos would be 0/0 = NaN, and Spark's NaN sorts
+      // GREATER than any double, so NaN would pass every `cos >=
+      // threshold` gate (and crash the oracle's CAST in consumers that
+      // bucket the cosine). Mirrored as `a.nq > 0 AND b.nq > 0` in
+      // every rp_cand-scoring oracle.
+      .filter(col("na") > 0 && col("nb") > 0)
       .withColumn("dot", Similarity.dotQ("qa", "qb"))
       .withColumn("cos", Similarity.cosine(col("dot"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)

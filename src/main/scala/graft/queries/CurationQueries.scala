@@ -129,8 +129,20 @@ object CurationQueries {
     * prefix sum under packedDocs: the running token offset of each doc
     * within its source. Factored out so budget sweeps (pack_sweep)
     * derive every chunking from ONE prefix-sum pass — chunk_b =
-    * (cum − n_tok) DIV b is a map-only function of cum. */
-  private[graft] def packedCum(s: SparkSession, d: String): DataFrame = {
+    * (cum − n_tok) DIV b is a map-only function of cum. Memoized in
+    * [[graft.SharedStages]] (one materialized row-per-doc table per
+    * (session, dir), the persisted toks pass unpersisted eagerly) so
+    * pack_chunks/pack_mask/pack_sweep stop each leaking a cached
+    * dataset per invocation; PlanSpec pins the prefix-sum shape on the
+    * lazy builder [[packedCumPlan]]. */
+  private[graft] def packedCum(s: SparkSession, d: String): DataFrame =
+    graft.SharedStages.packedCum(s, d)
+
+  /** The LAZY prefix-sum plan plus a cleanup thunk releasing the
+    * internal persisted tokenize pass — callers (SharedStages, the
+    * PlanSpec shape pin) materialize then clean up. */
+  private[graft] def packedCumPlan(s: SparkSession, d: String)
+  : (DataFrame, () => Unit) = {
     val nPart = s.sessionState.conf.numShufflePartitions
     // persisted: the tokenize+range-exchange pass feeds both the offset
     // side table and the main cumsum (same discipline as decontam)
@@ -152,11 +164,12 @@ object CurationQueries {
     val localW = Window.partitionBy(col("pid"), col("source"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks
+    val cum = toks
       .withColumn("cum_local", sum(col("n_tok")).over(localW))
       .join(broadcast(offsets), Seq("pid", "source"))
       .withColumn("cum", col("cum_local") + col("offset"))
       .select(col("source"), col("doc_id"), col("n_tok"), col("cum"))
+    (cum, () => { toks.unpersist(); () })
   }
 
   private def packChunks(s: SparkSession, d: String): DataFrame =

@@ -65,7 +65,8 @@ object EmbedQueries {
        |      / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
        |  FROM rp_cand c
        |  JOIN qv a ON a.vec_id = c.a_id
-       |  JOIN qv b ON b.vec_id = c.b_id)
+       |  JOIN qv b ON b.vec_id = c.b_id
+       |  WHERE a.nq > 0 AND b.nq > 0)
        |SELECT a_id, b_id, cos FROM scored WHERE cos >= CAST(0.35 AS DOUBLE)""".stripMargin
 
   // ----------------------------------------------------------- ivf_assign
@@ -920,7 +921,8 @@ object EmbedQueries {
        |  FROM rp_cand c
        |  JOIN qv a ON a.vec_id = c.a_id
        |  JOIN qv b ON b.vec_id = c.b_id
-       |  WHERE $cosAB >= CAST($SemTau AS DOUBLE)),
+       |  WHERE a.nq > 0 AND b.nq > 0
+       |    AND $cosAB >= CAST($SemTau AS DOUBLE)),
        |incell AS (
        |  SELECT v.a_id, v.b_id, v.cos, ca.cell
        |  FROM verified v
@@ -1715,8 +1717,10 @@ object EmbedQueries {
   // mean marks a common-direction candidate. Scale shape: map-only
   // posexplode with map-side combine into exactly d = |q| groups — the
   // exchange carries ≤ d cells per executor REGARDLESS of corpus size
-  // (each qi ≤ 2^20 so qi² ≤ 2^40 fits a long per element; the sums
-  // accumulate as DECIMAL(38,0), overflow-free at any corpus size).
+  // (qi is safe per element as long as |x|·2^20 squared fits a long,
+  // i.e. component magnitude |x| ≲ 2^11 — far above any normalized
+  // embedding; the sums accumulate as DECIMAL(38,0), overflow-free at
+  // any corpus size).
   private def embedDimStats(s: SparkSession, d: String): DataFrame =
     Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
       .select(posexplode(col("q")).as(Seq("dim", "qi")))
@@ -1770,7 +1774,8 @@ object EmbedQueries {
        |      / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
        |  FROM rp_cand c
        |  JOIN qv a ON a.vec_id = c.a_id
-       |  JOIN qv b ON b.vec_id = c.b_id),
+       |  JOIN qv b ON b.vec_id = c.b_id
+       |  WHERE a.nq > 0 AND b.nq > 0),
        |kept AS (
        |  SELECT CAST(floor(cos * 20) AS BIGINT) AS bucket
        |  FROM scored WHERE cos >= CAST(-1.0 AS DOUBLE))

@@ -362,7 +362,11 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("pack_chunks: distributed prefix sum — no per-source unbounded window remains") {
-    val s = planString("pack_chunks")
+    // the registered query reads the SharedStages checkpoint of the
+    // prefix sum, so the shape lives in the lazy builder's plan
+    val (cum, cleanup) = graft.queries.CurationQueries.packedCumPlan(spark, sf)
+    val s = cum.queryExecution.executedPlan.toString
+    cleanup()
     // the prefix-sum signature: a range exchange on (source, doc_id)
     assert(s.contains("rangepartitioning(source"),
       s"no range partitioning — prefix sum degraded to a hash shape:\n$s")
