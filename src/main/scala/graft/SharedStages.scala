@@ -232,18 +232,29 @@ object SharedStages {
   }
 
   private val pcaMemo =
-    new ConcurrentHashMap[(SparkSession, String), graft.embed.PcaPower.Component]()
+    new ConcurrentHashMap[(SparkSession, String), Seq[graft.embed.PcaPower.Component]]()
 
-  def pcaComponent(s: SparkSession, dir: String): graft.embed.PcaPower.Component = {
+  /** Top-[[graft.embed.PcaPower.NumComponents]] deflated components —
+    * shared by pca_power/pca_topk, the k-component projection
+    * (pca_project) and the full-ABTT residual pass (abtt_pairs).
+    * Driver work on the collected Gram; computed once per
+    * (session, dir). */
+  def pcaTopK(s: SparkSession, dir: String): Seq[graft.embed.PcaPower.Component] = {
     val key = (s, dir)
     val existing = pcaMemo.get(key)
     if (existing != null) existing
     else {
-      val built = graft.embed.PcaPower.power(gramUpper(s, dir))
+      val built = graft.embed.PcaPower.powerK(gramUpper(s, dir),
+        graft.embed.PcaPower.NumComponents)
       val prev = pcaMemo.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
   }
+
+  /** The dominant component — head of [[pcaTopK]] (bit-identical to the
+    * standalone top-1 power iteration). */
+  def pcaComponent(s: SparkSession, dir: String): graft.embed.PcaPower.Component =
+    pcaTopK(s, dir).head
 
   // ---------------------------------------------------- linear probe
   // Ridge probe trained from the shared Gram + one Xᵀy aggregation
@@ -279,6 +290,24 @@ object SharedStages {
     else {
       val built = graft.text.BpeTrain.train(s, dir)
       val prev = bpeMemo.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  // --------------------------------------------- unigram-LM training
+  // The EM-trained unigram tokenizer ([[graft.text.UnigramTrain]]) —
+  // two segmentation passes + vocab-sized collects, trained once per
+  // (session, dir) and shared by unigram_train and unigram_tokenize.
+  private val unigramMemo =
+    new ConcurrentHashMap[(SparkSession, String), graft.text.UnigramTrain.Trained]()
+
+  def unigramTrained(s: SparkSession, dir: String): graft.text.UnigramTrain.Trained = {
+    val key = (s, dir)
+    val existing = unigramMemo.get(key)
+    if (existing != null) existing
+    else {
+      val built = graft.text.UnigramTrain.train(s, dir)
+      val prev = unigramMemo.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
   }
@@ -347,6 +376,7 @@ object SharedStages {
     pcaMemo.clear()
     probeMemo.clear()
     bpeMemo.clear()
+    unigramMemo.clear()
     import scala.jdk.CollectionConverters._
     storeMemo.values().asScala.foreach(discardScratch)
     storeMemo.clear()

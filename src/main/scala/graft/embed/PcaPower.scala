@@ -35,6 +35,8 @@ object PcaPower {
   val VCap = 1L << 15 // iterate magnitude target (fixed-point scale)
   val Iters = 12 // unrolled in the oracle — keep both in lockstep
   val RayShift = 65536L // 2^16: Rayleigh numerator downshift
+  val DefShift = 256L // 2^8: deflation factor downshift (see deflate)
+  val NumComponents = 4 // top-k components learned by powerK
 
   /** Truncate-toward-zero division, expressed as sign·(abs DIV d) so
     * the SQL mirror (DuckDB `//` is floor division) agrees on
@@ -63,16 +65,51 @@ object PcaPower {
 
   /** Power-iterate the upper-triangle Gram rows (i ≤ j). Deterministic:
     * pure integer arithmetic from a fixed all-ones start vector. */
-  def power(gramUpper: Seq[(Int, Int, Long)]): Component = {
+  def power(gramUpper: Seq[(Int, Int, Long)]): Component =
+    powerK(gramUpper, 1).head
+
+  /** Top-k components by Hotelling deflation on the driver-sized
+    * rescaled Gram — the full ABTT formulation (Mu & Viswanath '18
+    * removes the top k ≈ d/100…d/10 directions, not just the first).
+    * After each component, subtract its rank-1 term λ·v·vᵀ/‖v‖² in the
+    * same exact-integer discipline (see [[deflate]]) and re-rescale so
+    * the magnitude ledger of the next iteration is identical to the
+    * first's; each [[Component]]'s `gdiv` carries the CUMULATIVE
+    * divisor, so `evRatio` (λ·gdiv/trace of the ORIGINAL Gram) stays
+    * correct per component. Component 0 is bit-identical to [[power]]
+    * of rounds ≤ 11 (same loop, same ledger — PcaPowerSpec pins it).
+    *
+    * Driver cost is O(k·d²·Iters) integer ops on a d = 64 matrix;
+    * nothing grows with the corpus. Degenerate Grams with rank < k
+    * yield zero iterates (λ→0) rather than failing — callers see the
+    * ev_ratio collapse. */
+  def powerK(gramUpper: Seq[(Int, Int, Long)], k: Int): Seq[Component] = {
     require(gramUpper.nonEmpty, "empty gram")
+    require(k >= 1, s"k must be >= 1, got $k")
     val dims = gramUpper.iterator.map(t => math.max(t._1, t._2)).max + 1
     val g = Array.ofDim[Long](dims, dims)
     gramUpper.foreach { case (i, j, x) => g(i)(j) = x; g(j)(i) = x }
     val trace = (0 until dims).iterator.map(i => g(i)(i)).sum
     val gmax = gramUpper.iterator.map(t => math.abs(t._3)).max
     val gdiv = math.max(gmax / GCap, 1L)
-    val gm = Array.tabulate(dims, dims)((i, j) => tdiv(g(i)(j), gdiv))
+    var gm = Array.tabulate(dims, dims)((i, j) => tdiv(g(i)(j), gdiv))
+    var gdivTot = gdiv
+    val out = Seq.newBuilder[Component]
+    for (c <- 0 until k) {
+      val comp = iterate(gm, dims, gdivTot, trace)
+      out += comp
+      if (c < k - 1) {
+        val (next, gs) = deflate(gm, dims, comp)
+        gm = next
+        gdivTot *= gs
+      }
+    }
+    out.result()
+  }
 
+  /** One full power iteration on a rescaled Gram (|g| ≤ 2·2^30). */
+  private def iterate(gm: Array[Array[Long]], dims: Int,
+                      gdivTot: Long, trace: Long): Component = {
     var v = Array.fill(dims)(VCap)
     var prev = v
     var raw = new Array[Long](dims)
@@ -93,6 +130,29 @@ object PcaPower {
     val numLo = (0 until dims).iterator
       .map(i => prev(i) * (raw(i) - RayShift * hi(i))).sum
     val den = prev.iterator.map(x => x * x).sum
-    Component(dims, v, gdiv, numHi, numLo, den, trace)
+    Component(dims, v, gdivTot, numHi, numLo, den, trace)
+  }
+
+  /** Exact-integer Hotelling deflation: gm' = gm − λ·(v·vᵀ)/‖v‖²,
+    * then re-rescale to the |g| ≤ 2·2^30 ledger. The rank-1 term is
+    * symmetrized as (a_i·v_j + a_j·v_i)/(2·‖v‖²>>8) with
+    * a = (λ·v)>>8 so every product fits signed 64-bit on a PSD Gram:
+    *   λ = numHi DIV max(den>>16, 1) ≤ trace(gm) ≤ 2^37
+    *   a_i = λ·v_i DIV 2^8 ≤ 2^45;  a_i·v_j ≤ 2^61, sum of two ≤ 2^62
+    *   2·(‖v‖²>>8) ≥ 2^23 (∞-norm of v is ≥ VCap after normalize)
+    * The ±1 truncation noise per step is deterministic — the DuckDB
+    * oracle replays the identical divisions — and irrelevant to the
+    * deflation's purpose (the next iteration re-converges). Returns
+    * (rescaled gm', rescale divisor). */
+  private[embed] def deflate(gm: Array[Array[Long]], dims: Int,
+                             comp: Component): (Array[Array[Long]], Long) = {
+    val lam = tdiv(comp.rayNumHi, math.max(comp.rayDen / RayShift, 1L))
+    val vn2 = 2L * math.max(comp.vNormSq / DefShift, 1L)
+    val a = comp.v.map(vi => tdiv(lam * vi, DefShift))
+    val g2 = Array.tabulate(dims, dims)((i, j) =>
+      gm(i)(j) - tdiv(a(i) * comp.v(j) + a(j) * comp.v(i), vn2))
+    val m = math.max(g2.iterator.flatMap(_.iterator).map(math.abs).max, 0L)
+    val gs = math.max(m / GCap, 1L)
+    (g2.map(_.map(tdiv(_, gs))), gs)
   }
 }

@@ -28,6 +28,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         IntQuantize(exprs.head, exprs(1))))
     ext.injectFunction((
+      new FunctionIdentifier("abtt_residual"),
+      new ExpressionInfo(classOf[AbttResidual].getName, "abtt_residual"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        AbttResidual(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("unigram_segment"),
+      new ExpressionInfo(classOf[UnigramSegment].getName, "unigram_segment"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        UnigramSegment(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
       new FunctionIdentifier("char_diversity"),
       new ExpressionInfo(classOf[CharDiversity].getName, "char_diversity"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

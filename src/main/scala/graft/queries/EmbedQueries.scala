@@ -1072,71 +1072,204 @@ object EmbedQueries {
        |FROM v$T vf, ray, gs, tr""".stripMargin
   }
 
+  // ------------------------------------------------ pca_topk (deflation)
+  // Top-k components by exact-integer Hotelling deflation on the
+  // driver-sized Gram ([[graft.embed.PcaPower.powerK]]): after each
+  // component, subtract its rank-1 term (the λ·v·vᵀ/‖v‖² projection,
+  // sign-decomposed fixed-point — see PcaPower.deflate's ledger) and
+  // re-rescale, then iterate again. The oracle replays every component's
+  // iterations AND every deflation as unrolled MATERIALIZED CTEs
+  // ([[pcaTopkCtes]]); each component's ev_ratio uses the CUMULATIVE
+  // rescale divisor so eigenvalue shares stay in original-Gram units.
+  // Component 0 is bit-identical to pca_power (PcaPowerSpec pins it).
+  // Output is d·k = 256 rows at any corpus size.
+  private def pcaTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.SharedStages.pcaTopK(s, d).zipWithIndex.flatMap { case (cp, c) =>
+      cp.v.toSeq.zipWithIndex.map { case (vi, i) =>
+        (c, i, vi, cp.lambdaEst, cp.evRatio)
+      }
+    }.toDF("c", "i", "v", "lambda_est", "ev_ratio")
+  }
+
+  /** Sign-decomposed truncating division for the oracle (DuckDB `//`
+    * is floor — they agree on non-negative operands). */
+  private def sqlTdiv(x: String, dv: String): String =
+    s"CASE WHEN ($x) < 0 THEN -((-($x)) // ($dv)) ELSE ($x) // ($dv) END"
+
+  /** Unrolled k-component deflated power iteration, in lockstep with
+    * [[graft.embed.PcaPower.powerK]]: the shared rescale (g0), then per
+    * component c its Iters matvec/renormalize rounds (c{c}r{t} /
+    * c{c}v{t}), the hi/lo Rayleigh split (ray{c}), and — between
+    * components — the deflation chain (λ from the Rayleigh pieces,
+    * a = (λ·v)>>8, symmetric rank-1 subtraction, re-rescale gs{c+1}).
+    * Every CTE MATERIALIZED (see pcaIterCtes for why). */
+  private def pcaTopkCtes(k: Int): String = {
+    val T = PcaPower.Iters
+    val sb = new StringBuilder
+    sb.append(
+      s"""gf0 AS MATERIALIZED (
+         |  SELECT i, j, g FROM gu
+         |  UNION ALL
+         |  SELECT j AS i, i AS j, g FROM gu WHERE i < j),
+         |gs0 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(g)) // ${PcaPower.GCap}, 1) AS gd FROM gf0),
+         |g0 AS MATERIALIZED (SELECT i, j, ${sqlTdiv("g", "gd")} AS g FROM gf0, gs0),
+         |trc AS MATERIALIZED (SELECT CAST(SUM(g) AS BIGINT) AS trace FROM gf0 WHERE i = j)""".stripMargin)
+    for (c <- 0 until k) {
+      sb.append(
+        s""",
+           |c${c}v0 AS MATERIALIZED (SELECT DISTINCT i, CAST(${PcaPower.VCap} AS BIGINT) AS v FROM g$c)""".stripMargin)
+      for (t <- 1 to T) {
+        sb.append(
+          s""",
+             |c${c}r$t AS MATERIALIZED (
+             |  SELECT g.i AS i, CAST(SUM(g.g * p.v) AS BIGINT) AS raw
+             |  FROM g$c g JOIN c${c}v${t - 1} p ON p.i = g.j GROUP BY 1),
+             |c${c}d$t AS MATERIALIZED (SELECT GREATEST(MAX(ABS(raw)) // ${PcaPower.VCap}, 1) AS dd FROM c${c}r$t),
+             |c${c}v$t AS MATERIALIZED (SELECT i, ${sqlTdiv("raw", "dd")} AS v FROM c${c}r$t, c${c}d$t)""".stripMargin)
+      }
+      sb.append(
+        s""",
+           |c${c}rh AS MATERIALIZED (
+           |  SELECT i, raw, ${sqlTdiv("raw", PcaPower.RayShift.toString)} AS hi FROM c${c}r$T),
+           |ray$c AS MATERIALIZED (
+           |  SELECT CAST(SUM(p.v * rh.hi) AS BIGINT) AS num_hi,
+           |         CAST(SUM(p.v * (rh.raw - ${PcaPower.RayShift} * rh.hi)) AS BIGINT) AS num_lo,
+           |         CAST(SUM(p.v * p.v) AS BIGINT) AS den
+           |  FROM c${c}v${T - 1} p JOIN c${c}rh rh ON rh.i = p.i)""".stripMargin)
+      if (c < k - 1) {
+        sb.append(
+          s""",
+             |lm$c AS MATERIALIZED (
+             |  SELECT ${sqlTdiv("num_hi", s"GREATEST(den // ${PcaPower.RayShift}, 1)")} AS lam FROM ray$c),
+             |dvn$c AS MATERIALIZED (
+             |  SELECT 2 * GREATEST(CAST(SUM(v * v) AS BIGINT) // ${PcaPower.DefShift}, 1) AS vn2 FROM c${c}v$T),
+             |da$c AS MATERIALIZED (
+             |  SELECT i, ${sqlTdiv("lam * v", PcaPower.DefShift.toString)} AS a FROM c${c}v$T, lm$c),
+             |df$c AS MATERIALIZED (
+             |  SELECT g.i, g.j, g.g - ${sqlTdiv("ai.a * vj.v + aj.a * vi.v", "vn2")} AS g
+             |  FROM g$c g
+             |  JOIN da$c ai ON ai.i = g.i
+             |  JOIN da$c aj ON aj.i = g.j
+             |  JOIN c${c}v$T vi ON vi.i = g.i
+             |  JOIN c${c}v$T vj ON vj.i = g.j
+             |  CROSS JOIN dvn$c),
+             |gs${c + 1} AS MATERIALIZED (SELECT GREATEST(MAX(ABS(g)) // ${PcaPower.GCap}, 1) AS gd FROM df$c),
+             |g${c + 1} AS MATERIALIZED (SELECT i, j, ${sqlTdiv("g", "gd")} AS g FROM df$c, gs${c + 1})""".stripMargin)
+      }
+    }
+    sb.toString
+  }
+
+  private def pcaTopkSql = {
+    val T = PcaPower.Iters
+    val K = PcaPower.NumComponents
+    val sh = PcaPower.RayShift
+    val blocks = (0 until K).map { c =>
+      val lambda =
+        s"(CAST(num_hi AS DOUBLE) * CAST($sh AS DOUBLE) + CAST(num_lo AS DOUBLE)) / CAST(den AS DOUBLE)"
+      val gdProd = (0 to c).map(i => s"gs$i.gd").mkString(" * ")
+      val joins = (0 to c).map(i => s"CROSS JOIN gs$i").mkString(" ")
+      s"""SELECT $c AS c, vf.i, vf.v,
+         |  $lambda AS lambda_est,
+         |  (($lambda) * CAST($gdProd AS DOUBLE)) / CAST(trace AS DOUBLE) AS ev_ratio
+         |FROM c${c}v$T vf CROSS JOIN ray$c CROSS JOIN trc $joins""".stripMargin
+    }
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |$gramCompCte,
+       |$gramUpperCte,
+       |${pcaTopkCtes(K)}
+       |${blocks.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  // pca_project — k-component projection: one map-only scan, every
+  // component rides as a literal array (zero joins, PlanSpec pins it);
+  // output is (vec, component) long-format scores.
   private def pcaProject(s: SparkSession, d: String): DataFrame = {
-    val c = graft.SharedStages.pcaComponent(s, d)
-    Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
-      .withColumn("pc", typedLit(c.v.toSeq))
-      .withColumn("proj", Similarity.dotQ("q", "pc"))
-      .withColumn("score", when(col("nq") === 0, lit(null).cast("double"))
-        .otherwise(col("proj").cast("double") /
-          (sqrt(col("nq").cast("double")) * sqrt(lit(c.vNormSq.toDouble)))))
-      .select(col("vec_id"), col("label"), col("proj"), col("score"))
+    val comps = graft.SharedStages.pcaTopK(s, d)
+    var df = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+    comps.zipWithIndex.foreach { case (cp, c) =>
+      df = df.withColumn(s"pc$c", typedLit(cp.v.toSeq))
+        .withColumn(s"proj$c", Similarity.dotQ("q", s"pc$c"))
+    }
+    val structs = comps.zipWithIndex.map { case (cp, c) =>
+      struct(
+        lit(c).as("c"),
+        col(s"proj$c").as("proj"),
+        when(col("nq") === 0, lit(null).cast("double"))
+          .otherwise(col(s"proj$c").cast("double") /
+            (sqrt(col("nq").cast("double")) * sqrt(lit(cp.vNormSq.toDouble))))
+          .as("score"))
+    }
+    df.select(col("vec_id"), col("label"),
+        explode(array(structs: _*)).as("pc"))
+      .select(col("vec_id"), col("label"), col("pc.c").as("c"),
+        col("pc.proj").as("proj"), col("pc.score").as("score"))
   }
 
   private def pcaProjectSql = {
     val T = PcaPower.Iters
+    val K = PcaPower.NumComponents
+    val projCtes = (0 until K).map { c =>
+      s"""pvn$c AS MATERIALIZED (SELECT CAST(SUM(v * v) AS BIGINT) AS vn FROM c${c}v$T),
+         |pj$c AS MATERIALIZED (
+         |  SELECT c.vec_id, CAST(SUM(c.qi * v.v) AS BIGINT) AS proj
+         |  FROM comp c JOIN c${c}v$T v ON v.i = c.i GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val blocks = (0 until K).map { c =>
+      s"""SELECT q.vec_id, q.label, $c AS c, p.proj,
+         |  CASE WHEN q.nq = 0 THEN CAST(NULL AS DOUBLE)
+         |       ELSE CAST(p.proj AS DOUBLE)
+         |         / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(vn.vn AS DOUBLE))) END AS score
+         |FROM pj$c p JOIN qv q ON q.vec_id = p.vec_id CROSS JOIN pvn$c vn""".stripMargin
+    }
     s"""WITH ${Similarity.duckdbQuantizedCte},
        |$gramCompCte,
        |$gramUpperCte,
-       |$pcaIterCtes,
-       |vn AS (SELECT CAST(SUM(v * v) AS BIGINT) AS vn FROM v$T),
-       |proj AS (
-       |  SELECT c.vec_id, CAST(SUM(c.qi * v.v) AS BIGINT) AS proj
-       |  FROM comp c JOIN v$T v ON v.i = c.i GROUP BY 1)
-       |SELECT q.vec_id, q.label, p.proj,
-       |  CASE WHEN q.nq = 0 THEN CAST(NULL AS DOUBLE)
-       |       ELSE CAST(p.proj AS DOUBLE)
-       |         / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(vn AS DOUBLE))) END AS score
-       |FROM proj p
-       |JOIN qv q ON q.vec_id = p.vec_id
-       |CROSS JOIN vn""".stripMargin
+       |${pcaTopkCtes(K)},
+       |$projCtes
+       |${blocks.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
   // ---------------------------------------------------------- abtt_pairs
   // All-But-The-Top whitened near-dup pairs (Mu & Viswanath 2018 made
   // the observation for word vectors; SemDeDup-era pipelines apply it
-  // to document embeddings): corpus embeddings share a dominant
-  // "common direction" that inflates every cosine, so near-dup
-  // verification AFTER removing the top principal component separates
-  // genuinely-similar pairs from common-direction artifacts. This is
-  // the consumer the pca_power component exists for: the scaled
-  // residual r = q·‖v‖² − (q·v)·v is EXACT 64-bit integer arithmetic
-  // per component (≤2^59), downshifted once (sign-decomposed DIV 2^32)
-  // so pairwise residual dots stay in 64 bits; blocking and the pair
-  // join are identical to embed_cosine_pairs (label cell — a real IVF
-  // cell at 100 TB), so candidates stay ∝ Σ cell², never n². The
-  // threshold sits lower than the raw-cosine 0.35 because removing the
-  // common direction deflates every cosine.
+  // to document embeddings): corpus embeddings share a few dominant
+  // "common directions" that inflate every cosine, so near-dup
+  // verification AFTER removing the top-k principal components
+  // separates genuinely-similar pairs from common-direction artifacts.
+  // As published, ABTT removes the top k directions, not just the
+  // first — this is the consumer the pca_topk deflation exists for.
+  // Per component c the residual update r ← r·‖v_c‖² − (r·v_c)·v_c is
+  // EXACT 64-bit integer arithmetic (≤2^62 per term with the ledger
+  // below), then renormalized PER VECTOR back to |r| ≤ ~2^20 by a
+  // sign-decomposed truncating division (the divisor is a deterministic
+  // function of the vector itself, and cosine is invariant to
+  // per-vector scaling, so cross-vector comparability survives):
+  //   |r| ≤ 2^21 (post-renorm) → r·‖v‖² ≤ 2^21·2^38 = 2^59
+  //   (r·v) ≤ 64·2^21·2^17 = 2^44 → (r·v)·v ≤ 2^61; difference ≤ 2^62
+  // Blocking and the pair join are identical to embed_cosine_pairs
+  // (label cell — a real IVF cell at 100 TB), so candidates stay
+  // ∝ Σ cell², never n². The threshold sits lower than the raw-cosine
+  // 0.35 because removing the common directions deflates every cosine.
   private val AbttTau = 0.2
-  private val AbttShift = 1L << 32
+  private val ResCap = 1L << 20
 
   private def abttPairs(s: SparkSession, d: String): DataFrame = {
-    val c = graft.SharedStages.pcaComponent(s, d)
-    val vn = c.vNormSq
-    val rd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
-      .withColumn("pc", typedLit(c.v.toSeq))
-      .withColumn("proj", Similarity.dotQ("q", "pc"))
-      .withColumn("r", expr(
-        s"zip_with(q, pc, (a, b) -> a * CAST($vn AS BIGINT) - proj * b)"))
-      .withColumn("rs", expr(
-        s"transform(r, x -> CASE WHEN x < 0 THEN -((-x) DIV CAST($AbttShift AS BIGINT)) " +
-          s"ELSE x DIV CAST($AbttShift AS BIGINT) END)"))
-      .withColumn("nr", expr("int_dot(rs, rs)"))
-      .filter(col("nr") > 0) // a vector parallel to the component has no residual direction
-      .select(col("label"), col("vec_id"), col("rs"), col("nr"))
-    val a = rd.select(col("label").as("cell"), col("vec_id").as("a_id"),
+    val comps = graft.SharedStages.pcaTopK(s, d)
+    // ONE native codegen pass ([[graft.functions.AbttResidual]]) — the
+    // equivalent chained zip_with/aggregate HOF form re-evaluates outer
+    // scalars per element (~d^k work per row) and is interpreted; see
+    // the expression's scaladoc for the measurement.
+    val res = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .withColumn("pcs", typedLit(comps.map(_.v.toSeq)))
+      .withColumn("r", expr(s"abtt_residual(q, pcs, CAST($ResCap AS BIGINT))"))
+      .withColumn("nr", expr("int_dot(r, r)"))
+      .filter(col("nr") > 0) // a vector inside the removed subspace has no residual direction
+      .select(col("label"), col("vec_id"), col("r").as("rs"), col("nr"))
+    val a = res.select(col("label").as("cell"), col("vec_id").as("a_id"),
       col("rs").as("ra"), col("nr").as("na"))
-    val b = rd.select(col("label").as("cell"), col("vec_id").as("b_id"),
+    val b = res.select(col("label").as("cell"), col("vec_id").as("b_id"),
       col("rs").as("rb"), col("nr").as("nb"))
     a.join(b, "cell")
       .filter(col("a_id") < col("b_id"))
@@ -1148,32 +1281,42 @@ object EmbedQueries {
 
   private def abttPairsSql = {
     val T = PcaPower.Iters
-    val sh = AbttShift
+    val K = PcaPower.NumComponents
+    val resCtes = new StringBuilder
+    resCtes.append(
+      "ar0 AS MATERIALIZED (SELECT vec_id, i, qi AS r FROM comp)")
+    for (c <- 0 until K) {
+      resCtes.append(
+        s""",
+           |apn$c AS MATERIALIZED (SELECT CAST(SUM(v * v) AS BIGINT) AS vn FROM c${c}v$T),
+           |ap$c AS MATERIALIZED (
+           |  SELECT r.vec_id, CAST(SUM(r.r * v.v) AS BIGINT) AS proj
+           |  FROM ar$c r JOIN c${c}v$T v ON v.i = r.i GROUP BY 1),
+           |at$c AS MATERIALIZED (
+           |  SELECT r.vec_id, r.i, r.r * vn - p.proj * v.v AS t
+           |  FROM ar$c r
+           |  JOIN c${c}v$T v ON v.i = r.i
+           |  JOIN ap$c p ON p.vec_id = r.vec_id
+           |  CROSS JOIN apn$c),
+           |ash$c AS MATERIALIZED (
+           |  SELECT vec_id, GREATEST(MAX(ABS(t)) // $ResCap, 1) AS sh FROM at$c GROUP BY 1),
+           |ar${c + 1} AS MATERIALIZED (
+           |  SELECT t.vec_id, t.i, ${sqlTdiv("t.t", "s.sh")} AS r
+           |  FROM at$c t JOIN ash$c s ON s.vec_id = t.vec_id)""".stripMargin)
+    }
     val dot = Similarity.duckdbDot("a.r", "b.r")
     val cos = s"CAST($dot AS DOUBLE)" +
       " / sqrt(CAST(a.nr AS DOUBLE) * CAST(b.nr AS DOUBLE))"
     s"""WITH ${Similarity.duckdbQuantizedCte},
        |$gramCompCte,
        |$gramUpperCte,
-       |$pcaIterCtes,
-       |vnq AS MATERIALIZED (SELECT CAST(SUM(v * v) AS BIGINT) AS vn FROM v$T),
-       |pr AS MATERIALIZED (
-       |  SELECT c.vec_id, CAST(SUM(c.qi * v.v) AS BIGINT) AS proj
-       |  FROM comp c JOIN v$T v ON v.i = c.i GROUP BY 1),
-       |rsi AS MATERIALIZED (
-       |  SELECT c.vec_id, c.i,
-       |    CASE WHEN c.qi * vn - p.proj * v.v < 0
-       |      THEN -((-(c.qi * vn - p.proj * v.v)) // $sh)
-       |      ELSE (c.qi * vn - p.proj * v.v) // $sh END AS r
-       |  FROM comp c
-       |  JOIN v$T v ON v.i = c.i
-       |  JOIN pr p ON p.vec_id = c.vec_id
-       |  CROSS JOIN vnq),
+       |${pcaTopkCtes(K)},
+       |$resCtes,
        |rv AS MATERIALIZED (
        |  SELECT r0.vec_id, q.label,
        |    list(r0.r ORDER BY r0.i) AS r,
        |    CAST(SUM(r0.r * r0.r) AS BIGINT) AS nr
-       |  FROM rsi r0 JOIN qv q ON q.vec_id = r0.vec_id
+       |  FROM ar$K r0 JOIN qv q ON q.vec_id = r0.vec_id
        |  GROUP BY 1, 2)
        |SELECT a.label AS cell, a.vec_id AS a_id, b.vec_id AS b_id,
        |  $cos AS cos
@@ -1796,6 +1939,7 @@ object EmbedQueries {
     QueryDef("mmr_select", mmrSelect, Some(mmrSelectSql)),
     QueryDef("gram_matrix", gramMatrix, Some(gramMatrixSql)),
     QueryDef("pca_power", pcaPower, Some(pcaPowerSql)),
+    QueryDef("pca_topk", pcaTopk, Some(pcaTopkSql)),
     QueryDef("pca_project", pcaProject, Some(pcaProjectSql)),
     QueryDef("abtt_pairs", abttPairs, Some(abttPairsSql)),
     QueryDef("semdedup_prune", semdedupPrune, Some(semdedupPruneSql)),

@@ -409,6 +409,46 @@ object TextQueries {
        |GROUP BY 1 ORDER BY n DESC, symbol LIMIT ${bt.VocabK}""".stripMargin
   }
 
+  // ------------------------------------ unigram_train, unigram_tokenize
+  // SentencePiece-style unigram-LM tokenizer training (Kudo 2018) —
+  // the industry-standard BPE twin ([[graft.text.UnigramTrain]]): seed
+  // vocabulary from frequent substrings, hard-EM under native-codegen
+  // Viterbi segmentation, prune, re-estimate. Scores are exact q8
+  // fixed-point log2 integers; the oracle replays the seed counts,
+  // both ilog2 ladders, both unrolled DPs and the prune CTE-for-CTE.
+  private def unigramTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.SharedStages.unigramTrained(s, d).vocab.toDF("piece", "n", "score")
+  }
+
+  private def unigramTrainSql =
+    s"""WITH ${graft.text.UnigramTrain.duckdbTrainCtes(tokensSql("text"))}
+       |SELECT k.p AS piece, COALESCE(u.u, 0) AS n, s.score
+       |FROM ugk1 k
+       |LEFT JOIN ugu1 u ON u.p = k.p
+       |JOIN ugs1 s ON s.piece = k.p""".stripMargin
+
+  // corpus fertility by word length under the learned segmentation —
+  // the "is the tokenizer efficient where the mass is" report (≤ 16
+  // rows at any corpus size)
+  private def unigramTokenize(s: SparkSession, d: String): DataFrame =
+    graft.SharedStages.unigramTrained(s, d).segmented
+      .withColumn("np", size(col("pieces")).cast("long"))
+      .groupBy(length(col("word")).cast("long").as("wlen"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("freq")).as("total_freq"),
+        sum(col("freq") * col("np")).as("total_pieces"))
+      .withColumn("fertility",
+        col("total_pieces").cast("double") / col("total_freq").cast("double"))
+
+  private def unigramTokenizeSql =
+    s"""WITH ${graft.text.UnigramTrain.duckdbTrainCtes(tokensSql("text"))}
+       |SELECT CAST(length(word) AS BIGINT) AS wlen, COUNT(*) AS n_words,
+       |  CAST(SUM(freq) AS BIGINT) AS total_freq,
+       |  CAST(SUM(freq * np) AS BIGINT) AS total_pieces,
+       |  CAST(SUM(freq * np) AS DOUBLE) / CAST(SUM(freq) AS DOUBLE) AS fertility
+       |FROM ugnp1 GROUP BY 1""".stripMargin
+
   // -------------------------------------------------------- topic_assign
   // Weak topic labeling by seed-keyword voting — the cheap corpus
   // bucketing step a mixture pipeline runs before anything learned:
@@ -638,6 +678,8 @@ object TextQueries {
     QueryDef("bpe_merge_step", bpeMergeStep, Some(bpeMergeStepSql)),
     QueryDef("bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("bpe_tokenize", bpeTokenize, Some(bpeTokenizeSql)),
+    QueryDef("unigram_train", unigramTrain, Some(unigramTrainSql)),
+    QueryDef("unigram_tokenize", unigramTokenize, Some(unigramTokenizeSql)),
     QueryDef("lang_id", langId, Some(langIdSql)),
     QueryDef("lang_confusion", langConfusion, Some(langConfusionSql)),
     QueryDef("text_lang_agg", langAgg, Some(langAggSql)),

@@ -67,4 +67,72 @@ class PcaPowerPropertySpec extends AnyFunSuite {
       assert(BigInt(fast.rayDen) == den, "Rayleigh den diverged")
     }
   }
+
+  /** BigInt twin of [[PcaPower.powerK]] including the deflation step,
+    * op-for-op. Returns per component (v, rayNumHi, rayNumLo, rayDen,
+    * cumulative gdiv). */
+  private def powerKBig(gramUpper: Seq[(Int, Int, Long)], k: Int)
+  : Seq[(Array[BigInt], BigInt, BigInt, BigInt, BigInt)] = {
+    def tdiv(x: BigInt, d: BigInt): BigInt = if (x < 0) -((-x) / d) else x / d
+    val dims = gramUpper.iterator.map(t => math.max(t._1, t._2)).max + 1
+    val g = Array.fill(dims, dims)(BigInt(0))
+    gramUpper.foreach { case (i, j, x) => g(i)(j) = BigInt(x); g(j)(i) = BigInt(x) }
+    val gmax = gramUpper.iterator.map(t => BigInt(t._3).abs).max
+    val gdiv = (gmax / PcaPower.GCap).max(1)
+    var gm = Array.tabulate(dims, dims)((i, j) => tdiv(g(i)(j), gdiv))
+    var gdivTot = gdiv
+    val out = Seq.newBuilder[(Array[BigInt], BigInt, BigInt, BigInt, BigInt)]
+    for (c <- 0 until k) {
+      var v = Array.fill(dims)(BigInt(PcaPower.VCap))
+      var prev = v
+      var raw = Array.fill(dims)(BigInt(0))
+      for (_ <- 1 to PcaPower.Iters) {
+        prev = v
+        raw = Array.tabulate(dims)(i => (0 until dims).map(j => gm(i)(j) * prev(j)).sum)
+        val m = raw.iterator.map(_.abs).max.max(0)
+        val dd = (m / PcaPower.VCap).max(1)
+        v = raw.map(tdiv(_, dd))
+      }
+      val sh = BigInt(PcaPower.RayShift)
+      val hi = raw.map(tdiv(_, sh))
+      val numHi = (0 until dims).map(i => prev(i) * hi(i)).sum
+      val numLo = (0 until dims).map(i => prev(i) * (raw(i) - sh * hi(i))).sum
+      val den = prev.iterator.map(x => x * x).sum
+      out += ((v, numHi, numLo, den, gdivTot))
+      if (c < k - 1) {
+        val lam = tdiv(numHi, (den / sh).max(1))
+        val vnsq = v.iterator.map(x => x * x).sum
+        val vn2 = BigInt(2) * (vnsq / PcaPower.DefShift).max(1)
+        val a = v.map(vi => tdiv(lam * vi, PcaPower.DefShift))
+        val g2 = Array.tabulate(dims, dims)((i, j) =>
+          gm(i)(j) - tdiv(a(i) * v(j) + a(j) * v(i), vn2))
+        val m2 = g2.iterator.flatMap(_.iterator).map(_.abs).max.max(0)
+        val gs = (m2 / PcaPower.GCap).max(1)
+        gm = g2.map(_.map(tdiv(_, gs)))
+        gdivTot *= gs
+      }
+    }
+    out.result()
+  }
+
+  test("deflated top-k iteration equals the BigInt replay (deflation ledger holds)") {
+    var s = Seed(20260812L)
+    for (_ <- 1 to 120) {
+      val gram = gramGen.apply(Gen.Parameters.default, s)
+        .getOrElse(throw new IllegalStateException("gen failed"))
+      s = s.next
+      val fast = PcaPower.powerK(gram, 3)
+      val big = powerKBig(gram, 3)
+      fast.zip(big).zipWithIndex.foreach {
+        case ((f, (bv, bHi, bLo, bDen, bGdiv)), c) =>
+          f.v.zip(bv).zipWithIndex.foreach { case ((l, bi), i) =>
+            assert(BigInt(l) == bi, s"c$c v[$i] diverged: long=$l bigint=$bi (overflow?)")
+          }
+          assert(BigInt(f.rayNumHi) == bHi, s"c$c Rayleigh hi diverged")
+          assert(BigInt(f.rayNumLo) == bLo, s"c$c Rayleigh lo diverged")
+          assert(BigInt(f.rayDen) == bDen, s"c$c Rayleigh den diverged")
+          assert(BigInt(f.gdiv) == bGdiv, s"c$c cumulative gdiv diverged")
+      }
+    }
+  }
 }

@@ -58,4 +58,63 @@ class PcaPowerSpec extends AnyFunSuite {
     assert(c.v(0) == c.v(1))
     assert(math.abs(c.lambdaEst - 5.0) < 0.01)
   }
+
+  test("powerK component 0 is bit-identical to power (rounds <= 11 contract)") {
+    val gram = Seq((0, 0, 4L << 40), (0, 1, 1L << 40), (1, 1, 3L << 40))
+    val one = PcaPower.power(gram)
+    val k = PcaPower.powerK(gram, 3)
+    assert(k.head.v.sameElements(one.v))
+    assert(k.head.rayNumHi == one.rayNumHi)
+    assert(k.head.rayNumLo == one.rayNumLo)
+    assert(k.head.rayDen == one.rayDen)
+    assert(k.head.gdiv == one.gdiv)
+  }
+
+  test("powerK recovers a known diagonal spectrum in order via deflation") {
+    // diag(100, 50, 20, 5)·2^25 — large magnitudes so the fixed-point
+    // truncation noise is relatively tiny; eigenvectors are the axes.
+    val m = 1L << 25
+    val gram = Seq((0, 0, 100 * m), (1, 1, 50 * m), (2, 2, 20 * m), (3, 3, 5 * m))
+    val comps = PcaPower.powerK(gram, 4)
+    val evs = Seq(100.0, 50.0, 20.0, 5.0)
+    comps.zipWithIndex.foreach { case (c, idx) =>
+      val dominantAxis = c.v.zipWithIndex.maxBy { case (x, _) => math.abs(x) }._2
+      assert(dominantAxis == idx, s"component $idx locked axis $dominantAxis")
+      val lamOrig = c.lambdaEst * c.gdiv.toDouble / m.toDouble
+      assert(math.abs(lamOrig - evs(idx)) / evs(idx) < 0.02,
+        s"component $idx lambda $lamOrig != ${evs(idx)}")
+      assert(math.abs(c.evRatio - evs(idx) / 175.0) < 0.01,
+        s"component $idx ev_ratio ${c.evRatio}")
+    }
+  }
+
+  test("deflated components are near-orthogonal on a dense PSD gram") {
+    // Gram of X with correlated columns — deflation must still produce
+    // components that are pairwise near-orthogonal (cos < 0.05).
+    val rnd = new scala.util.Random(11)
+    val d = 6
+    val rows = Array.fill(40)(Array.fill(d)(rnd.nextInt(1 << 18).toLong))
+    val gram = for (i <- 0 until d; j <- i until d) yield {
+      var s = 0L
+      rows.foreach(r => s += (r(i) >> 4) * (r(j) >> 4))
+      (i, j, s)
+    }
+    val comps = PcaPower.powerK(gram, 3)
+    for (a <- comps.indices; b <- a + 1 until comps.size) {
+      val va = comps(a).v; val vb = comps(b).v
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until d) {
+        dot += va(i).toDouble * vb(i).toDouble
+        na += va(i).toDouble * va(i).toDouble
+        nb += vb(i).toDouble * vb(i).toDouble
+      }
+      val cos = math.abs(dot) / math.sqrt(na * nb)
+      // 12 fixed iterations can't fully separate near-degenerate lower
+      // eigenpairs (convergence ∝ (λ_b/λ_a)^Iters), so allow a small mix
+      assert(cos < 0.1, s"components $a,$b not orthogonal: cos=$cos")
+    }
+    // eigenvalue estimates non-increasing in original units
+    val lams = comps.map(c => c.lambdaEst * c.gdiv.toDouble)
+    assert(lams == lams.sortBy(-_), s"eigenvalues out of order: $lams")
+  }
 }
