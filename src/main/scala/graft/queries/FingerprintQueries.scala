@@ -264,17 +264,27 @@ object FingerprintQueries {
     val tok = graft.Tables.parallelize(docs)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= SpanMin)
-    val pos = tok
+    // Narrow position table: prefix-window hash ONLY. The 64-token
+    // suffix slice is deliberately NOT built here — in the previous
+    // shape it rode the h-keyed prefilter exchange at up to 64 strings
+    // per position (profiled as the query's dominant cost; this was
+    // the slowest registry query two rounds running). Now the
+    // prefilter exchanges carry 3 scalars per position, and the slices
+    // are built AFTER the filter for surviving positions only
+    // (∝ duplicated positions) via one doc_id-keyed join that ships
+    // each doc's token array once.
+    val posH = tok
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), size(col("toks")) - (SpanMin - 1))).as("i"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("i"),
         portableHash(array_join(
-          slice(col("toks"), col("i"), lit(SpanMin)), " ")).as("h"),
-        slice(col("toks"), col("i"), lit(SpanCap)).as("suf"))
-    val dupH = pos.select(col("h"), col("doc_id")).distinct()
+          slice(col("toks"), col("i"), lit(SpanMin)), " ")).as("h"))
+    val dupH = posH.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2).select(col("h"))
-    val cand = pos.join(dupH, "h").select(col("doc_id"), col("suf"))
+    val surv = posH.join(dupH, "h").select(col("doc_id"), col("i"))
+    val cand = surv.join(tok, "doc_id")
+      .select(col("doc_id"), slice(col("toks"), col("i"), lit(SpanCap)).as("suf"))
     val per = graft.text.LcpWalk.maxSharedSpan(cand)
     docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
