@@ -49,10 +49,17 @@ object BucketStore {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  /** Replace-on-key upsert touching only the batch's hash buckets. */
+  /** Replace-on-key upsert touching only the batch's hash buckets.
+    * `bucketCols` (default: the key) chooses the PLACEMENT hash — pass
+    * the probe key when the store is probed by a prefix of the row key
+    * (e.g. rows keyed (band, bucket, doc_id) probed by (band, bucket));
+    * bucketing by the full key would scatter a probe key's rows across
+    * buckets the pruned read never opens. */
   def upsert(spark: SparkSession, batch: DataFrame, path: String,
-             keyCols: Seq[String], numBuckets: Int = 64): Unit = {
-    val bc = bucketCol(keyCols, numBuckets)
+             keyCols: Seq[String], numBuckets: Int = 64,
+             bucketCols: Seq[String] = Nil): Unit = {
+    val bc = bucketCol(if (bucketCols.isEmpty) keyCols else bucketCols,
+      numBuckets)
     // ≤ numBuckets ints — a driver-side list, never the data
     val touched = batch.select(bc.as("__b")).distinct()
       .collect().map(_.getInt(0)).sorted
