@@ -1104,58 +1104,58 @@ object EmbedQueries {
     * components — the deflation chain (λ from the Rayleigh pieces,
     * a = (λ·v)>>8, symmetric rank-1 subtraction, re-rescale gs{c+1}).
     * Every CTE MATERIALIZED (see pcaIterCtes for why). */
-  private def pcaTopkCtes(k: Int): String = {
+  private def pcaTopkCtes(k: Int, p: String = "", src: String = "gu"): String = {
     val T = PcaPower.Iters
     val sb = new StringBuilder
     sb.append(
-      s"""gf0 AS MATERIALIZED (
-         |  SELECT i, j, g FROM gu
+      s"""${p}gf0 AS MATERIALIZED (
+         |  SELECT i, j, g FROM $src
          |  UNION ALL
-         |  SELECT j AS i, i AS j, g FROM gu WHERE i < j),
-         |gs0 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(g)) // ${PcaPower.GCap}, 1) AS gd FROM gf0),
-         |g0 AS MATERIALIZED (SELECT i, j, ${sqlTdiv("g", "gd")} AS g FROM gf0, gs0),
-         |trc AS MATERIALIZED (SELECT CAST(SUM(g) AS BIGINT) AS trace FROM gf0 WHERE i = j)""".stripMargin)
+         |  SELECT j AS i, i AS j, g FROM $src WHERE i < j),
+         |${p}gs0 AS MATERIALIZED (SELECT GREATEST(MAX(ABS(g)) // ${PcaPower.GCap}, 1) AS gd FROM ${p}gf0),
+         |${p}g0 AS MATERIALIZED (SELECT i, j, ${sqlTdiv("g", "gd")} AS g FROM ${p}gf0, ${p}gs0),
+         |${p}trc AS MATERIALIZED (SELECT CAST(SUM(g) AS BIGINT) AS trace FROM ${p}gf0 WHERE i = j)""".stripMargin)
     for (c <- 0 until k) {
       sb.append(
         s""",
-           |c${c}v0 AS MATERIALIZED (SELECT DISTINCT i, CAST(${PcaPower.VCap} AS BIGINT) AS v FROM g$c)""".stripMargin)
+           |${p}c${c}v0 AS MATERIALIZED (SELECT DISTINCT i, CAST(${PcaPower.VCap} AS BIGINT) AS v FROM ${p}g$c)""".stripMargin)
       for (t <- 1 to T) {
         sb.append(
           s""",
-             |c${c}r$t AS MATERIALIZED (
+             |${p}c${c}r$t AS MATERIALIZED (
              |  SELECT g.i AS i, CAST(SUM(g.g * p.v) AS BIGINT) AS raw
-             |  FROM g$c g JOIN c${c}v${t - 1} p ON p.i = g.j GROUP BY 1),
-             |c${c}d$t AS MATERIALIZED (SELECT GREATEST(MAX(ABS(raw)) // ${PcaPower.VCap}, 1) AS dd FROM c${c}r$t),
-             |c${c}v$t AS MATERIALIZED (SELECT i, ${sqlTdiv("raw", "dd")} AS v FROM c${c}r$t, c${c}d$t)""".stripMargin)
+             |  FROM ${p}g$c g JOIN ${p}c${c}v${t - 1} p ON p.i = g.j GROUP BY 1),
+             |${p}c${c}d$t AS MATERIALIZED (SELECT GREATEST(MAX(ABS(raw)) // ${PcaPower.VCap}, 1) AS dd FROM ${p}c${c}r$t),
+             |${p}c${c}v$t AS MATERIALIZED (SELECT i, ${sqlTdiv("raw", "dd")} AS v FROM ${p}c${c}r$t, ${p}c${c}d$t)""".stripMargin)
       }
       sb.append(
         s""",
-           |c${c}rh AS MATERIALIZED (
-           |  SELECT i, raw, ${sqlTdiv("raw", PcaPower.RayShift.toString)} AS hi FROM c${c}r$T),
-           |ray$c AS MATERIALIZED (
+           |${p}c${c}rh AS MATERIALIZED (
+           |  SELECT i, raw, ${sqlTdiv("raw", PcaPower.RayShift.toString)} AS hi FROM ${p}c${c}r$T),
+           |${p}ray$c AS MATERIALIZED (
            |  SELECT CAST(SUM(p.v * rh.hi) AS BIGINT) AS num_hi,
            |         CAST(SUM(p.v * (rh.raw - ${PcaPower.RayShift} * rh.hi)) AS BIGINT) AS num_lo,
            |         CAST(SUM(p.v * p.v) AS BIGINT) AS den
-           |  FROM c${c}v${T - 1} p JOIN c${c}rh rh ON rh.i = p.i)""".stripMargin)
+           |  FROM ${p}c${c}v${T - 1} p JOIN ${p}c${c}rh rh ON rh.i = p.i)""".stripMargin)
       if (c < k - 1) {
         sb.append(
           s""",
-             |lm$c AS MATERIALIZED (
-             |  SELECT ${sqlTdiv("num_hi", s"GREATEST(den // ${PcaPower.RayShift}, 1)")} AS lam FROM ray$c),
-             |dvn$c AS MATERIALIZED (
-             |  SELECT 2 * GREATEST(CAST(SUM(v * v) AS BIGINT) // ${PcaPower.DefShift}, 1) AS vn2 FROM c${c}v$T),
-             |da$c AS MATERIALIZED (
-             |  SELECT i, ${sqlTdiv("lam * v", PcaPower.DefShift.toString)} AS a FROM c${c}v$T, lm$c),
-             |df$c AS MATERIALIZED (
+             |${p}lm$c AS MATERIALIZED (
+             |  SELECT ${sqlTdiv("num_hi", s"GREATEST(den // ${PcaPower.RayShift}, 1)")} AS lam FROM ${p}ray$c),
+             |${p}dvn$c AS MATERIALIZED (
+             |  SELECT 2 * GREATEST(CAST(SUM(v * v) AS BIGINT) // ${PcaPower.DefShift}, 1) AS vn2 FROM ${p}c${c}v$T),
+             |${p}da$c AS MATERIALIZED (
+             |  SELECT i, ${sqlTdiv("lam * v", PcaPower.DefShift.toString)} AS a FROM ${p}c${c}v$T, ${p}lm$c),
+             |${p}df$c AS MATERIALIZED (
              |  SELECT g.i, g.j, g.g - ${sqlTdiv("ai.a * vj.v + aj.a * vi.v", "vn2")} AS g
-             |  FROM g$c g
-             |  JOIN da$c ai ON ai.i = g.i
-             |  JOIN da$c aj ON aj.i = g.j
-             |  JOIN c${c}v$T vi ON vi.i = g.i
-             |  JOIN c${c}v$T vj ON vj.i = g.j
-             |  CROSS JOIN dvn$c),
-             |gs${c + 1} AS MATERIALIZED (SELECT GREATEST(MAX(ABS(g)) // ${PcaPower.GCap}, 1) AS gd FROM df$c),
-             |g${c + 1} AS MATERIALIZED (SELECT i, j, ${sqlTdiv("g", "gd")} AS g FROM df$c, gs${c + 1})""".stripMargin)
+             |  FROM ${p}g$c g
+             |  JOIN ${p}da$c ai ON ai.i = g.i
+             |  JOIN ${p}da$c aj ON aj.i = g.j
+             |  JOIN ${p}c${c}v$T vi ON vi.i = g.i
+             |  JOIN ${p}c${c}v$T vj ON vj.i = g.j
+             |  CROSS JOIN ${p}dvn$c),
+             |${p}gs${c + 1} AS MATERIALIZED (SELECT GREATEST(MAX(ABS(g)) // ${PcaPower.GCap}, 1) AS gd FROM ${p}df$c),
+             |${p}g${c + 1} AS MATERIALIZED (SELECT i, j, ${sqlTdiv("g", "gd")} AS g FROM ${p}df$c, ${p}gs${c + 1})""".stripMargin)
       }
     }
     sb.toString
@@ -1279,13 +1279,16 @@ object EmbedQueries {
       .select(col("cell"), col("a_id"), col("b_id"), col("cos"))
   }
 
-  private def abttPairsSql = {
+  /** Unrolled per-vector k-component residual chain over the exploded
+    * components (`ar0` = comp → `ar$k` = final residual rows), in
+    * lockstep with [[graft.functions.AbttResidual.residual]] — shared
+    * by the abtt_pairs oracle and the whiten_check residual Gram. */
+  private def abttResidualCtes(k: Int): String = {
     val T = PcaPower.Iters
-    val K = PcaPower.NumComponents
     val resCtes = new StringBuilder
     resCtes.append(
       "ar0 AS MATERIALIZED (SELECT vec_id, i, qi AS r FROM comp)")
-    for (c <- 0 until K) {
+    for (c <- 0 until k) {
       resCtes.append(
         s""",
            |apn$c AS MATERIALIZED (SELECT CAST(SUM(v * v) AS BIGINT) AS vn FROM c${c}v$T),
@@ -1304,6 +1307,12 @@ object EmbedQueries {
            |  SELECT t.vec_id, t.i, ${sqlTdiv("t.t", "s.sh")} AS r
            |  FROM at$c t JOIN ash$c s ON s.vec_id = t.vec_id)""".stripMargin)
     }
+    resCtes.toString
+  }
+
+  private def abttPairsSql = {
+    val K = PcaPower.NumComponents
+    val resCtes = abttResidualCtes(K)
     val dot = Similarity.duckdbDot("a.r", "b.r")
     val cos = s"CAST($dot AS DOUBLE)" +
       " / sqrt(CAST(a.nr AS DOUBLE) * CAST(b.nr AS DOUBLE))"
@@ -1323,6 +1332,75 @@ object EmbedQueries {
        |FROM rv a JOIN rv b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE a.nr > 0 AND b.nr > 0
        |  AND $cos >= CAST($AbttTau AS DOUBLE)""".stripMargin
+  }
+
+  // --------------------------------------------------------- whiten_check
+  // The closed-loop check that the pca_topk deflation actually removed
+  // the dominant directions: run the SAME power iteration on the Gram
+  // of the k-component ABTT residuals and report the top eigen-share
+  // before (component 0 of the original Gram) vs after (dominant
+  // eigenpair of the residual Gram). On an anisotropic corpus the
+  // after-share collapses toward the flat-spectrum floor — the
+  // quantitative justification for running the whitening path at all;
+  // before ≈ after ≈ 1/d says the corpus is already isotropic and the
+  // path can be skipped (the synthetic test embeddings read ~0.027 vs
+  // the 1/64 = 0.016 floor — near-isotropic, as expected of random
+  // fixtures). Note the residuals are per-vector renormalized
+  // (abtt_residual's scale-invariant contract), so the after-Gram
+  // measures concentration of residual DIRECTIONS (correlation-style),
+  // not residual energy — the right notion for deciding whether MORE
+  // components need removal.
+  // Scale shape: the residual pass is the same map-only abtt_residual
+  // scan; the residual Gram is the same bounded d(d+1)/2-cell
+  // aggregation as gram_matrix (residual components ≤ 2^21, so a cell
+  // overflows only past ~2^21 vectors — same documented headroom
+  // class); the driver work is one more O(d²·Iters) integer iteration.
+  // Output: 2 rows at any corpus size.
+  private def whitenCheck(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val comps = graft.SharedStages.pcaTopK(s, d)
+    val before = comps.head
+    val res = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .withColumn("pcs", typedLit(comps.map(_.v.toSeq)))
+      .withColumn("r", expr(s"abtt_residual(q, pcs, CAST($ResCap AS BIGINT))"))
+      .select(col("vec_id"), posexplode(col("r")).as(Seq("i", "qi")))
+    val b = res.select(col("vec_id"), col("i").as("j"), col("qi").as("qj"))
+    val rg = res.join(b, "vec_id")
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j")).agg(sum(col("qi") * col("qj")).as("g"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val after = graft.embed.PcaPower.power(rg)
+    Seq(
+      ("before", before.lambdaEst * before.gdiv.toDouble, before.evRatio),
+      ("after", after.lambdaEst * after.gdiv.toDouble, after.evRatio))
+      .toDF("stage", "lambda_scaled", "ev_ratio")
+  }
+
+  private def whitenCheckSql = {
+    val T = PcaPower.Iters
+    val K = PcaPower.NumComponents
+    val sh = PcaPower.RayShift
+    val lam =
+      s"(CAST(num_hi AS DOUBLE) * CAST($sh AS DOUBLE) + CAST(num_lo AS DOUBLE)) / CAST(den AS DOUBLE)"
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |$gramCompCte,
+       |$gramUpperCte,
+       |${pcaTopkCtes(K)},
+       |${abttResidualCtes(K)},
+       |wgu AS MATERIALIZED (
+       |  SELECT a.i, b.i AS j, CAST(SUM(a.r * b.r) AS BIGINT) AS g
+       |  FROM ar$K a JOIN ar$K b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2),
+       |${pcaTopkCtes(1, "w", "wgu")}
+       |SELECT 'before' AS stage,
+       |  ($lam) * CAST(gs0.gd AS DOUBLE) AS lambda_scaled,
+       |  (($lam) * CAST(gs0.gd AS DOUBLE)) / CAST(trace AS DOUBLE) AS ev_ratio
+       |FROM ray0 CROSS JOIN gs0 CROSS JOIN trc
+       |UNION ALL
+       |SELECT 'after' AS stage,
+       |  ($lam) * CAST(wgs0.gd AS DOUBLE) AS lambda_scaled,
+       |  (($lam) * CAST(wgs0.gd AS DOUBLE)) / CAST(wtrc.trace AS DOUBLE) AS ev_ratio
+       |FROM wray0 CROSS JOIN wgs0 CROSS JOIN wtrc""".stripMargin
   }
 
   // ------------------------------------- linear_probe, probe_eval
@@ -1940,6 +2018,7 @@ object EmbedQueries {
     QueryDef("gram_matrix", gramMatrix, Some(gramMatrixSql)),
     QueryDef("pca_power", pcaPower, Some(pcaPowerSql)),
     QueryDef("pca_topk", pcaTopk, Some(pcaTopkSql)),
+    QueryDef("whiten_check", whitenCheck, Some(whitenCheckSql)),
     QueryDef("pca_project", pcaProject, Some(pcaProjectSql)),
     QueryDef("abtt_pairs", abttPairs, Some(abttPairsSql)),
     QueryDef("semdedup_prune", semdedupPrune, Some(semdedupPruneSql)),
