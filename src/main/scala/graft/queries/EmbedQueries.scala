@@ -30,6 +30,35 @@ object EmbedQueries {
        |  FROM pairs)
        |SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5""".stripMargin
 
+  // ----------------------------------------------------------- lsh_density
+  // RP-LSH bucket-occupancy report, per hash table: used buckets, max
+  // occupancy, and the CANDIDATE-PAIR MASS Σ c·(c−1)/2 — the actual
+  // cost driver of every rp_cand consumer. This is the capacity gauge
+  // behind the measured 10× behavior (BENCH_NOTES: fixed 8-bit tables
+  // → 10× vectors ≈ 10× occupancy ≈ up-to-100× pair mass on the
+  // knn_classify/ann_rp_lsh cluster): when cand_pairs/n_vecs crosses
+  // the per-probe budget, BitsPerTable must grow with log(n) — this
+  // report says WHEN. Map-only bucketing + two keyed aggregations;
+  // output ≤ NumTables rows at any corpus size.
+  private def lshDensity(s: SparkSession, d: String): DataFrame =
+    RpLsh.buckets(Tables.embeddings(s, d), "vec_id", "embedding")
+      .groupBy(col("t"), col("bucket")).agg(count(lit(1)).as("c"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("c")).as("n_vecs"),
+        max(col("c")).as("max_occ"),
+        sum(expr("c * (c - 1) DIV 2")).as("cand_pairs"))
+
+  private val lshDensitySql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |${RpLsh.duckdbCandidateCte},
+       |occ AS (SELECT t, bucket, COUNT(*) AS c FROM rp_bk GROUP BY 1, 2)
+       |SELECT t, COUNT(*) AS n_buckets,
+       |  CAST(SUM(c) AS BIGINT) AS n_vecs,
+       |  CAST(MAX(c) AS BIGINT) AS max_occ,
+       |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs
+       |FROM occ GROUP BY t""".stripMargin
+
   // -------------------------------------------------- embed_cosine_pairs
   // IVF-style blocked near-dup: pairs within the same coarse cell
   // (label) with cosine >= 0.35 (the corpus has no engineered near-dups;
@@ -2025,6 +2054,7 @@ object EmbedQueries {
     QueryDef("hard_negatives", hardNegatives, Some(hardNegativesSql)),
     QueryDef("embed_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
     QueryDef("ann_rp_lsh", annRpLsh, Some(annRpLshSql)),
+    QueryDef("lsh_density", lshDensity, Some(lshDensitySql)),
     QueryDef("ivf_assign", ivfAssign, Some(ivfAssignSql)),
     QueryDef("ann_cell_balance", annCellBalance, Some(annCellBalanceSql)),
     QueryDef("ivf_search", ivfSearch, Some(ivfSearchSql)),

@@ -449,6 +449,62 @@ object TextQueries {
        |  CAST(SUM(freq * np) AS DOUBLE) / CAST(SUM(freq) AS DOUBLE) AS fertility
        |FROM ugnp1 GROUP BY 1""".stripMargin
 
+  // ----------------------------------------------------------- tok_compare
+  // BPE vs unigram-LM head-to-head: corpus fertility by word length
+  // under BOTH learned tokenizers on the COMMON gated word multiset
+  // (alphabet + length ≤ MaxWordLen) — the report that decides which
+  // trainer ships. Both sides come from the session-shared trained
+  // states; the per-wlen freq columns double as a cross-check (the two
+  // training pipelines count the same words independently, so
+  // bpe_freq = uni_freq per row). ≤ MaxWordLen output rows.
+  private def tokCompare(s: SparkSession, d: String): DataFrame = {
+    val S = graft.text.BpeTrain.Sep
+    val bpe = graft.SharedStages.bpeTrained(s, d).finalWords
+      .withColumn("word", translate(col("sym"), S, ""))
+      .filter(length(col("word")) <= graft.text.UnigramTrain.MaxWordLen)
+      .withColumn("np",
+        size(expr(s"filter(split(sym, '$S'), x -> x <> '')")).cast("long"))
+      .groupBy(length(col("word")).cast("long").as("wlen"))
+      .agg(sum(col("freq") * col("np")).as("bpe_pieces"),
+        sum(col("freq")).as("bpe_freq"))
+    val uni = graft.SharedStages.unigramTrained(s, d).segmented
+      .withColumn("np", size(col("pieces")).cast("long"))
+      .groupBy(length(col("word")).cast("long").as("wlen"))
+      .agg(sum(col("freq") * col("np")).as("uni_pieces"),
+        sum(col("freq")).as("uni_freq"))
+    bpe.join(uni, "wlen")
+      .withColumn("bpe_fertility",
+        col("bpe_pieces").cast("double") / col("bpe_freq").cast("double"))
+      .withColumn("uni_fertility",
+        col("uni_pieces").cast("double") / col("uni_freq").cast("double"))
+  }
+
+  private def tokCompareSql = {
+    val bt = graft.text.BpeTrain
+    s"""WITH ${bt.duckdbTrainCtes(tokensSql("text"))},
+       |${graft.text.UnigramTrain.duckdbTrainCtes(tokensSql("text"))},
+       |bps AS (
+       |  SELECT replace(sym, chr(31), '') AS word,
+       |    len(list_filter(string_split(sym, chr(31)), x -> x <> '')) AS np,
+       |    freq
+       |  FROM wf${bt.NMerges}),
+       |bpe AS (
+       |  SELECT CAST(length(word) AS BIGINT) AS wlen,
+       |    CAST(SUM(freq * np) AS BIGINT) AS bpe_pieces,
+       |    CAST(SUM(freq) AS BIGINT) AS bpe_freq
+       |  FROM bps WHERE length(word) <= ${graft.text.UnigramTrain.MaxWordLen}
+       |  GROUP BY 1),
+       |uni AS (
+       |  SELECT CAST(length(word) AS BIGINT) AS wlen,
+       |    CAST(SUM(freq * np) AS BIGINT) AS uni_pieces,
+       |    CAST(SUM(freq) AS BIGINT) AS uni_freq
+       |  FROM ugnp1 GROUP BY 1)
+       |SELECT b.wlen, bpe_pieces, bpe_freq, uni_pieces, uni_freq,
+       |  CAST(bpe_pieces AS DOUBLE) / CAST(bpe_freq AS DOUBLE) AS bpe_fertility,
+       |  CAST(uni_pieces AS DOUBLE) / CAST(uni_freq AS DOUBLE) AS uni_fertility
+       |FROM bpe b JOIN uni u ON u.wlen = b.wlen""".stripMargin
+  }
+
   // -------------------------------------------------------- topic_assign
   // Weak topic labeling by seed-keyword voting — the cheap corpus
   // bucketing step a mixture pipeline runs before anything learned:
@@ -680,6 +736,7 @@ object TextQueries {
     QueryDef("bpe_tokenize", bpeTokenize, Some(bpeTokenizeSql)),
     QueryDef("unigram_train", unigramTrain, Some(unigramTrainSql)),
     QueryDef("unigram_tokenize", unigramTokenize, Some(unigramTokenizeSql)),
+    QueryDef("tok_compare", tokCompare, Some(tokCompareSql)),
     QueryDef("lang_id", langId, Some(langIdSql)),
     QueryDef("lang_confusion", langConfusion, Some(langConfusionSql)),
     QueryDef("text_lang_agg", langAgg, Some(langAggSql)),
