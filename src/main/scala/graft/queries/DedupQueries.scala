@@ -705,13 +705,13 @@ object DedupQueries {
           col("rm_simhash") === 0, 1L).otherwise(0L)).as("survivors"))
   }
 
-  private def dedupFunnelSql =
-    s"""WITH ${MinHashLSH.duckdbSignatureCte},
-       |${MinHashLSH.duckdbCandidateCte},
-       |${SimHash.duckdbCte},
-       |fps AS (
-       |  SELECT doc_id, source, md5(lower(trim(text))) AS fp FROM documents),
-       |ex AS (
+  /** The funnel stage chain ex -> rm3 over a caller-provided `fps`
+    * CTE (the signature/candidate/simhash CTEs cover ALL docs, but
+    * every pair stage joins s1/s2 on both ends, so extra signatures of
+    * docs the fps gate excluded can never affect the result) — shared
+    * by dedup_funnel and funnel_quality. */
+  private def funnelStageCtes: String =
+    s"""ex AS (
        |  SELECT doc_id, source,
        |    CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY fp)
        |    THEN 1 ELSE 0 END AS rm_exact
@@ -746,7 +746,15 @@ object DedupQueries {
        |  SELECT DISTINCT p.b_id AS doc_id
        |  FROM spairs p
        |  JOIN s2 a ON a.doc_id = p.a_id
-       |  JOIN s2 b ON b.doc_id = p.b_id)
+       |  JOIN s2 b ON b.doc_id = p.b_id)""".stripMargin
+
+  private def dedupFunnelSql =
+    s"""WITH ${MinHashLSH.duckdbSignatureCte},
+       |${MinHashLSH.duckdbCandidateCte},
+       |${SimHash.duckdbCte},
+       |fps AS (
+       |  SELECT doc_id, source, md5(lower(trim(text))) AS fp FROM documents),
+       |$funnelStageCtes
        |SELECT e.source, COUNT(*) AS n_docs,
        |  CAST(SUM(e.rm_exact) AS BIGINT) AS rm_exact,
        |  CAST(SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -759,6 +767,64 @@ object DedupQueries {
        |LEFT JOIN rm2 m ON m.doc_id = e.doc_id
        |LEFT JOIN rm3 h ON h.doc_id = e.doc_id
        |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------- funnel_quality
+  // The FULL curation cascade with the stage-0 quality gate in front
+  // (quality → exact → MinHash-verified → SimHash, cheapest-first) —
+  // the batch twin of the composed streaming ingest funnel
+  // ([[graft.streaming.StreamingCuration]]; its spec already pins
+  // streaming ≡ this computation), now oracle-gated as a registered
+  // report. The Spark side IS flagBatch against fresh stores (one
+  // batch = the whole corpus = the pure batch funnel), so the oracle
+  // gate certifies the exact code path the streaming deployment runs.
+  // Quality-failed docs never enter the dedup stages (their duplicates
+  // survive on their behalf — the cheapest-first contract).
+  private val FunnelMinTokens = 8
+
+  private def funnelQuality(s: SparkSession, d: String): DataFrame = {
+    val root = graft.SharedStages.newScratchDir("funnelq")
+    try {
+      val flags = graft.streaming.StreamingCuration.flagBatch(
+        Tables.parallelize(Tables.documents(s, d))
+          .select(col("doc_id"), col("source"), col("text")),
+        root, minTokens = FunnelMinTokens)
+      // flags are localCheckpointed inside flagBatch, so the scratch
+      // stores can be dropped as soon as it returns
+      graft.streaming.StreamingCuration.funnelCounts(flags)
+    } finally graft.SharedStages.discardScratch(root)
+  }
+
+  private def funnelQualitySql = {
+    val toks = graft.text.TextFunctions.tokensSql("text")
+    s"""WITH ${MinHashLSH.duckdbSignatureCte},
+       |${MinHashLSH.duckdbCandidateCte},
+       |${SimHash.duckdbCte},
+       |qual AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN len($toks) < $FunnelMinTokens THEN 1 ELSE 0 END
+       |      AS rm_quality
+       |  FROM documents),
+       |fps AS (
+       |  SELECT d.doc_id, d.source, md5(lower(trim(d.text))) AS fp
+       |  FROM documents d
+       |  JOIN qual q ON q.doc_id = d.doc_id AND q.rm_quality = 0),
+       |$funnelStageCtes
+       |SELECT q.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(q.rm_quality) AS BIGINT) AS rm_quality,
+       |  CAST(SUM(COALESCE(e.rm_exact, 0)) AS BIGINT) AS rm_exact,
+       |  CAST(SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS rm_minhash,
+       |  CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS rm_simhash,
+       |  CAST(SUM(CASE WHEN q.rm_quality = 0 AND e.rm_exact = 0
+       |    AND m.doc_id IS NULL AND h.doc_id IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS survivors
+       |FROM qual q
+       |LEFT JOIN ex e ON e.doc_id = q.doc_id
+       |LEFT JOIN rm2 m ON m.doc_id = q.doc_id
+       |LEFT JOIN rm3 h ON h.doc_id = q.doc_id
+       |GROUP BY 1""".stripMargin
+  }
 
   // ------------------------------------------------- dup_quality_matrix
   // Quality-quartile × duplication-status counts — the "are duplicates
@@ -817,6 +883,7 @@ object DedupQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("dedup_funnel", dedupFunnel, Some(dedupFunnelSql)),
+    QueryDef("funnel_quality", funnelQuality, Some(funnelQualitySql)),
     QueryDef("dup_quality_matrix", dupQualityMatrix, Some(dupQualityMatrixSql)),
     QueryDef("dedup_prefix", dedupPrefix, Some(dedupPrefixSql)),
     QueryDef("dedup_minhash_lsh", minhashCands, Some(minhashCandsSql)),
