@@ -135,6 +135,16 @@ object SharedStages {
         .localCheckpoint()
     }
 
+  /** Lloyd-TRAINED per-subspace PQ codebook (j, cid, csub) —
+    * [[graft.embed.PqTrain.trainedCodebooks]], trained once per
+    * (session, dir) and shared by every PQ consumer (pq_train,
+    * pq_assign, pq_search, pq_refine, ivf_pq_search). M·K driver-local
+    * rows. */
+  def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "pqCodebook") {
+      graft.queries.EmbedQueries.buildPqCodebook(s, dir).localCheckpoint()
+    }
+
   /** Banded SimHash Hamming≤3 near-dup pairs (a_id, b_id, hamming) —
     * consumed by the simhash_pairs report AND the cascade funnel's
     * third stage (dedup_funnel). The signature + band join is the

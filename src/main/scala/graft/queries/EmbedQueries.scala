@@ -470,8 +470,9 @@ object EmbedQueries {
   // Product quantization — the MEMORY scale path for similarity search
   // (IVF bounds compute; PQ bounds bytes): the 64-dim vector splits
   // into M=8 subspaces of 8 dims, each sub-vector snaps to its nearest
-  // of K=16 per-subspace centroids (data-derived: the sub-vectors of
-  // seed ids < 16, like ivf_assign's seeds) — the vector becomes 8
+  // of K=16 per-subspace centroids (Lloyd-TRAINED per subspace from
+  // the 16 lowest-id seeds — [[graft.embed.PqTrain]], the IvfTrain
+  // twin; rounds ≤ 11 used the raw seed sub-vectors) — the vector becomes 8
   // codes (~8 bytes vs 256), and search runs Asymmetric Distance
   // Computation: per query precompute the 8×16 table of
   // query-sub-to-centroid distances, then a vector's approximate
@@ -485,12 +486,16 @@ object EmbedQueries {
   private val PqSub = 8  // dims per subspace
   private val PqK = 16   // centroids per subspace (the 16 lowest vec_ids)
 
-  /** The PqK lowest vec_ids — true ORDER BY/LIMIT seed selection (the
-    * kmeans_step discipline: robust to sparse/offset id spaces, where a
-    * `vec_id < k` literal would silently yield an empty codebook). */
-  private def pqSeedIds(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(col("vec_id"))
-      .orderBy(col("vec_id")).limit(PqK)
+  /** The Lloyd-TRAINED per-subspace codebook (j, seed_id, csub) —
+    * [[graft.embed.PqTrain]] from the PqK lowest-id vectors' sub-
+    * vectors (true ORDER BY/LIMIT seed selection — the kmeans_step
+    * discipline), memoized per (session, dir) in SharedStages. */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+    graft.SharedStages.pqCodebook(s, d)
+      .select(col("j"), col("cid").as("seed_id"), col("csub"))
+
+  private[graft] def buildPqCodebook(s: SparkSession, d: String): DataFrame =
+    graft.embed.PqTrain.trainedCodebooks(pqSubs(s, d), PqK)
 
   /** (vec_id, j, sub): the j-th quantized sub-vector of every vector. */
   private def pqSubs(s: SparkSession, d: String): DataFrame =
@@ -508,8 +513,7 @@ object EmbedQueries {
   private def pqAssignDf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val subs = pqSubs(s, d)
-    val cb = subs.join(broadcast(pqSeedIds(s, d)), "vec_id")
-      .select(col("j"), col("vec_id").as("seed_id"), col("sub").as("csub"))
+    val cb = pqCodebook(s, d)
     val w = Window.partitionBy(col("vec_id"), col("j"))
       .orderBy(col("dd"), col("seed_id"))
     subs.join(broadcast(cb), "j") // bounded: M*K = 128 broadcast rows
@@ -528,9 +532,9 @@ object EmbedQueries {
        |  SELECT vec_id, CAST(j AS INT) AS j,
        |    q[CAST(j * $PqSub + 1 AS INT):CAST(j * $PqSub + $PqSub AS INT)] AS sub
        |  FROM qv, range(0, $PqM) t(j)),
+       |${graft.embed.PqTrain.duckdbCodebookCtes(PqK, PqSub)},
        |cb AS (
-       |  SELECT j, vec_id AS seed_id, sub AS csub FROM subs
-       |  WHERE vec_id IN (SELECT vec_id FROM qv ORDER BY vec_id LIMIT $PqK)),
+       |  SELECT j, cid AS seed_id, csub FROM pt${graft.embed.PqTrain.Iters}),
        |pq_scored AS (
        |  SELECT s.vec_id, s.j, c.seed_id,
        |    ${dist("s.sub", "c.csub")} AS dd
@@ -548,13 +552,23 @@ object EmbedQueries {
        |SELECT vec_id, j, code, recon_d2
        |FROM pq_assigned WHERE rn = 1""".stripMargin
 
+  // the trained codebook itself as a report: M·K rows (minus dropped
+  // empty cells) of (subspace, centroid id, centroid sub-vector) —
+  // the published table a 100 TB deployment ships to its searchers
+  private def pqTrainDf(s: SparkSession, d: String): DataFrame =
+    pqCodebook(s, d)
+
+  private val pqTrainSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |$duckdbPqCtes
+       |SELECT j, seed_id, csub FROM cb""".stripMargin
+
   /** ADC approximate distances for every (query, vector) pair — the
     * shared stage 1 of pq_search (rank on adist directly) and
     * pq_refine (shortlist → exact re-rank). */
   private def pqDists(s: SparkSession, d: String): DataFrame = {
     val subs = pqSubs(s, d)
-    val cb = subs.join(broadcast(pqSeedIds(s, d)), "vec_id")
-      .select(col("j"), col("vec_id").as("seed_id"), col("sub").as("csub"))
+    val cb = pqCodebook(s, d)
     val codes = pqAssignDf(s, d).select(col("vec_id"), col("j"), col("code"))
     // ADC table: queries' sub-to-centroid distances (10 × 8 × 16 rows)
     val adc = subs.filter(col("vec_id") < 10)
@@ -704,8 +718,7 @@ object EmbedQueries {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct() // a neighbor can sit in both probed cells
     val subs = pqSubs(s, d)
-    val cb = subs.join(broadcast(pqSeedIds(s, d)), "vec_id")
-      .select(col("j"), col("vec_id").as("seed_id"), col("sub").as("csub"))
+    val cb = pqCodebook(s, d)
     val codes = pqAssignDf(s, d).select(col("vec_id"), col("j"), col("code"))
     val adc = subs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("j"), col("sub").as("qsub"))
@@ -2061,6 +2074,7 @@ object EmbedQueries {
     QueryDef("ann_recall", annRecall, Some(annRecallSql)),
     QueryDef("ann_frontier", annFrontier, Some(annFrontierSql)),
     QueryDef("dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
+    QueryDef("pq_train", pqTrainDf, Some(pqTrainSql)),
     QueryDef("pq_assign", pqAssignDf, Some(pqAssignSql)),
     QueryDef("pq_search", pqSearchDf, Some(pqSearchSql)),
     QueryDef("pq_refine", pqRefine, Some(pqRefineSql)),
