@@ -621,6 +621,54 @@ object EmbedQueries {
        |SELECT query_id, vec_id AS neighbor_id, adist
        |FROM ranked WHERE rk <= $IvfK""".stripMargin
 
+  // ------------------------------------------------------------- pq_recall
+  // Recall@k of PQ/ADC search against exact brute-force — the
+  // ann_recall twin for the MEMORY-side approximation: IVF's recall
+  // prices cell pruning, THIS prices code quantization (and now
+  // directly measures what [[graft.embed.PqTrain]] training buys at
+  // search time). Same composition shape as ann_recall: both sides
+  // deterministic top-k, |Q|·k-row join + rollup.
+  private def pqRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = knnTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = pqSearchDf(s, d)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+  }
+
+  private val pqRecallSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |ex_pairs AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(${Similarity.duckdbDot("a.q", "b.q")} AS DOUBLE)
+       |      / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
+       |  FROM qv a JOIN qv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY cos DESC, neighbor_id) AS rk
+       |    FROM ex_pairs) WHERE rk <= $IvfK),
+       |$duckdbPqCtes,
+       |$duckdbPqDistCtes,
+       |pq AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY adist, vec_id) AS rk
+       |    FROM dists) WHERE rk <= $IvfK)
+       |SELECT e.query_id, COUNT(*) AS n_exact,
+       |  CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*) AS recall
+       |FROM ex e LEFT JOIN pq p
+       |  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ pq_refine
   // Two-stage retrieval — the deployment shape of PQ search: stage 1
   // shortlists the top-$PqShort candidates per query by ADC distance
@@ -2077,6 +2125,7 @@ object EmbedQueries {
     QueryDef("pq_train", pqTrainDf, Some(pqTrainSql)),
     QueryDef("pq_assign", pqAssignDf, Some(pqAssignSql)),
     QueryDef("pq_search", pqSearchDf, Some(pqSearchSql)),
+    QueryDef("pq_recall", pqRecall, Some(pqRecallSql)),
     QueryDef("pq_refine", pqRefine, Some(pqRefineSql)),
     QueryDef("ivf_pq_search", ivfPqSearch, Some(ivfPqSearchSql)),
     QueryDef("cluster_purity", clusterPurity, Some(clusterPuritySql)))
