@@ -552,16 +552,23 @@ object EmbedQueries {
        |SELECT vec_id, j, code, recon_d2
        |FROM pq_assigned WHERE rn = 1""".stripMargin
 
-  // the trained codebook itself as a report: M·K rows (minus dropped
-  // empty cells) of (subspace, centroid id, centroid sub-vector) —
-  // the published table a 100 TB deployment ships to its searchers
+  // the trained codebook itself as a report: M·K·subDim rows (minus
+  // dropped empty cells) of (subspace, centroid id, dimension,
+  // component) — the published table a 100 TB deployment ships to its
+  // searchers. LONG format (scalar rows, no array column) like
+  // pca_topk / unigram_train, so the hash comparator can sort it.
   private def pqTrainDf(s: SparkSession, d: String): DataFrame =
     pqCodebook(s, d)
+      .select(col("j"), col("seed_id"),
+        posexplode(col("csub")).as(Seq("dim", "c")))
+      .withColumn("dim", col("dim").cast("long"))
 
   private val pqTrainSql =
     s"""WITH ${Similarity.duckdbQuantizedCte},
        |$duckdbPqCtes
-       |SELECT j, seed_id, csub FROM cb""".stripMargin
+       |SELECT j, seed_id, CAST(t.i - 1 AS BIGINT) AS dim,
+       |  csub[CAST(t.i AS INT)] AS c
+       |FROM cb, range(1, ${PqSub + 1}) t(i)""".stripMargin
 
   /** ADC approximate distances for every (query, vector) pair — the
     * shared stage 1 of pq_search (rank on adist directly) and

@@ -117,8 +117,13 @@ object StreamingCuration {
 
     // ---- stage 0: stateless quality gate (cheapest first)
     val q = batch.select(col("doc_id"), col("source"), col("text"))
+      // coalesce: a null text yields a null gate under ANSI semantics,
+      // which would drop the doc from every stage yet count it in
+      // n_docs — remove it at the quality gate instead so funnelCounts
+      // columns always sum to n_docs
       .withColumn("rm_quality",
-        (size(tokens(col("text"))) < minTokens).cast("long"))
+        coalesce(size(tokens(col("text"))) < minTokens, lit(true))
+          .cast("long"))
     val q1 = q.filter(col("rm_quality") === 0)
 
     // ---- stage 1: exact fingerprint, keep-first by id
