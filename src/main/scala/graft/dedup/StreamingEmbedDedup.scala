@@ -27,7 +27,7 @@ import graft.embed.{RpLsh, Similarity}
   * like every stateful operator here.
   */
 object StreamingEmbedDedup {
-  import RpLsh.{BitsPerTable, NumTables, planes}
+  import RpLsh.{BitsPerTable, NumTables}
 
   case class VecEvent(vec_id: Long, embedding: Seq[Float], ts: Timestamp)
   case class BucketedVec(bk: String, vec_id: Long, q: Seq[Long], nq: Long,
@@ -56,7 +56,7 @@ object StreamingEmbedDedup {
       var bucket = 0L
       var b = 0
       while (b < BitsPerTable) {
-        val plane = planes(t * BitsPerTable + b)
+        val plane = RpLsh.plane(t, b)
         var dot = 0L
         var i = 0
         while (i < plane.length && i < q.length) {

@@ -33,13 +33,13 @@ object EmbedQueries {
   // ----------------------------------------------------------- lsh_density
   // RP-LSH bucket-occupancy report, per hash table: used buckets, max
   // occupancy, and the CANDIDATE-PAIR MASS Σ c·(c−1)/2 — the actual
-  // cost driver of every rp_cand consumer. This is the capacity gauge
-  // behind the measured 10× behavior (BENCH_NOTES: fixed 8-bit tables
-  // → 10× vectors ≈ 10× occupancy ≈ up-to-100× pair mass on the
-  // knn_classify/ann_rp_lsh cluster): when cand_pairs/n_vecs crosses
-  // the per-probe budget, BitsPerTable must grow with log(n) — this
-  // report says WHEN. Map-only bucketing + two keyed aggregations;
-  // output ≤ NumTables rows at any corpus size.
+  // cost driver of every rp_cand consumer. This gauge's verdict now
+  // ACTS: RpLsh.widthFor anchors bits to ceil(log2 n) − 2 (occupancy
+  // 2–4/bucket at any n, candidate mass LINEAR in n) and widens the
+  // table count alongside to hold recall — the measure→act loop that
+  // closed the fixed-8-bit super-occupancy cluster BENCH_NOTES used to
+  // flag (knn_classify 8.7× at 10×). Map-only bucketing + two keyed
+  // aggregations; output ≤ tables rows at any corpus size.
   private def lshDensity(s: SparkSession, d: String): DataFrame =
     RpLsh.buckets(Tables.embeddings(s, d), "vec_id", "embedding")
       .groupBy(col("t"), col("bucket")).agg(count(lit(1)).as("c"))
