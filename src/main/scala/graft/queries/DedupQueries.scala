@@ -784,10 +784,15 @@ object DedupQueries {
   private def funnelQuality(s: SparkSession, d: String): DataFrame = {
     val root = graft.SharedStages.newScratchDir("funnelq")
     try {
+      // advance = false: the one-shot batch funnel discards the scratch
+      // stores, so the flags (checkpointed before any store write) are
+      // computed without paying four store builds; the store-advance
+      // path itself is pinned by StreamingCurationSpec's multi-batch
+      // streaming ≡ batch equivalence
       val flags = graft.streaming.StreamingCuration.flagBatch(
         Tables.parallelize(Tables.documents(s, d))
           .select(col("doc_id"), col("source"), col("text")),
-        root, minTokens = FunnelMinTokens)
+        root, minTokens = FunnelMinTokens, advance = false)
       // flags are localCheckpointed inside flagBatch, so the scratch
       // stores can be dropped as soon as it returns
       graft.streaming.StreamingCuration.funnelCounts(flags)

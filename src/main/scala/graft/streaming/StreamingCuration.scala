@@ -111,8 +111,14 @@ object StreamingCuration {
     * (doc_id, source, rm_quality, rm_exact, rm_minhash, rm_simhash).
     * With fresh stores and the whole corpus as one batch this IS the
     * batch funnel — the equivalence the spec pins. `minTokens` = 0
-    * disables the stage-0 quality gate (pure dedup_funnel shape). */
-  def flagBatch(batch: DataFrame, root: String, minTokens: Int = 0): DataFrame = {
+    * disables the stage-0 quality gate (pure dedup_funnel shape).
+    * `advance` = false computes the flags WITHOUT writing the store
+    * upserts — the flags are checkpointed before the stores move, so
+    * the output is identical either way; batch one-shot callers
+    * (funnel_quality) that discard the scratch stores skip the write
+    * cost, while the streaming deployment keeps the default. */
+  def flagBatch(batch: DataFrame, root: String, minTokens: Int = 0,
+                advance: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
 
     // ---- stage 0: stateless quality gate (cheapest first)
@@ -199,22 +205,24 @@ object StreamingCuration {
 
     // ---- advance the stores (idempotent replace-on-key; a replayed
     // batch rewrites identical rows)
-    val newFps = ex.filter(col("rm_exact") === 0)
-      .select(col("fp"), col("doc_id"))
-    if (!newFps.isEmpty)
-      BucketStore.upsert(spark, newFps, fpPath(root), Seq("fp"), NumBuckets)
-    if (!sigs.isEmpty) {
-      // rows keyed (band, bucket, doc_id) but PROBED by (band, bucket):
-      // placement must hash the probe key (see BucketStore.upsert)
-      BucketStore.upsert(spark, bands, bandPath(root),
-        Seq("band", "bucket", "doc_id"), NumBuckets,
-        bucketCols = Seq("band", "bucket"))
-      BucketStore.upsert(spark, sigs.select(col("doc_id"), col("sh")),
-        shPath(root), Seq("doc_id"), NumBuckets)
+    if (advance) {
+      val newFps = ex.filter(col("rm_exact") === 0)
+        .select(col("fp"), col("doc_id"))
+      if (!newFps.isEmpty)
+        BucketStore.upsert(spark, newFps, fpPath(root), Seq("fp"), NumBuckets)
+      if (!sigs.isEmpty) {
+        // rows keyed (band, bucket, doc_id) but PROBED by (band, bucket):
+        // placement must hash the probe key (see BucketStore.upsert)
+        BucketStore.upsert(spark, bands, bandPath(root),
+          Seq("band", "bucket", "doc_id"), NumBuckets,
+          bucketCols = Seq("band", "bucket"))
+        BucketStore.upsert(spark, sigs.select(col("doc_id"), col("sh")),
+          shPath(root), Seq("doc_id"), NumBuckets)
+      }
+      if (!sims.isEmpty)
+        BucketStore.upsert(spark, sBands, simPath(root),
+          Seq("b", "v", "doc_id"), NumBuckets, bucketCols = Seq("b", "v"))
     }
-    if (!sims.isEmpty)
-      BucketStore.upsert(spark, sBands, simPath(root),
-        Seq("b", "v", "doc_id"), NumBuckets, bucketCols = Seq("b", "v"))
     flagged
   }
 
