@@ -1500,6 +1500,71 @@ object EmbedQueries {
        |FROM wray0 CROSS JOIN wgs0 CROSS JOIN wtrc""".stripMargin
   }
 
+  // ----------------------------------------------------------- whiten_gate
+  // The DECISION EDGE on whiten_check's verdict: near-dup pairs scored
+  // by ABTT-residual cosine when the corpus is measurably anisotropic
+  // (top eigen-share ≥ 2× the isotropic floor 1/d), by raw quantized
+  // cosine otherwise — whitening a near-isotropic corpus buys nothing
+  // and pays the residual pass, so the pipeline should SWITCH, not
+  // always-whiten. The branch condition is the exact double both
+  // engines already derive identically for pca_topk/whiten_check
+  // (component-0 ev_ratio), so the gate is mirrored bit-for-bit: the
+  // oracle unions the two branches, each filtered by the same share
+  // comparison (only one side survives). Each branch runs its metric's
+  // own calibrated threshold (raw 0.35 / residual 0.2 — removing
+  // common directions deflates every cosine). This closes the
+  // measure→act loop the way lsh_density→RpLsh.widthFor does for LSH
+  // capacity. Scale shape: the chosen branch is the existing
+  // cell-blocked pair join (∝ Σ cell², never n²); the share is
+  // driver-side O(d²) arithmetic already memoized in SharedStages.
+  private val WhitenGateThr = "0.03125" // 2/d, d = 64 — exact in binary
+
+  private def whitenGate(s: SparkSession, d: String): DataFrame = {
+    val share = graft.SharedStages.pcaTopK(s, d).head.evRatio
+    val abtt = share >= WhitenGateThr.toDouble
+    val pairs = if (abtt) abttPairs(s, d)
+                else graft.SharedStages.embedPairs(s, d)
+    pairs.withColumn("mode", lit(if (abtt) "abtt" else "raw"))
+      .select(col("mode"), col("cell"), col("a_id"), col("b_id"), col("cos"))
+  }
+
+  private def whitenGateSql = {
+    val K = PcaPower.NumComponents
+    val sh = PcaPower.RayShift
+    val lam =
+      s"(CAST(num_hi AS DOUBLE) * CAST($sh AS DOUBLE) + CAST(num_lo AS DOUBLE)) / CAST(den AS DOUBLE)"
+    val rawCos = s"CAST(${Similarity.duckdbDot("a.q", "b.q")} AS DOUBLE)" +
+      " / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE))"
+    val resCos = s"CAST(${Similarity.duckdbDot("a.r", "b.r")} AS DOUBLE)" +
+      " / sqrt(CAST(a.nr AS DOUBLE) * CAST(b.nr AS DOUBLE))"
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |$gramCompCte,
+       |$gramUpperCte,
+       |${pcaTopkCtes(K)},
+       |${abttResidualCtes(K)},
+       |shr AS MATERIALIZED (
+       |  SELECT (($lam) * CAST(gs0.gd AS DOUBLE)) / CAST(trace AS DOUBLE) AS share
+       |  FROM ray0 CROSS JOIN gs0 CROSS JOIN trc),
+       |rv AS MATERIALIZED (
+       |  SELECT r0.vec_id, q.label,
+       |    list(r0.r ORDER BY r0.i) AS r,
+       |    CAST(SUM(r0.r * r0.r) AS BIGINT) AS nr
+       |  FROM ar$K r0 JOIN qv q ON q.vec_id = r0.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT 'raw' AS mode, a.label AS cell,
+       |  a.vec_id AS a_id, b.vec_id AS b_id, $rawCos AS cos
+       |FROM qv a JOIN qv b ON a.label = b.label AND a.vec_id < b.vec_id, shr
+       |WHERE shr.share < CAST($WhitenGateThr AS DOUBLE)
+       |  AND $rawCos >= CAST(0.35 AS DOUBLE)
+       |UNION ALL
+       |SELECT 'abtt' AS mode, a.label AS cell,
+       |  a.vec_id AS a_id, b.vec_id AS b_id, $resCos AS cos
+       |FROM rv a JOIN rv b ON a.label = b.label AND a.vec_id < b.vec_id, shr
+       |WHERE shr.share >= CAST($WhitenGateThr AS DOUBLE)
+       |  AND a.nr > 0 AND b.nr > 0
+       |  AND $resCos >= CAST($AbttTau AS DOUBLE)""".stripMargin
+  }
+
   // ------------------------------------- linear_probe, probe_eval
   // Ridge-regularized linear probe trained on the NORMAL EQUATIONS —
   // the linear-probe consumer promised by the gram_matrix scaffold
@@ -2116,6 +2181,7 @@ object EmbedQueries {
     QueryDef("pca_power", pcaPower, Some(pcaPowerSql)),
     QueryDef("pca_topk", pcaTopk, Some(pcaTopkSql)),
     QueryDef("whiten_check", whitenCheck, Some(whitenCheckSql)),
+    QueryDef("whiten_gate", whitenGate, Some(whitenGateSql)),
     QueryDef("pca_project", pcaProject, Some(pcaProjectSql)),
     QueryDef("abtt_pairs", abttPairs, Some(abttPairsSql)),
     QueryDef("semdedup_prune", semdedupPrune, Some(semdedupPruneSql)),
