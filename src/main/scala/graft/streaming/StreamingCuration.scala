@@ -122,6 +122,11 @@ object StreamingCuration {
     val spark = batch.sparkSession
 
     // ---- stage 0: stateless quality gate (cheapest first)
+    // localCheckpoint FIRST: the funnel runs several actions over the
+    // batch (store-probe bucket collects, the exact-stage checkpoint,
+    // the final flag join) — without materializing, each action
+    // re-reads the upstream source, measured 3× ingest I/O per
+    // micro-batch through the file-source deployment (StreamScale)
     val q = batch.select(col("doc_id"), col("source"), col("text"))
       // coalesce: a null text yields a null gate under ANSI semantics,
       // which would drop the doc from every stage yet count it in
@@ -130,6 +135,7 @@ object StreamingCuration {
       .withColumn("rm_quality",
         coalesce(size(tokens(col("text"))) < minTokens, lit(true))
           .cast("long"))
+      .localCheckpoint()
     val q1 = q.filter(col("rm_quality") === 0)
 
     // ---- stage 1: exact fingerprint, keep-first by id

@@ -1,0 +1,125 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Scale evidence for the COMPOSED streaming ingest funnel
+  * ([[graft.streaming.StreamingCuration]]): drive `attach` over an SF
+  * directory's documents split into N micro-batches (file-source,
+  * maxFilesPerTrigger=1), with a mid-run stop + checkpoint restart,
+  * and report per-batch wall time, rows, and store growth — the
+  * "cost ∝ batch, not store size" argument MEASURED, not extrapolated
+  * (BENCH_NOTES.md carries the table).
+  *
+  * Usage: runMain graft.tools.StreamScale <sfDir> [nBatches]
+  * Prints one line per processed micro-batch plus a final equivalence
+  * check against the one-shot batch funnel (same flags per source).
+  */
+object StreamScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val n = if (args.length > 1) args(1).toInt else 6
+    val minTokens = 8
+    val spark = graft.GraftSession
+      .builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = Files.createTempDirectory("streamscale").toString
+    val src = s"$work/in"
+    val stores = s"$work/stores"
+    val out = s"$work/flags"
+    val ckpt = s"$work/ckpt"
+
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    // one file per slice → maxFilesPerTrigger=1 gives one micro-batch
+    // per slice. Slices are CONTIGUOUS doc_id ranges written in
+    // ascending order (file source processes oldest-written first), so
+    // the stream's earlier-arrival-wins matches the batch funnel's
+    // min-doc_id keep-first and the final equivalence check is exact.
+    val sliced = docs.withColumn("slice",
+      ntile(n).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc_id")))).localCheckpoint()
+    (1 to n).foreach { k =>
+      sliced.filter(col("slice") === k).drop("slice")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+
+    val timings = ArrayBuffer[(Long, Long, Double)]()
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0)
+          timings.synchronized {
+            timings += ((p.batchId, p.numInputRows,
+              p.durationMs.getOrDefault("triggerExecution", 0L) / 1000.0))
+          }
+      }
+    })
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      graft.streaming.StreamingCuration.attach(
+        stream, stores, out, ckpt, minTokens)
+    }
+
+    def storeRows(stage: String): Long =
+      try spark.read.parquet(s"$stores/$stage/b*").count()
+      catch { case _: Throwable => 0L }
+
+    // ---- phase 1: run roughly half the batches, then stop (restart seam)
+    val q1 = startQuery()
+    val half = n / 2
+    while (timings.synchronized(timings.size) < half &&
+      q1.isActive) Thread.sleep(200)
+    q1.stop(); q1.awaitTermination()
+    val storesAtStop = Seq("fp", "band", "sh", "sim").map(storeRows)
+    println(s"[streamscale] stopped after ${timings.size} batches; " +
+      s"store rows fp/band/sh/sim = ${storesAtStop.mkString("/")}")
+
+    // ---- phase 2: restart from the checkpoint, drain the rest
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop(); q2.awaitTermination()
+
+    timings.synchronized(timings.toSeq).sortBy(_._1).foreach {
+      case (id, rows, sec) =>
+        println(f"[streamscale] batch=$id rows=$rows sec=$sec%.2f")
+    }
+    println(s"[streamscale] final store rows fp/band/sh/sim = " +
+      Seq("fp", "band", "sh", "sim").map(storeRows).mkString("/"))
+
+    // ---- equivalence: streamed flags == one-shot batch funnel
+    val streamed = graft.streaming.StreamingCuration
+      .readFlags(spark, out)
+    val streamedCounts = graft.streaming.StreamingCuration
+      .funnelCounts(streamed).orderBy("source")
+    val oneShotRoot = s"$work/oneshot"
+    val oneShot = graft.streaming.StreamingCuration.flagBatch(
+      docs, oneShotRoot, minTokens, advance = false)
+    val oneShotCounts = graft.streaming.StreamingCuration
+      .funnelCounts(oneShot).orderBy("source")
+    val a = streamedCounts.collect().map(_.toSeq).toSeq
+    val b = oneShotCounts.collect().map(_.toSeq).toSeq
+    println(s"[streamscale] streaming == batch funnel counts: ${a == b}")
+    if (a != b) {
+      println(s"[streamscale] streamed: $a")
+      println(s"[streamscale] batch   : $b")
+    }
+    spark.stop()
+  }
+}
