@@ -49,6 +49,29 @@ object EmbedQueries {
         max(col("c")).as("max_occ"),
         sum(expr("c * (c - 1) DIV 2")).as("cand_pairs"))
 
+  // ------------------------------------------------------------ lsh_width
+  // The adaptive-width DECISION itself as an oracle-gated row: corpus
+  // size and the (bits, tables) RpLsh.widthFor picks for it. Both
+  // engines derive the same integers from COUNT(*) via the same
+  // power-of-two thresholds, so a drift between the Scala widthFor and
+  // the SQL CASE chains — the one thing that would silently desync
+  // every rp_cand oracle — fails THIS one-row gate first.
+  private def lshWidth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = Tables.embeddings(s, d).count()
+    val (tables, bits) = RpLsh.widthFor(n)
+    Seq((n, bits.toLong, tables.toLong, 1L << bits))
+      .toDF("n_vecs", "bits", "tables", "buckets_per_table")
+  }
+
+  private val lshWidthSql =
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |${RpLsh.duckdbCandidateCte}
+       |SELECT (SELECT COUNT(*) FROM qv) AS n_vecs,
+       |  CAST(bits AS BIGINT) AS bits, CAST(tbl AS BIGINT) AS tables,
+       |  CAST(1 << bits AS BIGINT) AS buckets_per_table
+       |FROM rp_w""".stripMargin
+
   private val lshDensitySql =
     s"""WITH ${Similarity.duckdbQuantizedCte},
        |${RpLsh.duckdbCandidateCte},
@@ -2189,6 +2212,7 @@ object EmbedQueries {
     QueryDef("embed_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
     QueryDef("ann_rp_lsh", annRpLsh, Some(annRpLshSql)),
     QueryDef("lsh_density", lshDensity, Some(lshDensitySql)),
+    QueryDef("lsh_width", lshWidth, Some(lshWidthSql)),
     QueryDef("ivf_assign", ivfAssign, Some(ivfAssignSql)),
     QueryDef("ann_cell_balance", annCellBalance, Some(annCellBalanceSql)),
     QueryDef("ivf_search", ivfSearch, Some(ivfSearchSql)),
