@@ -724,8 +724,183 @@ object TextQueries {
        |FROM seen s JOIN vocab v ON v.pct = s.pct""".stripMargin
   }
 
+  // -------------------------------------------------------------- lm_ppl
+  // CCNet's ACTUAL quality signal (Wenzek et al. 2020): per-document
+  // cross-entropy under a reference-trained n-gram LM, with
+  // head/middle/tail terciles per language. ccnet_buckets ships the
+  // rare-bigram RATIO as its LM proxy (lm_rare_bigrams' comment calls a
+  // real log-prob sum "not bit-portable across libm implementations") —
+  // but the unigram-trainer machinery already solved that: ilog2q8 is
+  // an EXACT integer log2 at 8 fraction bits (msb + mantissa squaring,
+  // no libm anywhere), so the real thing is mirrorable bit-for-bit.
+  //
+  //  - LM: per-language bigram counts over the REFERENCE slice
+  //    (sources src0..src4 — the held-out-clean-corpus stand-in; CCNet
+  //    trains on Wikipedia and scores the crawl).
+  //  - Score: each doc's mean over bigram occurrences of
+  //    −log2 P(w2|w1), add-one smoothed P = (c12+1)/(c1+V), V = ref
+  //    distinct-successor vocabulary + 1; every log2 is ilog2q8, so
+  //    h_q8 is an exact integer both engines reproduce; mean_bits is
+  //    one double division of exact integers at the end.
+  //  - Buckets: NTILE(3) per language on (mean_bits, doc_id) — the
+  //    keyed-window discipline (ccnet_buckets precedent); a language
+  //    absent from the reference slice has no LM and is excluded
+  //    (inner join on the per-language V).
+  //
+  // Scale shape: tokenize + pair-explode are map-only; the LM is two
+  // keyed aggregations over the reference slice; scoring is three
+  // keyed joins (AQE broadcasts the LM when small) + a codegen-only
+  // integer log chain per occurrence (~20 int ops — no UDF, no libm);
+  // the rollup is one doc-keyed aggregation and one lang-keyed window.
+  private val LmRefSources = (0 to 4).map(i => s"src$i")
+
+  /** Append `out` = ilog2q8(`x`) as pure codegen integer columns — in
+    * lockstep with [[graft.text.UnigramTrain.ilog2q8]] (e = msb via
+    * bin-length, mantissa at q8, 8 squaring rounds). Domain x ∈
+    * [1, 2^54). */
+  private[graft] def withIlog2q8(df0: DataFrame, x: String, out: String): DataFrame = {
+    val e = s"__${out}_e"; val m = s"__${out}_m"; val f = s"__${out}_f"
+    var df = df0
+      .withColumn(e, (length(bin(col(x))) - 1).cast("long"))
+      .withColumn(m,
+        expr(s"($x * 256) DIV shiftleft(CAST(1 AS BIGINT), CAST($e AS INT))"))
+      .withColumn(f, lit(0L))
+    for (_ <- 1 to 8) {
+      df = df
+        .withColumn(s"${m}2", expr(s"($m * $m) DIV 256"))
+        .withColumn(f,
+          expr(s"CASE WHEN ${m}2 >= 512 THEN 2 * $f + 1 ELSE 2 * $f END"))
+        .withColumn(m,
+          expr(s"CASE WHEN ${m}2 >= 512 THEN ${m}2 DIV 2 ELSE ${m}2 END"))
+        .drop(s"${m}2")
+    }
+    df.withColumn(out, expr(s"$e * 256 + $f")).drop(e, m, f)
+  }
+
+  /** (doc_id, source, lang, w1, w2) — one row per bigram occurrence. */
+  private def bigramOcc(s: SparkSession, d: String): DataFrame =
+    Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .withColumn("t", tokens(col("text")))
+      .withColumn("pairs", expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), " +
+          "j -> struct(t[j] AS w1, t[j + 1] AS w2)) " +
+          "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(col("pairs")).as("p"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  private def lmPpl(s: SparkSession, d: String): DataFrame = {
+    val bi = bigramOcc(s, d)
+    val refBi = bi.filter(col("source").isin(LmRefSources: _*))
+      .groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val refUni = refBi.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val vsz = refBi.groupBy(col("lang"))
+      .agg((countDistinct(col("w2")) + 1).as("v"))
+    val scored0 = bi
+      .join(refBi, Seq("lang", "w1", "w2"), "left")
+      .join(refUni, Seq("lang", "w1"), "left")
+      .join(vsz, Seq("lang"))
+      .withColumn("num", coalesce(col("c12"), lit(0L)) + 1)
+      .withColumn("den", coalesce(col("c1"), lit(0L)) + col("v"))
+    val scored = withIlog2q8(withIlog2q8(scored0, "num", "lgn"), "den", "lgd")
+    val doc = scored.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lgd") - col("lgn")).as("h_q8"))
+      .withColumn("mean_bits",
+        col("h_q8").cast("double") / (col("n_bigrams").cast("double") * 256))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("mean_bits"), col("doc_id"))
+    doc.withColumn("bucket",
+      element_at(array(lit("head"), lit("middle"), lit("tail")),
+        ntile(3).over(w)))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("h_q8"),
+        col("mean_bits"), col("bucket"))
+  }
+
+  /** Unrolled ilog2q8 lookup over the DISTINCT values of `srcSql`'s `x`
+    * column → `${p}lg(x, lg)`; needs `lppw(e, v)` in scope. */
+  private def ilogLookupCtes(p: String, srcSql: String): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""${p}xv AS MATERIALIZED (SELECT DISTINCT x FROM ($srcSql)),
+         |${p}e AS MATERIALIZED (
+         |  SELECT x, MAX(w.e) AS e FROM ${p}xv JOIN lppw w ON w.v <= x
+         |  GROUP BY 1),
+         |${p}r0 AS MATERIALIZED (
+         |  SELECT u.x, u.e, (u.x * 256) // w.v AS m, CAST(0 AS BIGINT) AS f
+         |  FROM ${p}e u JOIN lppw w ON w.e = u.e)""".stripMargin)
+    for (t <- 1 to 8) {
+      sb.append(
+        s""",
+           |${p}r$t AS MATERIALIZED (
+           |  SELECT x, e,
+           |    CASE WHEN (m * m) // 256 >= 512
+           |         THEN ((m * m) // 256) // 2 ELSE (m * m) // 256 END AS m,
+           |    CASE WHEN (m * m) // 256 >= 512
+           |         THEN 2 * f + 1 ELSE 2 * f END AS f
+           |  FROM ${p}r${t - 1})""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |${p}lg AS MATERIALIZED (SELECT x, e * 256 + f AS lg FROM ${p}r8)""".stripMargin)
+    sb.toString
+  }
+
+  private def lmPplSql = {
+    val refs = LmRefSources.map(s => s"'$s'").mkString(", ")
+    val powers = (0 to 53).map(e => s"($e, ${1L << e})").mkString(", ")
+    s"""WITH lppw(e, v) AS (VALUES $powers),
+       |lptk AS MATERIALIZED (
+       |  SELECT doc_id, source, lang, ${tokensSql("text")} AS t
+       |  FROM documents),
+       |lpbi AS MATERIALIZED (
+       |  SELECT doc_id, source, lang,
+       |    t[CAST(r.j AS INT)] AS w1, t[CAST(r.j + 1 AS INT)] AS w2
+       |  FROM lptk, LATERAL (SELECT unnest(range(1, len(t))) AS j) r),
+       |lprb AS MATERIALIZED (
+       |  SELECT lang, w1, w2, COUNT(*) AS c12 FROM lpbi
+       |  WHERE source IN ($refs) GROUP BY 1, 2, 3),
+       |lpru AS MATERIALIZED (
+       |  SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM lprb
+       |  GROUP BY 1, 2),
+       |lpv AS MATERIALIZED (
+       |  SELECT lang, COUNT(DISTINCT w2) + 1 AS v FROM lprb GROUP BY 1),
+       |lpocc AS MATERIALIZED (
+       |  SELECT b.doc_id, b.lang,
+       |    COALESCE(rb.c12, 0) + 1 AS num,
+       |    COALESCE(ru.c1, 0) + vs.v AS den
+       |  FROM lpbi b
+       |  LEFT JOIN lprb rb ON rb.lang = b.lang AND rb.w1 = b.w1
+       |    AND rb.w2 = b.w2
+       |  LEFT JOIN lpru ru ON ru.lang = b.lang AND ru.w1 = b.w1
+       |  JOIN lpv vs ON vs.lang = b.lang),
+       |${ilogLookupCtes("lpn", "SELECT num AS x FROM lpocc")},
+       |${ilogLookupCtes("lpd", "SELECT den AS x FROM lpocc")},
+       |lpdoc AS MATERIALIZED (
+       |  SELECT o.doc_id, o.lang, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(dl.lg - nl.lg) AS BIGINT) AS h_q8
+       |  FROM lpocc o
+       |  JOIN lpdlg dl ON dl.x = o.den
+       |  JOIN lpnlg nl ON nl.x = o.num
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, lang, n_bigrams, h_q8,
+       |  CAST(h_q8 AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 256)
+       |    AS mean_bits,
+       |  (['head', 'middle', 'tail'])[
+       |    NTILE(3) OVER (PARTITION BY lang
+       |      ORDER BY CAST(h_q8 AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 256),
+       |        doc_id)] AS bucket
+       |FROM lpdoc""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_stats", textStats, Some(textStatsSql)),
+    QueryDef("lm_ppl", lmPpl, Some(lmPplSql)),
     QueryDef("zipf_tail", zipfTail, Some(zipfTailSql)),
     QueryDef("vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     QueryDef("gopher_rules", gopherRules, Some(gopherRulesSql)),

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.UnigramTrain
+
+/** lm_ppl's integer log chain and bucket semantics.
+  *
+  * The per-occurrence −log2 P is computed by a codegen column chain
+  * (TextQueries.withIlog2q8) that must stay in LOCKSTEP with the
+  * driver-side UnigramTrain.ilog2q8 the oracle replays — a drift would
+  * silently desync the lm_ppl gate the way a widthFor/CASE-chain drift
+  * would desync rp_cand (both have dedicated pins for that reason). */
+class LmPplSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("column ilog2q8 chain == driver ilog2q8 across the domain") {
+    val xs = (1L to 2048L) ++
+      Seq(4095L, 4096L, 4097L, 65535L, 1L << 30, (1L << 53) + 17,
+        (1L << 54) - 1)
+    val got = graft.queries.TextQueries
+      .withIlog2q8(xs.toDF("x"), "x", "lg")
+      .select(col("x"), col("lg")).as[(Long, Long)].collect().toMap
+    xs.foreach { x =>
+      assert(got(x) == UnigramTrain.ilog2q8(x), s"x=$x")
+    }
+  }
+
+  test("lm_ppl: terciles per lang, higher-entropy docs land in tail") {
+    val out = SparkEntry.queries("lm_ppl")(spark, "/root/testdata/sf0.001")
+      .localCheckpoint()
+    // every lang splits into at most 3 buckets with |head| >= |tail|
+    val sizes = out.groupBy(col("lang"), col("bucket")).count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    sizes.foreach { case (lang, m) =>
+      assert(m.keySet.subsetOf(Set("head", "middle", "tail")), lang)
+      assert(m.getOrElse("head", 0L) >= m.getOrElse("tail", 0L), lang)
+    }
+    // bucket order follows mean_bits within each lang
+    val rows = out.select(col("lang"), col("bucket"), col("mean_bits"))
+      .as[(String, String, Double)].collect()
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val maxHead = rs.filter(_._2 == "head").map(_._3)
+        .foldLeft(Double.MinValue)(math.max)
+      val minTail = rs.filter(_._2 == "tail").map(_._3)
+        .foldLeft(Double.MaxValue)(math.min)
+      assert(maxHead <= minTail, s"$lang: head $maxHead !<= tail $minTail")
+    }
+  }
+}
