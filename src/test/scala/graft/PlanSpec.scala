@@ -563,4 +563,29 @@ class PlanSpec extends SparkTestBase {
     // the custom bounded-heap top-k operator carries the 5-NN cut
     assert(s.contains("TopKPerKey"), s"expected the top-k physical operator:\n$s")
   }
+
+  test("whiten_gate: the chosen branch is the cell-keyed pair join, no cartesian") {
+    val s = planString("whiten_gate")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    // the fixture corpus takes the raw branch = the memoized embedPairs
+    // stage (a checkpointed scan — its own cell-keyed join shape is
+    // pinned by the embed_cosine_pairs audits); the abtt branch would
+    // show the cell-keyed join inline
+    assert(s.contains("SortMergeJoin") || s.contains("BroadcastHashJoin") ||
+      s.contains("ShuffledHashJoin") || s.contains("Scan ExistingRDD"),
+      s"neither a keyed join nor the shared checkpointed stage:\n$s")
+  }
+
+  test("lm_ppl: LM joins stay keyed; the tercile window is lang-partitioned") {
+    val s = planString("lm_ppl")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    // the integer log chain must stay codegen — no UDF anywhere
+    assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"), s)
+    // the NTILE window partitions by lang — a global (empty-key) window
+    // renders as "Window [...], [mean_bits ..." with no partition spec
+    assert(!s.matches("(?s).*Window \\[[^\\]]*\\], \\[mean_bits.*"),
+      s"tercile window lost its lang partitioning:\n$s")
+  }
 }
