@@ -898,9 +898,72 @@ object TextQueries {
        |FROM lpdoc""".stripMargin
   }
 
+  // ---------------------------------------------------- quality_ensemble
+  // The shipped curation recipe as ONE report (the CCNet/FineWeb
+  // composition): language-ID gate → Gopher heuristics → LM-perplexity
+  // tail drop, cheapest-first attribution per source (a doc is charged
+  // to the FIRST gate that rejects it — the dedup_funnel discipline).
+  // Each signal is exactly the registered query's definition (lang_id
+  // marker scores, gopher_rules keep, lm_ppl tercile — "train on
+  // head+middle, drop tail" is CCNet's own sentence), so this gate
+  // certifies the composition, not new signals. A doc the LM cannot
+  // score (no bigrams / unscored language) passes the ppl gate — such
+  // docs die at the Gopher word-count rule anyway. Scale shape: three
+  // doc-keyed joins over per-doc signal tables + one source rollup.
+  private def qualityEnsemble(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"))
+    val gop = gopherRules(s, d).select(col("doc_id"), col("keep").as("g_keep"))
+    val scoreSum = langMarkers.map { case (l, _) => col(s"score_$l") }
+      .reduce(_ + _)
+    val lid = langId(s, d).select(col("doc_id"), (scoreSum === 0).as("unk"))
+    val ppl = lmPpl(s, d).select(col("doc_id"),
+      (col("bucket") === "tail").as("tl"))
+    docs.join(gop, "doc_id").join(lid, "doc_id")
+      .join(ppl, Seq("doc_id"), "left")
+      .na.fill(false, Seq("tl"))
+      .withColumn("rm_lang", col("unk").cast("long"))
+      .withColumn("rm_gopher", (!col("unk") && !col("g_keep")).cast("long"))
+      .withColumn("rm_ppl",
+        (!col("unk") && col("g_keep") && col("tl")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("rm_lang")).as("rm_lang"),
+        sum(col("rm_gopher")).as("rm_gopher"),
+        sum(col("rm_ppl")).as("rm_ppl"),
+        sum(when(col("rm_lang") === 0 && col("rm_gopher") === 0 &&
+          col("rm_ppl") === 0, 1L).otherwise(0L)).as("survivors"))
+  }
+
+  private def qualityEnsembleSql = {
+    val scoreSum = langMarkers.map(m => s"li.score_${m._1}").mkString(" + ")
+    s"""WITH ge AS ($gopherRulesSql),
+       |li AS ($langIdSql),
+       |pp AS ($lmPplSql),
+       |fl AS (
+       |  SELECT d.source,
+       |    CASE WHEN ($scoreSum) = 0 THEN 1 ELSE 0 END AS unk,
+       |    CASE WHEN ge.keep THEN 1 ELSE 0 END AS gk,
+       |    CASE WHEN COALESCE(pp.bucket, '') = 'tail' THEN 1 ELSE 0 END AS tl
+       |  FROM documents d
+       |  JOIN ge ON ge.doc_id = d.doc_id
+       |  JOIN li ON li.doc_id = d.doc_id
+       |  LEFT JOIN pp ON pp.doc_id = d.doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(unk) AS BIGINT) AS rm_lang,
+       |  CAST(SUM(CASE WHEN unk = 0 AND gk = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS rm_gopher,
+       |  CAST(SUM(CASE WHEN unk = 0 AND gk = 1 AND tl = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS rm_ppl,
+       |  CAST(SUM(CASE WHEN unk = 0 AND gk = 1 AND tl = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS survivors
+       |FROM fl GROUP BY 1""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_stats", textStats, Some(textStatsSql)),
     QueryDef("lm_ppl", lmPpl, Some(lmPplSql)),
+    QueryDef("quality_ensemble", qualityEnsemble, Some(qualityEnsembleSql)),
     QueryDef("zipf_tail", zipfTail, Some(zipfTailSql)),
     QueryDef("vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     QueryDef("gopher_rules", gopherRules, Some(gopherRulesSql)),
