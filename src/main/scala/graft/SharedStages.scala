@@ -184,6 +184,16 @@ object SharedStages {
       graft.queries.FingerprintQueries.lmRareBigrams(s, dir).localCheckpoint()
     }
 
+  /** Materialized per-doc bigram-LM cross-entropy report (lm_ppl) —
+    * consumed by the standalone report AND the quality_ensemble
+    * composition (whose ppl gate is exactly this table's tercile). One
+    * row per scored doc; the corpus tokenize pass + reference-slice LM
+    * build + triple scoring runs once. */
+  def lmPplReport(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "lmPpl") {
+      graft.queries.TextQueries.buildLmPpl(s, dir).localCheckpoint()
+    }
+
   /** Materialized distinct prior-batch gram hashes (even doc_ids,
     * n-gram size n) — the shared input of the standing novelty store
     * build ([[noveltyGramStore]]) AND novelty_incr's per-run store

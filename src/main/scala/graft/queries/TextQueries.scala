@@ -747,11 +747,19 @@ object TextQueries {
   //    absent from the reference slice has no LM and is excluded
   //    (inner join on the per-language V).
   //
-  // Scale shape: tokenize + pair-explode are map-only; the LM is two
-  // keyed aggregations over the reference slice; scoring is three
-  // keyed joins (AQE broadcasts the LM when small) + a codegen-only
-  // integer log chain per occurrence (~20 int ops — no UDF, no libm);
-  // the rollup is one doc-keyed aggregation and one lang-keyed window.
+  // Scale shape: tokenize + pair-explode are map-only and run ONCE —
+  // occurrences collapse to per-(doc, bigram) counts, eagerly
+  // materialized; the LM is two keyed aggregations over the reference
+  // slice of that checkpoint. Because (c12, c1, v) — hence num/den and
+  // the whole log chain — depend only on the (lang, w1, w2) TRIPLE,
+  // scoring runs on the DISTINCT-triple table (three keyed joins + the
+  // codegen integer log chain, ~50 int ops — no UDF, no libm), and one
+  // join back distributes each triple's bits to the per-doc counts.
+  // The rollup is one doc-keyed aggregation and one lang-keyed window.
+  // The naive per-occurrence form re-tokenized the corpus four times
+  // and ran the log chain per occurrence: 14.4 s at sf0.1 vs ~3 s for
+  // this shape (and the report is a SharedStages stage — built once per
+  // (session, dir), reused by quality_ensemble).
   private val LmRefSources = (0 to 4).map(i => s"src$i")
 
   /** Append `out` = ilog2q8(`x`) as pure codegen integer columns — in
@@ -791,25 +799,41 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("lang"),
         col("p.w1").as("w1"), col("p.w2").as("w2"))
 
-  private def lmPpl(s: SparkSession, d: String): DataFrame = {
-    val bi = bigramOcc(s, d)
-    val refBi = bi.filter(col("source").isin(LmRefSources: _*))
+  private def lmPpl(s: SparkSession, d: String): DataFrame =
+    graft.SharedStages.lmPplReport(s, d)
+
+  /** The full per-doc report — built once per (session, dir) via
+    * [[graft.SharedStages.lmPplReport]]; the standalone lm_ppl query and
+    * the quality_ensemble composition both read the materialization. */
+  private[graft] def buildLmPpl(s: SparkSession, d: String): DataFrame = {
+    val occ = bigramOcc(s, d)
+      .groupBy(col("doc_id"), col("source"), col("lang"),
+        col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val refBi = occ.filter(col("source").isin(LmRefSources: _*))
       .groupBy(col("lang"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
+      .agg(sum(col("cnt")).as("c12"))
+      .localCheckpoint() // the LM itself — refUni and vsz re-aggregate it
     val refUni = refBi.groupBy(col("lang"), col("w1"))
       .agg(sum(col("c12")).as("c1"))
     val vsz = refBi.groupBy(col("lang"))
       .agg((countDistinct(col("w2")) + 1).as("v"))
-    val scored0 = bi
+    val trip = occ.select(col("lang"), col("w1"), col("w2")).distinct()
+    val scored0 = trip
       .join(refBi, Seq("lang", "w1", "w2"), "left")
       .join(refUni, Seq("lang", "w1"), "left")
-      .join(vsz, Seq("lang"))
+      .join(vsz, Seq("lang")) // inner: unscored languages drop out
       .withColumn("num", coalesce(col("c12"), lit(0L)) + 1)
       .withColumn("den", coalesce(col("c1"), lit(0L)) + col("v"))
-    val scored = withIlog2q8(withIlog2q8(scored0, "num", "lgn"), "den", "lgd")
-    val doc = scored.groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("lgd") - col("lgn")).as("h_q8"))
+    val tripScored =
+      withIlog2q8(withIlog2q8(scored0, "num", "lgn"), "den", "lgd")
+        .select(col("lang"), col("w1"), col("w2"),
+          (col("lgd") - col("lgn")).as("bits_q8"))
+    val doc = occ.join(tripScored, Seq("lang", "w1", "w2"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("bits_q8")).as("h_q8"))
       .withColumn("mean_bits",
         col("h_q8").cast("double") / (col("n_bigrams").cast("double") * 256))
     val w = org.apache.spark.sql.expressions.Window

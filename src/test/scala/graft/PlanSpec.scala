@@ -578,7 +578,11 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("lm_ppl: LM joins stay keyed; the tercile window is lang-partitioned") {
-    val s = planString("lm_ppl")
+    // audit the BUILDER's plan — the registered query reads the
+    // SharedStages materialization (a checkpointed scan), so the shape
+    // worth pinning is the one the first caller executes
+    val s = graft.queries.TextQueries.buildLmPpl(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(!s.contains("CartesianProduct"), s)
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
     // the integer log chain must stay codegen — no UDF anywhere
