@@ -184,11 +184,19 @@ object SharedStages {
       graft.queries.FingerprintQueries.lmRareBigrams(s, dir).localCheckpoint()
     }
 
+  /** Materialized per-(doc, score) occurrence counts under the
+    * reference bigram LM — the corpus tokenize pass + LM build + triple
+    * scoring, run once per (session, dir); consumed by the lm_ppl
+    * rollup ([[lmPplReport]]) and mink_prob's top-k% selection. */
+  def lmDocBits(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "lmDocBits") {
+      graft.queries.TextQueries.buildLmDocBits(s, dir).localCheckpoint()
+    }
+
   /** Materialized per-doc bigram-LM cross-entropy report (lm_ppl) —
     * consumed by the standalone report AND the quality_ensemble
     * composition (whose ppl gate is exactly this table's tercile). One
-    * row per scored doc; the corpus tokenize pass + reference-slice LM
-    * build + triple scoring runs once. */
+    * row per scored doc; a rollup of [[lmDocBits]]. */
   def lmPplReport(s: SparkSession, dir: String): DataFrame =
     stage(s, dir, "lmPpl") {
       graft.queries.TextQueries.buildLmPpl(s, dir).localCheckpoint()

@@ -802,10 +802,12 @@ object TextQueries {
   private def lmPpl(s: SparkSession, d: String): DataFrame =
     graft.SharedStages.lmPplReport(s, d)
 
-  /** The full per-doc report — built once per (session, dir) via
-    * [[graft.SharedStages.lmPplReport]]; the standalone lm_ppl query and
-    * the quality_ensemble composition both read the materialization. */
-  private[graft] def buildLmPpl(s: SparkSession, d: String): DataFrame = {
+  /** Per-(doc, bits) occurrence counts under the reference bigram LM —
+    * the shared input of lm_ppl's per-doc rollup AND mink_prob's
+    * top-k% selection ([[graft.SharedStages.lmDocBits]]). Occurrences
+    * whose bigram carries the same −log2 P collapse into one row, so
+    * the table is bounded by distinct (doc, score) pairs. */
+  private[graft] def buildLmDocBits(s: SparkSession, d: String): DataFrame = {
     val occ = bigramOcc(s, d)
       .groupBy(col("doc_id"), col("source"), col("lang"),
         col("w1"), col("w2"))
@@ -830,7 +832,16 @@ object TextQueries {
       withIlog2q8(withIlog2q8(scored0, "num", "lgn"), "den", "lgd")
         .select(col("lang"), col("w1"), col("w2"),
           (col("lgd") - col("lgn")).as("bits_q8"))
-    val doc = occ.join(tripScored, Seq("lang", "w1", "w2"))
+    occ.join(tripScored, Seq("lang", "w1", "w2"))
+      .groupBy(col("doc_id"), col("lang"), col("bits_q8"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** The full per-doc report — built once per (session, dir) via
+    * [[graft.SharedStages.lmPplReport]]; the standalone lm_ppl query and
+    * the quality_ensemble composition both read the materialization. */
+  private[graft] def buildLmPpl(s: SparkSession, d: String): DataFrame = {
+    val doc = graft.SharedStages.lmDocBits(s, d)
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("cnt")).as("n_bigrams"),
         sum(col("cnt") * col("bits_q8")).as("h_q8"))
@@ -875,10 +886,14 @@ object TextQueries {
     sb.toString
   }
 
-  private def lmPplSql = {
+  /** The oracle CTE chain shared by lmPplSql and minkProbSql: corpus →
+    * bigram occurrences → reference LM → smoothed num/den per
+    * occurrence → ilog2q8 lookups → per-(doc, bits) counts (`lmdb`,
+    * the SQL twin of [[buildLmDocBits]]'s output). */
+  private def lmCoreCtes: String = {
     val refs = LmRefSources.map(s => s"'$s'").mkString(", ")
     val powers = (0 to 53).map(e => s"($e, ${1L << e})").mkString(", ")
-    s"""WITH lppw(e, v) AS (VALUES $powers),
+    s"""lppw(e, v) AS (VALUES $powers),
        |lptk AS MATERIALIZED (
        |  SELECT doc_id, source, lang, ${tokensSql("text")} AS t
        |  FROM documents),
@@ -905,12 +920,21 @@ object TextQueries {
        |  JOIN lpv vs ON vs.lang = b.lang),
        |${ilogLookupCtes("lpn", "SELECT num AS x FROM lpocc")},
        |${ilogLookupCtes("lpd", "SELECT den AS x FROM lpocc")},
-       |lpdoc AS MATERIALIZED (
-       |  SELECT o.doc_id, o.lang, COUNT(*) AS n_bigrams,
-       |    CAST(SUM(dl.lg - nl.lg) AS BIGINT) AS h_q8
+       |lmdb AS MATERIALIZED (
+       |  SELECT o.doc_id, o.lang, CAST(dl.lg - nl.lg AS BIGINT) AS bits,
+       |    COUNT(*) AS cnt
        |  FROM lpocc o
        |  JOIN lpdlg dl ON dl.x = o.den
        |  JOIN lpnlg nl ON nl.x = o.num
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  private def lmPplSql =
+    s"""WITH $lmCoreCtes,
+       |lpdoc AS MATERIALIZED (
+       |  SELECT doc_id, lang, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(cnt * bits) AS BIGINT) AS h_q8
+       |  FROM lmdb
        |  GROUP BY 1, 2)
        |SELECT doc_id, lang, n_bigrams, h_q8,
        |  CAST(h_q8 AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 256)
@@ -920,7 +944,68 @@ object TextQueries {
        |      ORDER BY CAST(h_q8 AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 256),
        |        doc_id)] AS bucket
        |FROM lpdoc""".stripMargin
+
+  // ----------------------------------------------------------- mink_prob
+  // Min-K% Prob (Shi et al. 2024, "Detecting Pretraining Data from
+  // Large Language Models"): a membership/contamination signal — the
+  // mean of the k% LEAST-likely token scores of a document under a
+  // reference LM. A member of the training set has few outlier
+  // low-probability spans, so its top-k% −log P mean sits close to its
+  // overall mean; unseen text spikes. Here the LM and the per-occurrence
+  // −log2 P are exactly lm_ppl's (the shared lmDocBits stage), k = 20%
+  // of the doc's bigram occurrences rounded up — ceil(n/5) = (n+4) DIV 5,
+  // an exact integer both engines derive. The top-k occurrence sum walks
+  // the per-(doc, bits) counts in descending-bits order with a
+  // cumulative window: rows fully inside the budget contribute cnt,
+  // the boundary row contributes the remainder — and because rows are
+  // DISTINCT bits values per doc, the selection is order-deterministic
+  // and the sum is exact q8.
+  //
+  // Scale shape: the expensive pass (tokenize → LM → triple scoring) is
+  // the memoized lmDocBits stage; this query adds one doc-keyed window
+  // (partitions bounded by per-doc distinct scores) and two doc-keyed
+  // aggregations. No new corpus scan, no new shuffle family.
+  private def minkProb(s: SparkSession, d: String): DataFrame = {
+    val db = graft.SharedStages.lmDocBits(s, d)
+    val agg = db.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"))
+      .withColumn("k_occ", expr("(n_bigrams + 4) DIV 5"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("bits_q8").desc)
+    db.withColumn("cum", sum(col("cnt")).over(w))
+      .join(agg, Seq("doc_id"))
+      .withColumn("take",
+        greatest(lit(0L), least(col("cnt"),
+          col("k_occ") - col("cum") + col("cnt"))))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(max(col("n_bigrams")).as("n_bigrams"),
+        max(col("k_occ")).as("k_occ"),
+        sum(col("take") * col("bits_q8")).as("h_topk_q8"))
+      .withColumn("mink_bits",
+        col("h_topk_q8").cast("double") / (col("k_occ").cast("double") * 256))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("k_occ"),
+        col("h_topk_q8"), col("mink_bits"))
   }
+
+  private def minkProbSql =
+    s"""WITH $lmCoreCtes,
+       |mka AS (
+       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       |    CAST((SUM(cnt) + 4) // 5 AS BIGINT) AS k_occ
+       |  FROM lmdb GROUP BY 1),
+       |mkc AS (
+       |  SELECT doc_id, lang, bits, cnt,
+       |    SUM(cnt) OVER (PARTITION BY doc_id ORDER BY bits DESC) AS cum
+       |  FROM lmdb)
+       |SELECT c.doc_id, c.lang,
+       |  MAX(a.n_bigrams) AS n_bigrams,
+       |  MAX(a.k_occ) AS k_occ,
+       |  CAST(SUM(GREATEST(0, LEAST(c.cnt, a.k_occ - c.cum + c.cnt)) * c.bits)
+       |    AS BIGINT) AS h_topk_q8,
+       |  CAST(SUM(GREATEST(0, LEAST(c.cnt, a.k_occ - c.cum + c.cnt)) * c.bits)
+       |    AS DOUBLE) / (CAST(MAX(a.k_occ) AS DOUBLE) * 256) AS mink_bits
+       |FROM mkc c JOIN mka a ON a.doc_id = c.doc_id
+       |GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------- quality_ensemble
   // The shipped curation recipe as ONE report (the CCNet/FineWeb
@@ -987,6 +1072,7 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_stats", textStats, Some(textStatsSql)),
     QueryDef("lm_ppl", lmPpl, Some(lmPplSql)),
+    QueryDef("mink_prob", minkProb, Some(minkProbSql)),
     QueryDef("quality_ensemble", qualityEnsemble, Some(qualityEnsembleSql)),
     QueryDef("zipf_tail", zipfTail, Some(zipfTailSql)),
     QueryDef("vocab_growth", vocabGrowth, Some(vocabGrowthSql)),

@@ -26,6 +26,25 @@ class LmPplSpec extends SparkTestBase {
     }
   }
 
+  test("mink_prob: top-k% mean dominates the overall mean, same doc set") {
+    val sf = "/root/testdata/sf0.001"
+    val ppl = SparkEntry.queries("lm_ppl")(spark, sf)
+      .select(col("doc_id"), col("mean_bits")).as[(Long, Double)]
+      .collect().toMap
+    val mink = SparkEntry.queries("mink_prob")(spark, sf)
+      .select(col("doc_id"), col("k_occ"), col("n_bigrams"), col("mink_bits"))
+      .as[(Long, Long, Long, Double)].collect()
+    // every scored doc appears in both reports
+    assert(mink.map(_._1).toSet == ppl.keySet)
+    mink.foreach { case (id, k, n, mb) =>
+      // k = ceil(n/5), at least 1
+      assert(k == (n + 4) / 5 && k >= 1, s"doc $id: k=$k n=$n")
+      // the mean of the k LARGEST occurrence scores can never be below
+      // the mean over all occurrences (equality iff all scores equal)
+      assert(mb >= ppl(id) - 1e-9, s"doc $id: mink $mb < mean ${ppl(id)}")
+    }
+  }
+
   test("lm_ppl: terciles per lang, higher-entropy docs land in tail") {
     val out = SparkEntry.queries("lm_ppl")(spark, "/root/testdata/sf0.001")
       .localCheckpoint()

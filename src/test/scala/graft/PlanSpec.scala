@@ -578,18 +578,35 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("lm_ppl: LM joins stay keyed; the tercile window is lang-partitioned") {
-    // audit the BUILDER's plan — the registered query reads the
-    // SharedStages materialization (a checkpointed scan), so the shape
-    // worth pinning is the one the first caller executes
+    // audit the BUILDERS' plans — the registered query reads the
+    // SharedStages materialization (a checkpointed scan), so the shapes
+    // worth pinning are the ones the first caller executes: the
+    // lmDocBits stage (LM joins + the codegen log chain) and the
+    // rollup/window on top of it
+    val stage = graft.queries.TextQueries.buildLmDocBits(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!stage.contains("CartesianProduct"), stage)
+    assert(!stage.contains("BroadcastNestedLoopJoin"), stage)
+    // the integer log chain must stay codegen — no UDF anywhere
+    assert(!stage.contains("BatchEvalPython") && !stage.contains("ScalaUDF"),
+      stage)
     val s = graft.queries.TextQueries.buildLmPpl(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!s.contains("CartesianProduct"), s)
-    assert(!s.contains("BroadcastNestedLoopJoin"), s)
-    // the integer log chain must stay codegen — no UDF anywhere
-    assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"), s)
     // the NTILE window partitions by lang — a global (empty-key) window
     // renders as "Window [...], [mean_bits ..." with no partition spec
     assert(!s.matches("(?s).*Window \\[[^\\]]*\\], \\[mean_bits.*"),
       s"tercile window lost its lang partitioning:\n$s")
+  }
+
+  test("mink_prob: no cartesian; the top-k window is doc-partitioned") {
+    val s = planString("mink_prob")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"), s)
+    // the cumulative window partitions by doc_id — a global window here
+    // would sort the whole corpus on one task
+    assert(!s.matches("(?s).*Window \\[[^\\]]*\\], \\[cum.*"),
+      s"cumulative window lost its doc partitioning:\n$s")
   }
 }
