@@ -1007,6 +1007,92 @@ object TextQueries {
        |FROM mkc c JOIN mka a ON a.doc_id = c.doc_id
        |GROUP BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------------- quality_auc
+  // Exact Mann-Whitney AUC of the LM-perplexity score against the
+  // Gopher keep/drop gate — the "evaluate your quality classifier"
+  // primitive behind every FineWeb-style filtering ablation: AUC =
+  // P(score_keep < score_drop) + ½·P(tie), i.e. how well LOW mean_bits
+  // predicts a rule-based keep. The U statistic is a pure pair-counting
+  // integer (doubled to absorb the ½-tie term), so the oracle gates it
+  // hash-exact; auc is one double division at the end.
+  //
+  // Scale shape (the reason this isn't one global rank window): scores
+  // collapse to distinct values, each group lands in a BOUNDED integer
+  // bucket b = floor(mean_bits·256) ∈ [0, 54·256] (multiplying the
+  // shared double by 256 is exact — power of two). Cross-bucket pair
+  // counts come from a window over the ≤13 825-row bucket table
+  // (bounded, driver-scale); within-bucket counts from a window
+  // PARTITIONED by bucket (range-partition + local sort — how an exact
+  // distributed rank is actually computed). No global single-task sort.
+  private def qualityAuc(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.SharedStages.lmPplReport(s, d)
+      .select(col("doc_id"), col("mean_bits").as("sc"))
+      .join(gopherRules(s, d).select(col("doc_id"), col("keep")), "doc_id")
+    val grp = scored.groupBy(col("sc"))
+      .agg(sum(col("keep").cast("long")).as("p"),
+        sum((!col("keep")).cast("long")).as("n"))
+      .withColumn("b", floor(col("sc") * 256).cast("long"))
+    val bt = grp.groupBy(col("b")).agg(sum(col("n")).as("nb"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b")) // bounded: ≤ 54·256 + 1 bucket rows
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cumB = bt.withColumn("cum_nb_before", coalesce(sum(col("nb")).over(wb), lit(0L)))
+      .select(col("b"), col("cum_nb_before"))
+    val ww = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("sc"))
+    val g2 = grp.join(cumB, Seq("b"))
+      .withColumn("cum_n_in", sum(col("n")).over(ww)) // inclusive
+      .withColumn("cum_n_thru", col("cum_nb_before") + col("cum_n_in"))
+    val tot = g2.agg(sum(col("n")).as("ntot"))
+    g2.crossJoin(broadcast(tot)) // 1-row total, broadcast by construction
+      .withColumn("contrib", col("p") *
+        (lit(2) * (col("ntot") - col("cum_n_thru")) + col("n")))
+      .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+        sum(col("contrib")).as("u2"))
+      .withColumn("auc", col("u2").cast("double") /
+        (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+      .select(col("n_pos"), col("n_neg"), col("u2"), col("auc"))
+  }
+
+  private def qualityAucSql =
+    s"""WITH $lmCoreCtes,
+       |qadoc AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(cnt * bits) AS DOUBLE)
+       |      / (CAST(SUM(cnt) AS DOUBLE) * 256) AS sc
+       |  FROM lmdb GROUP BY 1),
+       |qag AS ($gopherRulesSql),
+       |qas AS (
+       |  SELECT d.sc, g.keep FROM qadoc d JOIN qag g ON g.doc_id = d.doc_id),
+       |qagrp AS (
+       |  SELECT sc, CAST(FLOOR(sc * 256) AS BIGINT) AS b,
+       |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |    CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n
+       |  FROM qas GROUP BY 1),
+       |qabt AS (
+       |  SELECT b, SUM(n) AS nb FROM qagrp GROUP BY 1),
+       |qacum AS (
+       |  SELECT b, COALESCE(SUM(nb) OVER (ORDER BY b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS cum_nb_before
+       |  FROM qabt),
+       |qa2 AS (
+       |  SELECT g.p, g.n,
+       |    c.cum_nb_before + SUM(g.n) OVER (PARTITION BY g.b ORDER BY g.sc)
+       |      AS cum_n_thru
+       |  FROM qagrp g JOIN qacum c ON c.b = g.b),
+       |qat AS (
+       |  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+       |    CAST(SUM(n) AS BIGINT) AS n_neg,
+       |    CAST(SUM(p * (2 * ((SELECT SUM(n) FROM qa2) - cum_n_thru) + n))
+       |      AS BIGINT) AS u2
+       |  FROM qa2)
+       |SELECT n_pos, n_neg, u2,
+       |  CAST(u2 AS DOUBLE)
+       |    / (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE)
+       |       * CAST(n_neg AS DOUBLE)) AS auc
+       |FROM qat""".stripMargin
+
   // ---------------------------------------------------- quality_ensemble
   // The shipped curation recipe as ONE report (the CCNet/FineWeb
   // composition): language-ID gate → Gopher heuristics → LM-perplexity
@@ -1073,6 +1159,7 @@ object TextQueries {
     QueryDef("text_stats", textStats, Some(textStatsSql)),
     QueryDef("lm_ppl", lmPpl, Some(lmPplSql)),
     QueryDef("mink_prob", minkProb, Some(minkProbSql)),
+    QueryDef("quality_auc", qualityAuc, Some(qualityAucSql)),
     QueryDef("quality_ensemble", qualityEnsemble, Some(qualityEnsembleSql)),
     QueryDef("zipf_tail", zipfTail, Some(zipfTailSql)),
     QueryDef("vocab_growth", vocabGrowth, Some(vocabGrowthSql)),

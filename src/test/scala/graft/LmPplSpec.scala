@@ -45,6 +45,31 @@ class LmPplSpec extends SparkTestBase {
     }
   }
 
+  test("quality_auc: bucketed U equals the brute-force pair count") {
+    val sf = "/root/testdata/sf0.001"
+    val Array(row) = SparkEntry.queries("quality_auc")(spark, sf).collect()
+    val (nPos, nNeg, u2, auc) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    // brute-force the doubled U over the collected (score, keep) pairs:
+    // 2·#(s_keep < s_drop) + #(s_keep = s_drop)
+    val ppl = SparkEntry.queries("lm_ppl")(spark, sf)
+      .select(col("doc_id"), col("mean_bits")).as[(Long, Double)]
+      .collect().toMap
+    val keep = SparkEntry.queries("gopher_rules")(spark, sf)
+      .select(col("doc_id"), col("keep")).as[(Long, Boolean)]
+      .collect().toMap
+    val scored = ppl.keys.toSeq.filter(keep.contains)
+      .map(id => (ppl(id), keep(id)))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    assert(nPos == pos.size && nNeg == neg.size)
+    val brute = (for (p <- pos; n <- neg) yield {
+      if (p < n) 2L else if (p == n) 1L else 0L
+    }).sum
+    assert(u2 == brute, s"u2 $u2 != brute $brute")
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
+
   test("lm_ppl: terciles per lang, higher-entropy docs land in tail") {
     val out = SparkEntry.queries("lm_ppl")(spark, "/root/testdata/sf0.001")
       .localCheckpoint()

@@ -599,6 +599,20 @@ class PlanSpec extends SparkTestBase {
       s"tercile window lost its lang partitioning:\n$s")
   }
 
+  test("quality_auc: within-score window is bucket-partitioned, no cartesian") {
+    val s = planString("quality_auc")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BatchEvalPython") && !s.contains("ScalaUDF"), s)
+    // the within-bucket cumulative window partitions by b — a global
+    // (empty-key) cum_n_in window would sort every distinct score on
+    // one task; the only unpartitioned window allowed is the bounded
+    // ≤13 825-row bucket table's cum_nb_before
+    assert(!s.matches("(?s).*Window \\[[^\\]]*\\], \\[cum_n_in.*"),
+      s"within-bucket window lost its bucket partitioning:\n$s")
+    // the 1-row total joins as a broadcast, never a shuffled cartesian
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("mink_prob: no cartesian; the top-k window is doc-partitioned") {
     val s = planString("mink_prob")
     assert(!s.contains("CartesianProduct"), s)
