@@ -785,9 +785,10 @@ object TextQueries {
     df.withColumn(out, expr(s"$e * 256 + $f")).drop(e, m, f)
   }
 
-  /** (doc_id, source, lang, w1, w2) — one row per bigram occurrence. */
-  private def bigramOcc(s: SparkSession, d: String): DataFrame =
-    Tables.parallelize(Tables.documents(s, d))
+  /** (doc_id, source, lang, w1, w2) — one row per bigram occurrence of
+    * `docs` (doc_id, source, lang, text). */
+  private[graft] def bigramOccOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
       .withColumn("t", tokens(col("text")))
       .withColumn("pairs", expr(
@@ -799,20 +800,19 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("lang"),
         col("p.w1").as("w1"), col("p.w2").as("w2"))
 
-  private def lmPpl(s: SparkSession, d: String): DataFrame =
-    graft.SharedStages.lmPplReport(s, d)
-
-  /** Per-(doc, bits) occurrence counts under the reference bigram LM —
-    * the shared input of lm_ppl's per-doc rollup AND mink_prob's
-    * top-k% selection ([[graft.SharedStages.lmDocBits]]). Occurrences
-    * whose bigram carries the same −log2 P collapse into one row, so
-    * the table is bounded by distinct (doc, score) pairs. */
-  private[graft] def buildLmDocBits(s: SparkSession, d: String): DataFrame = {
-    val occ = bigramOcc(s, d)
+  /** Per-(doc, bigram) occurrence counts of `docs`. */
+  private[graft] def bigramCountsOf(docs: DataFrame): DataFrame =
+    bigramOccOf(docs)
       .groupBy(col("doc_id"), col("source"), col("lang"),
         col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+
+  /** The reference bigram LM tables (refBi, refUni, vsz) derived from
+    * per-(doc, bigram) counts `occ` — counts restricted to the
+    * reference slice, per-(lang, w1) marginals, and the per-language
+    * smoothing vocabulary. */
+  private[graft] def lmModelOf(occ: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val refBi = occ.filter(col("source").isin(LmRefSources: _*))
       .groupBy(col("lang"), col("w1"), col("w2"))
       .agg(sum(col("cnt")).as("c12"))
@@ -821,6 +821,17 @@ object TextQueries {
       .agg(sum(col("c12")).as("c1"))
     val vsz = refBi.groupBy(col("lang"))
       .agg((countDistinct(col("w2")) + 1).as("v"))
+    (refBi, refUni, vsz)
+  }
+
+  /** Score per-(doc, bigram) counts `occ` against a FIXED LM
+    * (refBi, refUni, vsz) → per-(doc, bits) counts. The triple table
+    * carries the joins and the log chain; one join back distributes
+    * each triple's bits to the per-doc counts. Stateless given the
+    * model — the kernel both the batch stage and
+    * [[graft.streaming.StreamingPpl]] run. */
+  private[graft] def lmScoreBits(occ: DataFrame, refBi: DataFrame,
+      refUni: DataFrame, vsz: DataFrame): DataFrame = {
     val trip = occ.select(col("lang"), col("w1"), col("w2")).distinct()
     val scored0 = trip
       .join(refBi, Seq("lang", "w1", "w2"), "left")
@@ -835,6 +846,32 @@ object TextQueries {
     occ.join(tripScored, Seq("lang", "w1", "w2"))
       .groupBy(col("doc_id"), col("lang"), col("bits_q8"))
       .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Per-doc cross-entropy of `docs` against a fixed LM — the rollup
+    * of [[lmScoreBits]]: (doc_id, lang, n_bigrams, h_q8, mean_bits). */
+  private[graft] def lmDocScores(docs: DataFrame, refBi: DataFrame,
+      refUni: DataFrame, vsz: DataFrame): DataFrame =
+    lmScoreBits(bigramCountsOf(docs), refBi, refUni, vsz)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("bits_q8")).as("h_q8"))
+      .withColumn("mean_bits",
+        col("h_q8").cast("double") / (col("n_bigrams").cast("double") * 256))
+
+  private def lmPpl(s: SparkSession, d: String): DataFrame =
+    graft.SharedStages.lmPplReport(s, d)
+
+  /** Per-(doc, bits) occurrence counts under the reference bigram LM —
+    * the shared input of lm_ppl's per-doc rollup AND mink_prob's
+    * top-k% selection ([[graft.SharedStages.lmDocBits]]). Occurrences
+    * whose bigram carries the same −log2 P collapse into one row, so
+    * the table is bounded by distinct (doc, score) pairs. */
+  private[graft] def buildLmDocBits(s: SparkSession, d: String): DataFrame = {
+    val occ = bigramCountsOf(Tables.parallelize(Tables.documents(s, d)))
+      .localCheckpoint()
+    val (refBi, refUni, vsz) = lmModelOf(occ)
+    lmScoreBits(occ, refBi, refUni, vsz)
   }
 
   /** The full per-doc report — built once per (session, dir) via
