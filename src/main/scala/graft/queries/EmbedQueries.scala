@@ -458,6 +458,49 @@ object EmbedQueries {
        |FROM rec r JOIN cand c
        |  ON r.nprobe = c.nprobe AND r.query_id = c.query_id""".stripMargin
 
+  // ------------------------------------------------------ ivf_nprobe_gate
+  // The measure→act edge on ann_frontier's verdict — the third leg of
+  // the auto-tuning family (lsh_density→lsh_width widths the LSH,
+  // whiten_check→whiten_gate switches the metric, this sizes nprobe):
+  // aggregate the frontier to per-nprobe totals and CHOOSE the smallest
+  // swept nprobe whose macro recall clears the 0.9 target. The decision
+  // is the exact integer comparison 10·Σhit ≥ 9·Σexact (no float
+  // threshold to drift), and a choice always exists: nprobe = 8 probes
+  // every cell, so its recall is exactly 1.0 (IvfRecallSpec). The
+  // report keeps all sweep points with their candidate mass — the
+  // compute cost the chosen probe buys — and flags the winner, so the
+  // gate certifies the decision AND the evidence it acted on.
+  private def ivfNprobeGate(s: SparkSession, d: String): DataFrame = {
+    val agg = annFrontier(s, d).groupBy(col("nprobe"))
+      .agg(sum(col("n_hit")).as("t_hit"),
+        sum(col("n_exact")).as("t_exact"),
+        sum(col("n_cand")).as("t_cand"))
+    val best = agg
+      .filter(lit(10) * col("t_hit") >= lit(9) * col("t_exact"))
+      .agg(min(col("nprobe")).as("np_min"))
+    agg.crossJoin(broadcast(best)) // 1-row decision, broadcast
+      .withColumn("recall",
+        col("t_hit").cast("double") / col("t_exact").cast("double"))
+      .withColumn("chosen", col("nprobe") === col("np_min"))
+      .select(col("nprobe"), col("t_exact"), col("t_hit"), col("t_cand"),
+        col("recall"), col("chosen"))
+  }
+
+  private def ivfNprobeGateSql =
+    s"""WITH fr AS ($annFrontierSql),
+       |agg AS (
+       |  SELECT nprobe, CAST(SUM(n_hit) AS BIGINT) AS t_hit,
+       |    CAST(SUM(n_exact) AS BIGINT) AS t_exact,
+       |    CAST(SUM(n_cand) AS BIGINT) AS t_cand
+       |  FROM fr GROUP BY 1),
+       |best AS (
+       |  SELECT MIN(nprobe) AS np_min FROM agg
+       |  WHERE 10 * t_hit >= 9 * t_exact)
+       |SELECT a.nprobe, a.t_exact, a.t_hit, a.t_cand,
+       |  CAST(a.t_hit AS DOUBLE) / CAST(a.t_exact AS DOUBLE) AS recall,
+       |  a.nprobe = b.np_min AS chosen
+       |FROM agg a CROSS JOIN best b""".stripMargin
+
   // ---------------------------------------------------------- dedup_embed
   // Embedding-cosine near-dup CANONICALIZATION: the blocked cosine pairs
   // become edges, connected components assign every vector its
@@ -2218,6 +2261,7 @@ object EmbedQueries {
     QueryDef("ivf_search", ivfSearch, Some(ivfSearchSql)),
     QueryDef("ann_recall", annRecall, Some(annRecallSql)),
     QueryDef("ann_frontier", annFrontier, Some(annFrontierSql)),
+    QueryDef("ivf_nprobe_gate", ivfNprobeGate, Some(ivfNprobeGateSql)),
     QueryDef("dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     QueryDef("pq_train", pqTrainDf, Some(pqTrainSql)),
     QueryDef("pq_assign", pqAssignDf, Some(pqAssignSql)),

@@ -28,6 +28,27 @@ class IvfRecallSpec extends SparkTestBase {
     assert(recall >= 0.5, f"recall $recall%.2f not above random-probe floor")
   }
 
+  test("ivf_nprobe_gate: chooses the smallest sweep point clearing 0.9") {
+    val rows = SparkEntry.queries("ivf_nprobe_gate")(spark, sf)
+      .select("nprobe", "t_exact", "t_hit", "recall", "chosen")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.map(_._1).toSet == Set(2, 4, 8))
+    // nprobe = 8 probes every cell → a winner always exists
+    val full = rows.find(_._1 == 8).get
+    assert(full._4 == 1.0, s"nprobe=8 recall ${full._4} != 1.0")
+    val chosen = rows.filter(_._5)
+    assert(chosen.length == 1, s"expected one winner, got ${chosen.toSeq}")
+    val win = chosen.head
+    // the winner clears the exact-integer target...
+    assert(10 * win._3 >= 9 * win._2, s"winner misses target: $win")
+    // ...and every smaller sweep point misses it
+    rows.filter(_._1 < win._1).foreach { r =>
+      assert(10 * r._3 < 9 * r._2, s"smaller nprobe also clears: $r")
+    }
+  }
+
   test("ann_frontier: recall monotone in nprobe, exact at nprobe = 8") {
     val rows = SparkEntry.queries("ann_frontier")(spark, sf)
       .select("nprobe", "query_id", "recall", "n_cand")
