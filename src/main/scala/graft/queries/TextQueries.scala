@@ -1002,8 +1002,14 @@ object TextQueries {
   // the memoized lmDocBits stage; this query adds one doc-keyed window
   // (partitions bounded by per-doc distinct scores) and two doc-keyed
   // aggregations. No new corpus scan, no new shuffle family.
-  private def minkProb(s: SparkSession, d: String): DataFrame = {
-    val db = graft.SharedStages.lmDocBits(s, d)
+  private def minkProb(s: SparkSession, d: String): DataFrame =
+    minkOf(graft.SharedStages.lmDocBits(s, d))
+
+  /** The top-k% walk over any per-(doc, bits) counts table
+    * (doc_id, lang, bits_q8, cnt) — factored so the boundary-remainder
+    * arithmetic is property-testable against brute force in isolation
+    * (LmPplSpec drives it with random tables). */
+  private[graft] def minkOf(db: DataFrame): DataFrame = {
     val agg = db.groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_bigrams"))
       .withColumn("k_occ", expr("(n_bigrams + 4) DIV 5"))

@@ -45,6 +45,32 @@ class LmPplSpec extends SparkTestBase {
     }
   }
 
+  test("mink_prob kernel: window walk == brute force on random tables") {
+    // the boundary-remainder arithmetic is the one place an off-by-one
+    // would silently shift h_topk_q8 — drive the kernel with seeded
+    // random per-(doc, bits) tables and replay each doc by brute force
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val rows = for {
+      doc <- 1 to 40
+      nBits = 1 + rnd.nextInt(6)
+      bits <- rnd.shuffle((1 to 50).toList).take(nBits)
+    } yield (doc.toLong, "en", bits.toLong, 1L + rnd.nextInt(7))
+    val db = rows.toDF("doc_id", "lang", "bits_q8", "cnt")
+    val got = graft.queries.TextQueries.minkOf(db)
+      .select(col("doc_id"), col("n_bigrams"), col("k_occ"), col("h_topk_q8"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      // expand to occurrences, sort descending, sum the k largest
+      val occ = rs.flatMap(r => Seq.fill(r._4.toInt)(r._3))
+        .sortBy(-_)
+      val n = occ.size.toLong
+      val k = (n + 4) / 5
+      val brute = occ.take(k.toInt).sum
+      assert(got(doc) == ((n, k, brute)), s"doc $doc: ${got(doc)} vs ($n, $k, $brute)")
+    }
+  }
+
   test("quality_auc: bucketed U equals the brute-force pair count") {
     val sf = "/root/testdata/sf0.001"
     val Array(row) = SparkEntry.queries("quality_auc")(spark, sf).collect()
