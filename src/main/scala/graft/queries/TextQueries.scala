@@ -786,19 +786,22 @@ object TextQueries {
   }
 
   /** (doc_id, source, lang, w1, w2) — one row per bigram occurrence of
-    * `docs` (doc_id, source, lang, text). */
+    * `docs` (doc_id, source, lang, text). slice + arrays_zip + explode,
+    * NOT a transform() lambda: HOF lambdas drop out of whole-stage
+    * codegen and serialize per task thread (the round-7 winnowing
+    * postmortem, BENCH_NOTES) — the lambda form measured 16.3 s for the
+    * sf0.1 occurrence pass vs ~3 s for this shape. */
   private[graft] def bigramOccOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
       .withColumn("t", tokens(col("text")))
-      .withColumn("pairs", expr(
-        "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), " +
-          "j -> struct(t[j] AS w1, t[j + 1] AS w2)) " +
-          "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"))
+      .filter(size(col("t")) >= 2)
+      .withColumn("t1", slice(col("t"), lit(1), size(col("t")) - 1))
+      .withColumn("t2", slice(col("t"), lit(2), size(col("t")) - 1))
       .select(col("doc_id"), col("source"), col("lang"),
-        explode(col("pairs")).as("p"))
+        explode(arrays_zip(col("t1"), col("t2"))).as("p"))
       .select(col("doc_id"), col("source"), col("lang"),
-        col("p.w1").as("w1"), col("p.w2").as("w2"))
+        col("p.t1").as("w1"), col("p.t2").as("w2"))
 
   /** Per-(doc, bigram) occurrence counts of `docs`. */
   private[graft] def bigramCountsOf(docs: DataFrame): DataFrame =
