@@ -50,4 +50,24 @@ object StreamingPpl {
         sink(graft.queries.TextQueries.lmDocScores(batch, refBi, refUni, vsz))
       }
       .start()
+
+  /** The Min-K% form: per micro-batch, each doc's top-20%
+    * least-likely-occurrence mean against the same fixed LM — the
+    * membership/contamination screen (mink_prob) run at ingest, e.g.
+    * flagging benchmark text arriving in a crawl before it lands in a
+    * training shard. Per-doc like the ppl score, so the same
+    * stateless-given-model twin shape applies; emits
+    * (doc_id, lang, n_bigrams, k_occ, h_topk_q8, mink_bits). */
+  def startMink(docsStream: DataFrame, refBi: DataFrame, refUni: DataFrame,
+                vsz: DataFrame, checkpoint: String)
+               (sink: DataFrame => Unit): StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val q = graft.queries.TextQueries
+        sink(q.minkOf(q.lmScoreBits(q.bigramCountsOf(batch),
+          refBi, refUni, vsz)))
+      }
+      .start()
 }

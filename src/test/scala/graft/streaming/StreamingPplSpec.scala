@@ -59,6 +59,36 @@ class StreamingPplSpec extends SparkTestBase {
     assert(collected.size == collected.map(key).distinct.size)
   }
 
+  test("startMink: per-micro-batch Min-K% scores equal the batch report") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"lang", $"text")
+      .as[PplDocRow].collect().toSeq.sortBy(_.doc_id)
+    val occ = TextQueries.bigramCountsOf(docs.toDF()).localCheckpoint()
+    val (refBi, refUni, vsz) = TextQueries.lmModelOf(occ)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PplDocRow]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingPpl.startMink(input.toDF(), refBi, refUni, vsz,
+      Files.createTempDirectory("mink-ckpt").toString) { scored =>
+      collected.synchronized { collected ++= scored.collect() }
+    }
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def key(r: Row) = (r.getLong(r.fieldIndex("doc_id")),
+      r.getLong(r.fieldIndex("n_bigrams")),
+      r.getLong(r.fieldIndex("k_occ")),
+      r.getLong(r.fieldIndex("h_topk_q8")))
+    val streamed = collected.map(key).toSet
+    val batch = graft.SparkEntry.queries("mink_prob")(spark, sf)
+      .collect().map(key).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("unseen bigrams hit the smoothing floor; an uncovered language is excluded") {
     // LM trained on ONE reference doc: lang en, "a b a b"
     //   refBi (en): (a,b)→2, (b,a)→1; refUni: a→2, b→1; V = |{a,b}|+1 = 3
