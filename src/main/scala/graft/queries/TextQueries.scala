@@ -505,6 +505,48 @@ object TextQueries {
        |FROM bpe b JOIN uni u ON u.wlen = b.wlen""".stripMargin
   }
 
+  // ------------------------------------------------------------ tok_gate
+  // The measure→act edge on tok_compare's verdict (the lsh_width /
+  // whiten_gate / ivf_nprobe_gate discipline, applied to the tokenizer
+  // choice): roll the per-word-length head-to-head up to corpus totals
+  // and CHOOSE the trainer with lower overall fertility. The decision
+  // is the exact integer cross-multiplication
+  // bpe_pieces·uni_freq ≤ uni_pieces·bpe_freq (no float threshold to
+  // drift; ties go to BPE, the cheaper trainer), so both engines pick
+  // the same tokenizer from the same evidence — which the report keeps
+  // alongside the verdict.
+  private def tokGate(s: SparkSession, d: String): DataFrame =
+    tokCompare(s, d)
+      .agg(sum(col("bpe_pieces")).as("bpe_pieces"),
+        sum(col("bpe_freq")).as("bpe_freq"),
+        sum(col("uni_pieces")).as("uni_pieces"),
+        sum(col("uni_freq")).as("uni_freq"))
+      .withColumn("bpe_fertility",
+        col("bpe_pieces").cast("double") / col("bpe_freq").cast("double"))
+      .withColumn("uni_fertility",
+        col("uni_pieces").cast("double") / col("uni_freq").cast("double"))
+      .withColumn("chosen",
+        when(col("bpe_pieces") * col("uni_freq") <=
+          col("uni_pieces") * col("bpe_freq"), lit("bpe"))
+          .otherwise(lit("unigram")))
+
+  private def tokGateSql =
+    s"""WITH tc AS ($tokCompareSql),
+       |tg AS (
+       |  SELECT CAST(SUM(bpe_pieces) AS BIGINT) AS bpe_pieces,
+       |    CAST(SUM(bpe_freq) AS BIGINT) AS bpe_freq,
+       |    CAST(SUM(uni_pieces) AS BIGINT) AS uni_pieces,
+       |    CAST(SUM(uni_freq) AS BIGINT) AS uni_freq
+       |  FROM tc)
+       |SELECT bpe_pieces, bpe_freq, uni_pieces, uni_freq,
+       |  CAST(bpe_pieces AS DOUBLE) / CAST(bpe_freq AS DOUBLE)
+       |    AS bpe_fertility,
+       |  CAST(uni_pieces AS DOUBLE) / CAST(uni_freq AS DOUBLE)
+       |    AS uni_fertility,
+       |  CASE WHEN bpe_pieces * uni_freq <= uni_pieces * bpe_freq
+       |       THEN 'bpe' ELSE 'unigram' END AS chosen
+       |FROM tg""".stripMargin
+
   // -------------------------------------------------------- topic_assign
   // Weak topic labeling by seed-keyword voting — the cheap corpus
   // bucketing step a mixture pipeline runs before anything learned:
@@ -1218,6 +1260,7 @@ object TextQueries {
     QueryDef("unigram_train", unigramTrain, Some(unigramTrainSql)),
     QueryDef("unigram_tokenize", unigramTokenize, Some(unigramTokenizeSql)),
     QueryDef("tok_compare", tokCompare, Some(tokCompareSql)),
+    QueryDef("tok_gate", tokGate, Some(tokGateSql)),
     QueryDef("lang_id", langId, Some(langIdSql)),
     QueryDef("lang_confusion", langConfusion, Some(langConfusionSql)),
     QueryDef("text_lang_agg", langAgg, Some(langAggSql)),

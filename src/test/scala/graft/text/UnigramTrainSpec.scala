@@ -85,4 +85,17 @@ class UnigramTrainSpec extends SparkTestBase {
       assert(r.getSeq[String](2).mkString("") == w, s"'$w' pieces don't concatenate back")
     }
   }
+
+  test("tok_gate: verdict matches the exact cross-multiplied fertility order") {
+    val Array(row) = graft.SparkEntry
+      .queries("tok_gate")(spark, "/root/testdata/sf0.001").collect()
+    val bp = row.getLong(row.fieldIndex("bpe_pieces"))
+    val bf = row.getLong(row.fieldIndex("bpe_freq"))
+    val up = row.getLong(row.fieldIndex("uni_pieces"))
+    val uf = row.getLong(row.fieldIndex("uni_freq"))
+    val chosen = row.getString(row.fieldIndex("chosen"))
+    assert(bp >= bf && up >= uf, "fertility below 1 is impossible")
+    val expect = if (bp * uf <= up * bf) "bpe" else "unigram"
+    assert(chosen == expect, s"chosen $chosen, evidence ($bp/$bf vs $up/$uf)")
+  }
 }
