@@ -30,6 +30,52 @@ object EmbedQueries {
        |  FROM pairs)
        |SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5""".stripMargin
 
+  // ---------------------------------------------------------- context_pack
+  // RAG context assembly at retrieval time: for each query, walk its
+  // ranked kNN results in relevance order and keep the PREFIX that fits
+  // a fixed token budget — the step between "retrieve top-k" and "build
+  // the prompt" that every retrieval deployment runs per request. Pack
+  // semantics are the budget_select prefix discipline applied per
+  // query: cumulative token count over the (cos DESC, neighbor_id)
+  // rank, keep while cum ≤ budget (first overflow truncates the
+  // context; later smaller docs do NOT back-fill — contexts preserve
+  // relevance order). Scale shape: the ranked retrieval is knn_topk's
+  // plan; packing adds one doc-keyed join for token counts and one
+  // query-partitioned window (k rows per query) — cost ∝ queries · k.
+  private val ContextBudget = 256L
+
+  private def contextPack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"),
+        size(graft.text.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    knnTopK(s, d)
+      .join(tok, col("neighbor_id") === col("doc_id"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= lit(ContextBudget))
+      .select(col("query_id"), col("rk").as("rank"), col("neighbor_id"),
+        col("n_tok"), col("cum_tok"))
+  }
+
+  private def contextPackSql =
+    s"""WITH nn AS ($knnTopKSql),
+       |dtok AS (
+       |  SELECT doc_id,
+       |    CAST(len(${graft.text.TextFunctions.tokensSql("text")}) AS BIGINT)
+       |      AS n_tok
+       |  FROM documents),
+       |packed AS (
+       |  SELECT nn.query_id, nn.rk AS rank, nn.neighbor_id, t.n_tok,
+       |    SUM(t.n_tok) OVER (PARTITION BY nn.query_id
+       |      ORDER BY nn.cos DESC, nn.neighbor_id) AS cum_tok
+       |  FROM nn JOIN dtok t ON t.doc_id = nn.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, n_tok,
+       |  CAST(cum_tok AS BIGINT) AS cum_tok
+       |FROM packed WHERE cum_tok <= $ContextBudget""".stripMargin
+
   // ----------------------------------------------------------- lsh_density
   // RP-LSH bucket-occupancy report, per hash table: used buckets, max
   // occupancy, and the CANDIDATE-PAIR MASS Σ c·(c−1)/2 — the actual
@@ -2234,6 +2280,7 @@ object EmbedQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_topk", knnTopK, Some(knnTopKSql)),
+    QueryDef("context_pack", contextPack, Some(contextPackSql)),
     QueryDef("embed_dim_stats", embedDimStats, Some(embedDimStatsSql)),
     QueryDef("cos_calibration", cosCalibration, Some(cosCalibrationSql)),
     QueryDef("embed_outliers", embedOutliers, Some(embedOutliersSql)),

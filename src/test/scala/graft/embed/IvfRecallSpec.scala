@@ -49,6 +49,25 @@ class IvfRecallSpec extends SparkTestBase {
     }
   }
 
+  test("context_pack: per query a contiguous rank prefix, budget-tight") {
+    val budget = 256L
+    val kept = SparkEntry.queries("context_pack")(spark, sf)
+      .select("query_id", "rank", "n_tok", "cum_tok")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    kept.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._2)
+      // a contiguous prefix of the relevance ranking, starting at 1
+      assert(byRank.map(_._2).toSeq == (1L to byRank.length.toLong).toSeq,
+        s"query $q kept non-prefix ranks: ${byRank.map(_._2).toSeq}")
+      // cum is the running sum and stays within budget
+      var cum = 0L
+      byRank.foreach { r => cum += r._3; assert(r._4 == cum, s"$q: $r") }
+      assert(cum <= budget, s"query $q blew the budget: $cum")
+    }
+  }
+
   test("ann_frontier: recall monotone in nprobe, exact at nprobe = 8") {
     val rows = SparkEntry.queries("ann_frontier")(spark, sf)
       .select("nprobe", "query_id", "recall", "n_cand")
