@@ -204,6 +204,66 @@ object TrainingQueries {
       |SELECT lang, n_docs, w, w / w_max AS ratio
       |FROM byl CROSS JOIN m""".stripMargin
 
+  // -------------------------------------------------- mix_dedup_weights
+  // Dedup-AWARE mixture weights per source: a source's sampling weight
+  // follows its UNIQUE token mass, not its raw size — the correction
+  // every multi-source mix applies so a corpus that is 40% internal
+  // boilerplate doesn't buy 40% more sampling probability with
+  // duplicated bytes (dup_inflation measures the inflation; this is
+  // the act). Effective tokens = total − tokens held by exact-dup
+  // LOSERS (the keep-first discipline of dedup_exact, same md5
+  // fingerprint, keeper = min doc_id). Unlike mix_temperature's
+  // sqrt-vs-max form, the share here normalizes against the SUM —
+  // safe, because the sum is over exact integer token counts, not
+  // doubles. One fp-partitioned window + one source rollup.
+  private def mixDedupWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"),
+        md5(lower(trim(col("text")))).as("fp"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("fp"))
+    val per = docs.withColumn("keeper", min(col("doc_id")).over(w))
+      .withColumn("dup_tok",
+        when(col("doc_id") =!= col("keeper"), col("n_tok")).otherwise(lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok_total"),
+        sum(col("dup_tok")).as("tok_dup"))
+      .withColumn("tok_eff", col("tok_total") - col("tok_dup"))
+    val tot = per.agg(sum(col("tok_eff")).as("eff_total"))
+    per.crossJoin(broadcast(tot)) // 1-row exact-integer total
+      .withColumn("weight",
+        col("tok_eff").cast("double") / col("eff_total").cast("double"))
+      .select(col("source"), col("n_docs"), col("tok_total"),
+        col("tok_dup"), col("tok_eff"), col("weight"))
+  }
+
+  private def mixDedupWeightsSql = {
+    val toks = tokensSql("text")
+    s"""WITH dtk AS (
+       |  SELECT doc_id, source, md5(lower(trim(text))) AS fp,
+       |    CAST(len($toks) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |flag AS (
+       |  SELECT source, doc_id, n_tok,
+       |    MIN(doc_id) OVER (PARTITION BY fp) AS keeper
+       |  FROM dtk),
+       |per AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+       |    CAST(SUM(CASE WHEN doc_id <> keeper THEN n_tok ELSE 0 END)
+       |      AS BIGINT) AS tok_dup
+       |  FROM flag GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(tok_total - tok_dup) AS BIGINT) AS eff_total
+       |  FROM per)
+       |SELECT source, n_docs, tok_total, tok_dup,
+       |  tok_total - tok_dup AS tok_eff,
+       |  CAST(tok_total - tok_dup AS DOUBLE) / CAST(eff_total AS DOUBLE)
+       |    AS weight
+       |FROM per CROSS JOIN tot""".stripMargin
+  }
+
   // --------------------------------------------------- dup_cluster_sizes
   // The duplicate-cluster size histogram: near-dup components → cluster
   // sizes → (cluster_size, n_clusters) — the report that tells a
@@ -588,6 +648,7 @@ object TrainingQueries {
     QueryDef("vocab_drift", vocabDrift, Some(vocabDriftSql)),
     QueryDef("kmeans_step", kmeansStep, Some(kmeansStepSql)),
     QueryDef("mix_temperature", mixTemperature, Some(mixTemperatureSql)),
+    QueryDef("mix_dedup_weights", mixDedupWeights, Some(mixDedupWeightsSql)),
     QueryDef("dup_cluster_sizes", dupClusterSizes, Some(dupClusterSizesSql)),
     QueryDef("dup_source_matrix", dupSourceMatrix, Some(dupSourceMatrixSql)),
     QueryDef("chunk_stride", chunkStride, Some(chunkStrideSql)),

@@ -175,4 +175,23 @@ class TrainingQueriesSpec extends SparkTestBase {
     assert(out.nonEmpty)
     assert(out.forall(_._1 >= 2)) // only nodes on edges are labeled
   }
+
+  test("mix_dedup_weights: weights are the exact effective-token shares") {
+    val out = SparkEntry.queries("mix_dedup_weights")(spark, d)
+      .select($"source", $"tok_total", $"tok_dup", $"tok_eff", $"weight")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val effTotal = out.map(_._4).sum
+    out.foreach { case (src, total, dup, eff, w) =>
+      assert(dup >= 0 && dup <= total, s"$src: dup $dup of $total")
+      assert(eff == total - dup, s"$src: eff mismatch")
+      assert(w == eff.toDouble / effTotal.toDouble, s"$src: weight drift")
+    }
+    assert(math.abs(out.map(_._5).sum - 1.0) < 1e-9)
+    // consistency with dedup_exact: duplicate token mass exists iff
+    // some fingerprint group has more than one member
+    val dupGroups = SparkEntry.queries("dedup_exact")(spark, d)
+      .filter($"n_docs" > 1).count()
+    assert((out.map(_._3).sum > 0) == (dupGroups > 0))
+  }
 }
