@@ -193,6 +193,15 @@ object SharedStages {
       graft.queries.TextQueries.buildLmDocBits(s, dir).localCheckpoint()
     }
 
+  /** Materialized IVF recall/compute frontier (ann_frontier) —
+    * consumed by the standalone report AND the nprobe decision gate
+    * (ivf_nprobe_gate). 30 rows (3 sweep points × 10 queries); what it
+    * saves is the sweep's candidate scoring re-running per consumer. */
+  def annFrontier(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "annFrontier") {
+      graft.queries.EmbedQueries.buildAnnFrontier(s, dir).localCheckpoint()
+    }
+
   /** Materialized per-doc bigram-LM cross-entropy report (lm_ppl) —
     * consumed by the standalone report AND the quality_ensemble
     * composition (whose ppl gate is exactly this table's tercile). One

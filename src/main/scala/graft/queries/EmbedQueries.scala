@@ -401,7 +401,15 @@ object EmbedQueries {
   // 3-row broadcast, so the frontier costs barely more than one search.
   private val FrontierProbes = Seq(2, 4, 8)
 
-  private def annFrontier(s: SparkSession, d: String): DataFrame = {
+  private def annFrontier(s: SparkSession, d: String): DataFrame =
+    graft.SharedStages.annFrontier(s, d)
+
+  /** The frontier sweep itself — built once per (session, dir) via
+    * [[graft.SharedStages.annFrontier]]; the standalone report and the
+    * nprobe decision gate (ivf_nprobe_gate) both read the
+    * materialization, the way a deployment prices the sweep once and
+    * tunes from the stored table. */
+  private[graft] def buildAnnFrontier(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val qd = Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")

@@ -337,7 +337,11 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("ann_frontier: sweep and seeds ride broadcasts, no cartesian blowup") {
-    val s = planString("ann_frontier")
+    // audit the BUILDER's plan — the registered query reads the
+    // SharedStages materialization (a checkpointed scan) shared with
+    // ivf_nprobe_gate
+    val s = graft.queries.EmbedQueries.buildAnnFrontier(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(!s.contains("CartesianProduct"), s)
     // the 8 seeds, the 3-row nprobe sweep, and the exact side cross as
     // bounded broadcasts; the candidate join stays keyed by cell
