@@ -525,9 +525,14 @@ object TextQueries {
         col("bpe_pieces").cast("double") / col("bpe_freq").cast("double"))
       .withColumn("uni_fertility",
         col("uni_pieces").cast("double") / col("uni_freq").cast("double"))
+      // decimal(38) products: corpus-scale token counts (~10^13 at
+      // 100 TB) overflow a BIGINT cross-multiplication; DECIMAL on the
+      // Spark side and HUGEINT in the oracle keep the comparison exact
       .withColumn("chosen",
-        when(col("bpe_pieces") * col("uni_freq") <=
-          col("uni_pieces") * col("bpe_freq"), lit("bpe"))
+        when(col("bpe_pieces").cast("decimal(38,0)") *
+          col("uni_freq").cast("decimal(38,0)") <=
+          col("uni_pieces").cast("decimal(38,0)") *
+          col("bpe_freq").cast("decimal(38,0)"), lit("bpe"))
           .otherwise(lit("unigram")))
 
   private def tokGateSql =
@@ -543,7 +548,8 @@ object TextQueries {
        |    AS bpe_fertility,
        |  CAST(uni_pieces AS DOUBLE) / CAST(uni_freq AS DOUBLE)
        |    AS uni_fertility,
-       |  CASE WHEN bpe_pieces * uni_freq <= uni_pieces * bpe_freq
+       |  CASE WHEN CAST(bpe_pieces AS HUGEINT) * uni_freq
+       |         <= CAST(uni_pieces AS HUGEINT) * bpe_freq
        |       THEN 'bpe' ELSE 'unigram' END AS chosen
        |FROM tg""".stripMargin
 
