@@ -29,6 +29,24 @@ import graft.embed.{RpLsh, Similarity}
 object StreamingEmbedDedup {
   import RpLsh.{BitsPerTable, NumTables}
 
+  /** State-layout version, embedded in every grouping key ("v2|t:b").
+    *
+    * The bucket value is a function of the plane table layout: round 13
+    * moved plane indexing from `planes(t*BitsPerTable+b)` to the MaxBits
+    * grid accessor `RpLsh.plane(t, b)`, which reassigns every bucket —
+    * state persisted under one layout is MEANINGLESS under another, and
+    * without a version marker a restarted stream over an old checkpoint
+    * would silently probe the wrong buckets and miss duplicates
+    * (advisor finding, round 13). With the version in the key, old
+    * state lives under keys a new binary never produces: it expires
+    * untouched by its timers and can never be confused for a current
+    * bucket. Any future change to plane indexing, quantization, or key
+    * shape MUST bump this constant — StreamingEmbedDedupSpec pins the
+    * exact key strings of a golden vector, so an unversioned layout
+    * change fails the build loudly instead of shipping a silent
+    * mismatch. */
+  val StateLayoutVersion = 2
+
   case class VecEvent(vec_id: Long, embedding: Seq[Float], ts: Timestamp)
   case class BucketedVec(bk: String, vec_id: Long, q: Seq[Long], nq: Long,
                          ts: Timestamp)
@@ -49,13 +67,21 @@ object StreamingEmbedDedup {
     (q, nq)
   }
 
-  /** One "t:bucket" key per hash table — sign-of-dot bits against the
-    * fixed integer planes, matching [[RpLsh.buckets]]. */
-  def bucketKeys(q: Array[Long]): Seq[String] =
-    (0 until NumTables).map { t =>
+  /** One "v<layout>|t:bucket" key per hash table — sign-of-dot bits
+    * against the fixed integer planes, matching [[RpLsh.buckets]] at
+    * the given (tables, bits) width. The default is the MIN width (an
+    * unbounded stream has no final n); pass the [[RpLsh.widthFor]] of
+    * an expected corpus size to match a batch run's adaptive width —
+    * streaming and batch bucket sets are identical ONLY when their
+    * widths agree (below the first widthFor seam, n ≤ 1024, the
+    * defaults already agree; above it the caller must size the
+    * stream — see [[nearPairs]]). */
+  def bucketKeys(q: Array[Long], tables: Int = NumTables,
+                 bits: Int = BitsPerTable): Seq[String] =
+    (0 until tables).map { t =>
       var bucket = 0L
       var b = 0
-      while (b < BitsPerTable) {
+      while (b < bits) {
         val plane = RpLsh.plane(t, b)
         var dot = 0L
         var i = 0
@@ -65,7 +91,7 @@ object StreamingEmbedDedup {
         if (dot > 0) bucket |= (1L << b)
         b += 1
       }
-      s"$t:$bucket"
+      s"v$StateLayoutVersion|$t:$bucket"
     }
 
   /** Exact quantized cosine, the [[Similarity.cosine]] double chain. */
@@ -142,14 +168,30 @@ object StreamingEmbedDedup {
   /** Streaming verified near pairs over `vecs` (vec_id, embedding, ts —
     * not yet watermarked; the horizon doubles as the watermark delay).
     * Requires the RocksDB state store provider. Each qualifying pair
-    * exactly once (cross-table dedup included). */
+    * exactly once (cross-table dedup included).
+    *
+    * `expectedCorpusSize`: an unbounded stream has no final n for
+    * [[RpLsh.widthFor]], so the LSH width must be CONFIGURED, not
+    * derived. None (default) runs the min width (4×8) — correct for
+    * streams whose live horizon holds ≤1024 vectors, and the only
+    * setting whose buckets match a ≤1024-vector batch run. For larger
+    * standing corpora pass the expected size: the stream then hashes at
+    * widthFor(n), matching the batch pipeline's buckets at that tier
+    * (streaming ≡ batch equivalence holds exactly when the two widths
+    * agree — spec-pinned). Changing the width across a restart is a
+    * state-layout change (bucket values shift): bump checkpoints, as
+    * with [[StateLayoutVersion]]. */
   def nearPairs(vecs: Dataset[VecEvent], threshold: Double,
                 horizonSec: Long = 600,
-                capacity: Int = 256): Dataset[EmbedPair] = {
+                capacity: Int = 256,
+                expectedCorpusSize: Option[Long] = None): Dataset[EmbedPair] = {
     import vecs.sparkSession.implicits._
+    val (tables, bits) = expectedCorpusSize
+      .map(RpLsh.widthFor).getOrElse((NumTables, BitsPerTable))
     vecs.flatMap { v =>
       val (q, nq) = quantize(v.embedding)
-      bucketKeys(q).map(bk => BucketedVec(bk, v.vec_id, q.toSeq, nq, v.ts))
+      bucketKeys(q, tables, bits)
+        .map(bk => BucketedVec(bk, v.vec_id, q.toSeq, nq, v.ts))
     }
       .withWatermark("ts", s"$horizonSec seconds")
       .groupByKey(_.bk)

@@ -1639,16 +1639,29 @@ object EmbedQueries {
   // driver-side O(d²) arithmetic already memoized in SharedStages.
   private val WhitenGateThr = "0.03125" // 2/d, d = 64 — exact in binary
 
-  private def whitenGate(s: SparkSession, d: String): DataFrame = {
+  /** Aggressive-policy threshold: 1/(2d) = 1/128, HALF the isotropic
+    * floor 1/d. The top eigen-share of any Gram is ≥ 1/d (the max
+    * eigenvalue is at least the average), so this policy always takes
+    * the residual branch — registering it alongside the default
+    * 2/d policy makes BOTH branches of the gate's mirrored UNION
+    * hash-certified on the same (near-isotropic) fixtures, where the
+    * default policy only ever exercises the raw side (advisor finding,
+    * round 13). */
+  private val WhitenForceThr = "0.0078125" // 1/(2d) — exact in binary
+
+  private def whitenGate(s: SparkSession, d: String,
+                         thr: String = WhitenGateThr): DataFrame = {
     val share = graft.SharedStages.pcaTopK(s, d).head.evRatio
-    val abtt = share >= WhitenGateThr.toDouble
+    val abtt = share >= thr.toDouble
     val pairs = if (abtt) abttPairs(s, d)
                 else graft.SharedStages.embedPairs(s, d)
     pairs.withColumn("mode", lit(if (abtt) "abtt" else "raw"))
       .select(col("mode"), col("cell"), col("a_id"), col("b_id"), col("cos"))
   }
 
-  private def whitenGateSql = {
+  private def whitenGateSql: String = whitenGateSqlFor(WhitenGateThr)
+
+  private def whitenGateSqlFor(thr: String) = {
     val K = PcaPower.NumComponents
     val sh = PcaPower.RayShift
     val lam =
@@ -1674,13 +1687,13 @@ object EmbedQueries {
        |SELECT 'raw' AS mode, a.label AS cell,
        |  a.vec_id AS a_id, b.vec_id AS b_id, $rawCos AS cos
        |FROM qv a JOIN qv b ON a.label = b.label AND a.vec_id < b.vec_id, shr
-       |WHERE shr.share < CAST($WhitenGateThr AS DOUBLE)
+       |WHERE shr.share < CAST($thr AS DOUBLE)
        |  AND $rawCos >= CAST(0.35 AS DOUBLE)
        |UNION ALL
        |SELECT 'abtt' AS mode, a.label AS cell,
        |  a.vec_id AS a_id, b.vec_id AS b_id, $resCos AS cos
        |FROM rv a JOIN rv b ON a.label = b.label AND a.vec_id < b.vec_id, shr
-       |WHERE shr.share >= CAST($WhitenGateThr AS DOUBLE)
+       |WHERE shr.share >= CAST($thr AS DOUBLE)
        |  AND a.nr > 0 AND b.nr > 0
        |  AND $resCos >= CAST($AbttTau AS DOUBLE)""".stripMargin
   }
@@ -2302,7 +2315,10 @@ object EmbedQueries {
     QueryDef("pca_power", pcaPower, Some(pcaPowerSql)),
     QueryDef("pca_topk", pcaTopk, Some(pcaTopkSql)),
     QueryDef("whiten_check", whitenCheck, Some(whitenCheckSql)),
-    QueryDef("whiten_gate", whitenGate, Some(whitenGateSql)),
+    QueryDef("whiten_gate", whitenGate(_, _), Some(whitenGateSql)),
+    QueryDef("whiten_gate_force",
+      whitenGate(_, _, WhitenForceThr),
+      Some(whitenGateSqlFor(WhitenForceThr))),
     QueryDef("pca_project", pcaProject, Some(pcaProjectSql)),
     QueryDef("abtt_pairs", abttPairs, Some(abttPairsSql)),
     QueryDef("semdedup_prune", semdedupPrune, Some(semdedupPruneSql)),

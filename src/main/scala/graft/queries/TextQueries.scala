@@ -1143,8 +1143,15 @@ object TextQueries {
         (lit(2) * (col("ntot") - col("cum_n_thru")) + col("n")))
       .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
         sum(col("contrib")).as("u2"))
-      .withColumn("auc", col("u2").cast("double") /
-        (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+      // degenerate gate (everything kept or everything dropped): AUC is
+      // undefined — emit NULL, not the engine-dependent inf/NaN of a
+      // division by zero (Spark IEEE vs DuckDB NULL would break parity)
+      .withColumn("auc",
+        when(col("n_pos") === 0 || col("n_neg") === 0,
+          lit(null).cast("double"))
+          .otherwise(col("u2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double")
+              * col("n_neg").cast("double"))))
       .select(col("n_pos"), col("n_neg"), col("u2"), col("auc"))
   }
 
@@ -1182,9 +1189,10 @@ object TextQueries {
        |      AS BIGINT) AS u2
        |  FROM qa2)
        |SELECT n_pos, n_neg, u2,
-       |  CAST(u2 AS DOUBLE)
-       |    / (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE)
-       |       * CAST(n_neg AS DOUBLE)) AS auc
+       |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+       |       ELSE CAST(u2 AS DOUBLE)
+       |         / (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE)
+       |            * CAST(n_neg AS DOUBLE)) END AS auc
        |FROM qat""".stripMargin
 
   // ---------------------------------------------------- quality_ensemble

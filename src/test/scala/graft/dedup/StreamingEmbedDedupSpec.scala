@@ -61,16 +61,65 @@ class StreamingEmbedDedupSpec extends SparkTestBase {
       .select(col("vec_id"), col("q"), col("nq"))
       .as[(Long, Seq[Long], Long)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
+    val v = StreamingEmbedDedup.StateLayoutVersion
     val batchBk = RpLsh.buckets(df, "vec_id", "embedding")
       .as[(Long, Int, Long)].collect()
       .groupBy(_._1).view
-      .mapValues(_.map(r => s"${r._2}:${r._3}").toSet).toMap
+      .mapValues(_.map(r => s"v$v|${r._2}:${r._3}").toSet).toMap
     vecs.foreach { case (id, emb) =>
       val (q, nq) = StreamingEmbedDedup.quantize(emb)
       assert((q.toSeq, nq) == batchQ(id), s"quantization mismatch vec $id")
       assert(StreamingEmbedDedup.bucketKeys(q).toSet == batchBk(id),
         s"bucket mismatch vec $id")
     }
+  }
+
+  test("golden bucket keys pin the state layout version") {
+    // A fixed synthetic vector hashed through the CURRENT layout
+    // (MaxBits plane grid, v2 key shape). If plane indexing, the
+    // quantization, or the key format ever changes without bumping
+    // StateLayoutVersion, these literals fail the build — the loud
+    // failure that replaces a silent bucket mismatch against persisted
+    // pre-change state (ADVICE r13).
+    assert(StreamingEmbedDedup.StateLayoutVersion == 2)
+    val emb = (0 until RpLsh.Dim).map(i => ((i % 7) - 3) / 10.0f)
+    val (q, _) = StreamingEmbedDedup.quantize(emb)
+    val keys = StreamingEmbedDedup.bucketKeys(q)
+    assert(keys.size == RpLsh.NumTables)
+    assert(keys.forall(_.startsWith("v2|")), keys.mkString(","))
+    // the literal buckets of this vector under layout v2
+    assert(keys == Seq("v2|0:155", "v2|1:129", "v2|2:48", "v2|3:186"),
+      s"layout drift — bump StateLayoutVersion; got $keys")
+  }
+
+  test("width seam: streaming matches batch buckets iff widths agree") {
+    // Above the first widthFor seam (n > 1024) the batch pipeline hashes
+    // at widthFor(n) while the streaming default stays at min width —
+    // bucket sets DIVERGE there by design; sizing the stream with
+    // expectedCorpusSize restores bit-identical routing (ADVICE r13).
+    val n = 1500L
+    val (tables, bits) = RpLsh.widthFor(n)
+    assert((tables, bits) != (RpLsh.NumTables, RpLsh.BitsPerTable),
+      "1500 vectors should sit above the min-width seam")
+    val emb = (0 until RpLsh.Dim).map(i => ((i * 13 % 11) - 5) / 8.0f)
+    val (q, _) = StreamingEmbedDedup.quantize(emb)
+    val minKeys = StreamingEmbedDedup.bucketKeys(q)
+    val sized = StreamingEmbedDedup.bucketKeys(q, tables, bits)
+    assert(sized.size == tables)
+    // sized keys reproduce the batch (t, bucket) assignment at this n
+    val batch = RpLsh.buckets(
+        Seq((1L, emb)).toDF("vec_id", "embedding")
+          .crossJoin(spark.range(n).toDF("pad")) // width is n-derived
+          .withColumn("vec_id", col("pad"))
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+      .filter(col("vec_id") === 0L)
+      .as[(Long, Int, Long)].collect()
+      .map(r => s"v${StreamingEmbedDedup.StateLayoutVersion}|${r._2}:${r._3}")
+      .toSet
+    assert(sized.toSet == batch, s"sized $sized != batch $batch")
+    assert(minKeys.toSet != batch,
+      "min-width keys unexpectedly equal the sized batch keys")
   }
 
   test("streaming == batch: same verified pairs and cosines across batches") {
