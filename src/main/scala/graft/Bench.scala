@@ -228,8 +228,17 @@ object Bench {
       "\"" + n + "\":" + dec(r, 2)
     }.mkString("{", ",", "}")
     val fullFailed = failedNames.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // One-time SharedStages build costs for THIS SF dir (paid inside the
+    // first interleaved pass and discarded by min-of-N): reported as
+    // machine-readable fields so a stage-build regression shows in the
+    // artifact diff, not just in BENCH_NOTES prose. warm_plus_cold is
+    // the honest single-shot pipeline total (warm mins + stage builds).
+    val stageBuilds = SharedStages.buildSeconds(sfDir).toSeq.sortBy(-_._2)
+    val stageJson = stageBuilds.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
+      .mkString("{", ",", "}")
+    val stageTotal = stageBuilds.map(_._2).sum
     val fullJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","reps":$reps,"stat":"min","interleaved":true,"failed":$fullFailed,"samples":$fullSamples,"bench_diff_gt1.5x":$diffFull$latJson}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","reps":$reps,"stat":"min","interleaved":true,"failed":$fullFailed,"stage_build_sec":$stageJson,"stage_build_total":${sec3(stageTotal)},"warm_plus_cold_total":${sec3(total + stageTotal)},"samples":$fullSamples,"bench_diff_gt1.5x":$diffFull$latJson}"""
     println(fullJson)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),

@@ -39,6 +39,29 @@ object SharedStages {
   private val memo =
     new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  // ------------------------------------------------ build-cost ledger
+  // One-time stage builds are real pipeline cost that min-of-N warm
+  // benching deliberately discards (the first sample pays it, the min
+  // doesn't). Round 13's lmDocBits build was 16.2 s at sf0.1 — ~23% of
+  // the warm registry total — and lived only in BENCH_NOTES prose,
+  // invisible to an artifact diff. Every stage build therefore records
+  // its wall seconds here, keyed by (dir, stage), and graft.Bench emits
+  // the map for its SF dir as `stage_build_sec` in BENCH_DETAIL.json
+  // next to the warm numbers. merge-accumulate: a stage rebuilt after
+  // clear() adds up (the honest total paid in the JVM's lifetime).
+  private val buildLedger = new ConcurrentHashMap[(String, String), Double]()
+
+  private def recordBuild(dir: String, name: String, sec: Double): Unit =
+    buildLedger.merge((dir, name), sec, (a, b) => Double.box(a + b))
+
+  /** Wall-seconds of every one-time stage build paid for `dir` in this
+    * JVM (stage name → seconds). Duplicate concurrent builds both count
+    * — they were both paid. */
+  def buildSeconds(dir: String): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    buildLedger.asScala.collect { case ((d, n), s) if d == dir => n -> s }.toMap
+  }
+
   // NOT computeIfAbsent: stage builders call other stages (pairs →
   // cands → sigs), and a nested computeIfAbsent on the same
   // ConcurrentHashMap throws IllegalStateException("Recursive update")
@@ -52,7 +75,9 @@ object SharedStages {
     val existing = memo.get(key)
     if (existing != null) existing
     else {
+      val t0 = System.nanoTime()
       val built = build
+      recordBuild(dir, name, (System.nanoTime() - t0) / 1e9)
       val prev = memo.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
@@ -184,10 +209,22 @@ object SharedStages {
       graft.queries.FingerprintQueries.lmRareBigrams(s, dir).localCheckpoint()
     }
 
+  /** Materialized per-(doc, bigram) occurrence counts of
+    * `documents(dir)` — the corpus tokenize + pair-explode pass, run
+    * once per (session, dir); consumed by the LM build ([[lmDocBits]])
+    * AND the incremental LM maintenance path (lm_incr), which batches
+    * the reference slice of exactly this table into its count store. */
+  def bigramCounts(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "bigramCounts") {
+      graft.queries.TextQueries
+        .bigramCountsOf(Tables.parallelize(Tables.documents(s, dir)))
+        .localCheckpoint()
+    }
+
   /** Materialized per-(doc, score) occurrence counts under the
-    * reference bigram LM — the corpus tokenize pass + LM build + triple
-    * scoring, run once per (session, dir); consumed by the lm_ppl
-    * rollup ([[lmPplReport]]) and mink_prob's top-k% selection. */
+    * reference bigram LM — the LM build + triple scoring over
+    * [[bigramCounts]], run once per (session, dir); consumed by the
+    * lm_ppl rollup ([[lmPplReport]]) and mink_prob's top-k% selection. */
   def lmDocBits(s: SparkSession, dir: String): DataFrame =
     stage(s, dir, "lmDocBits") {
       graft.queries.TextQueries.buildLmDocBits(s, dir).localCheckpoint()
@@ -261,8 +298,10 @@ object SharedStages {
     val existing = gramMemo.get(key)
     if (existing != null) existing
     else {
+      val t0 = System.nanoTime()
       val rows = graft.queries.EmbedQueries.gramMatrix(s, dir).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+      recordBuild(dir, "gramUpper", (System.nanoTime() - t0) / 1e9)
       val prev = gramMemo.putIfAbsent(key, rows)
       if (prev != null) prev else rows
     }
@@ -281,8 +320,10 @@ object SharedStages {
     val existing = pcaMemo.get(key)
     if (existing != null) existing
     else {
+      val t0 = System.nanoTime()
       val built = graft.embed.PcaPower.powerK(gramUpper(s, dir),
         graft.embed.PcaPower.NumComponents)
+      recordBuild(dir, "pcaTopK", (System.nanoTime() - t0) / 1e9)
       val prev = pcaMemo.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
@@ -306,7 +347,9 @@ object SharedStages {
     val existing = probeMemo.get(key)
     if (existing != null) existing
     else {
+      val t0 = System.nanoTime()
       val built = graft.queries.EmbedQueries.trainProbe(s, dir)
+      recordBuild(dir, "probe", (System.nanoTime() - t0) / 1e9)
       val prev = probeMemo.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
@@ -325,7 +368,9 @@ object SharedStages {
     val existing = bpeMemo.get(key)
     if (existing != null) existing
     else {
+      val t0 = System.nanoTime()
       val built = graft.text.BpeTrain.train(s, dir)
+      recordBuild(dir, "bpeTrained", (System.nanoTime() - t0) / 1e9)
       val prev = bpeMemo.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
@@ -343,7 +388,9 @@ object SharedStages {
     val existing = unigramMemo.get(key)
     if (existing != null) existing
     else {
+      val t0 = System.nanoTime()
       val built = graft.text.UnigramTrain.train(s, dir)
+      recordBuild(dir, "unigramTrained", (System.nanoTime() - t0) / 1e9)
       val prev = unigramMemo.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
@@ -396,9 +443,12 @@ object SharedStages {
     val existing = storeMemo.get(key)
     if (existing != null) existing
     else {
+      val t0 = System.nanoTime()
       val path = newScratchDir("novelty_store")
       graft.sink.BucketStore.upsert(s, priorGramSet(s, dir, n), path,
         Seq("h"), numBuckets)
+      recordBuild(dir, s"noveltyGramStore_${n}_$numBuckets",
+        (System.nanoTime() - t0) / 1e9)
       val prev = storeMemo.putIfAbsent(key, path)
       if (prev != null) { discardScratch(path); prev } else path
     }

@@ -173,6 +173,99 @@ object FingerprintQueries {
        |GROUP BY o.doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------------- substr_scrub
+  // The ACT edge of the substring-dedup family (the production step of
+  // Lee et al.'s exact-substring dedup): substr_dup / dup_span_ladder
+  // REPORT duplicated windows; this transform REWRITES the corpus.
+  // Every token covered by a duplicated 8-token window occurrence is
+  // excised UNLESS the occurrence sits in the window hash's CANONICAL
+  // document — the lowest doc_id containing the window. Canonical-by-
+  // min-doc is deterministic on any engine/partitioning/subset, so
+  // exactly one document keeps each duplicated passage and a re-run
+  // never flip-flops which copy survives. Output is the per-doc rewrite
+  // receipt: token conservation (n_kept + n_removed = n_tok, pinned by
+  // SubstrScrubSpec) and the md5 of the cleaned space-rejoined text —
+  // hash-gating the REWRITE itself, not just its counts.
+  //
+  // Scale shape: same h-keyed exchange as substr_dup for the per-hash
+  // stats (one keyed aggregation — never a self-join on the occurrence
+  // stream); removed positions are ∝ duplicated-window occurrences, so
+  // remByDoc is sparse (rows only for docs that lose tokens) and the
+  // final join ships each doc's token array once. The kept-token filter
+  // is a per-doc lambda over ONE bounded array (docs are row-sized);
+  // it is NOT on a per-gram hot path — the corpus-scale work all
+  // happens in the keyed exchanges above it.
+  private def substrScrub(s: SparkSession, d: String): DataFrame = {
+    val win = graft.text.TextFunctions
+      .ngramRowsPos(Tables.parallelize(Tables.documents(s, d)),
+        "doc_id", "text", SubW)
+      .select(col("doc_id"), col("pos"), portableHash(col("s")).as("h"))
+      .repartition(col("h"))
+    val hs = win
+      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canon"))
+    val remByDoc = win.join(hs, "h")
+      .filter(col("n_docs") >= 2 && col("doc_id") =!= col("canon"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SubW - 1))).as("tpos"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("tpos"))).as("rem"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .join(remByDoc, Seq("doc_id"), "left")
+      .withColumn("rem", coalesce(col("rem"), array().cast("array<long>")))
+      .withColumn("kept", expr(
+        "filter(toks, (t, i) -> NOT array_contains(rem, CAST(i + 1 AS BIGINT)))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(col("rem")).cast("long").as("n_removed"),
+        (size(col("toks")) - size(col("rem"))).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), " ")).as("clean_md5"))
+  }
+
+  private val substrScrubSql = {
+    val toks = tokensSql("text")
+    s"""WITH tok AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(toks) - ${SubW - 2})) AS pos,
+       |    unnest(list_transform(range(1, len(toks) - ${SubW - 2}),
+       |      i -> array_to_string(toks[i : i + ${SubW - 1}], ' '))) AS s
+       |  FROM tok),
+       |win AS (
+       |  SELECT doc_id, pos, ${portableHashSql("s")} AS h FROM grams),
+       |hs AS (
+       |  SELECT h, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS canon
+       |  FROM win GROUP BY 1),
+       |rem AS (
+       |  SELECT DISTINCT w.doc_id, w.pos + q.o AS tpos
+       |  FROM win w JOIN hs USING (h),
+       |    LATERAL (SELECT unnest(range(0, $SubW)) AS o) q
+       |  WHERE n_docs >= 2 AND w.doc_id <> canon),
+       |remc AS (
+       |  SELECT doc_id, COUNT(*) AS n_removed FROM rem GROUP BY 1),
+       |tokpos AS (
+       |  SELECT doc_id, unnest(toks) AS tok,
+       |    unnest(range(1, len(toks) + 1)) AS tpos
+       |  FROM tok),
+       |keptagg AS (
+       |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.tpos) AS txt
+       |  FROM tokpos t
+       |  LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.tpos = t.tpos
+       |  WHERE r.tpos IS NULL
+       |  GROUP BY 1)
+       |SELECT b.doc_id,
+       |  CAST(len(b.toks) AS BIGINT) AS n_tok,
+       |  CAST(COALESCE(rc.n_removed, 0) AS BIGINT) AS n_removed,
+       |  CAST(len(b.toks) - COALESCE(rc.n_removed, 0) AS BIGINT) AS n_kept,
+       |  md5(COALESCE(k.txt, '')) AS clean_md5
+       |FROM tok b
+       |LEFT JOIN remc rc USING (doc_id)
+       |LEFT JOIN keptagg k USING (doc_id)""".stripMargin
+  }
+
   // ------------------------------------------------------- dup_span_ladder
   // Variable-length duplicated-SPAN report at log-spaced resolution:
   // substr_dup answers "how much of this doc sits in duplicated 8-token
@@ -570,6 +663,7 @@ object FingerprintQueries {
     // (Renamed from substr_dup_sa in round 11 when it became the
     // default; the twin carries the _gram suffix now.)
     QueryDef("substr_dup", substrDupSa, Some(substrDupSql)),
+    QueryDef("substr_scrub", substrScrub, Some(substrScrubSql)),
     QueryDef("substr_dup_gram", substrDup, Some(substrDupSql)),
     QueryDef("dup_span_ladder", dupSpanLadder, Some(dupSpanLadderSql)),
     QueryDef("dup_longest_span", dupLongestSpan, Some(dupLongestSpanSql)),

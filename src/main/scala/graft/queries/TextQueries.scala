@@ -553,6 +553,195 @@ object TextQueries {
        |       THEN 'bpe' ELSE 'unigram' END AS chosen
        |FROM tg""".stripMargin
 
+  // ------------------------------------------------------- encode_shards
+  // Tokenizer MATERIALIZATION — the final writer a training pipeline
+  // actually ships: encode every document to a token-id sequence under
+  // the tok_gate-CHOSEN vocabulary and roll the encoded corpus up by
+  // the shard_sizes assignment (shard = hash(doc_id) % 16, the same
+  // stable-membership contract). The report is one row per shard: doc /
+  // word / OOV / piece counts and an id-sequence checksum — so the
+  // oracle hash-gates the ENCODED IDS themselves (vocabulary ranks,
+  // per-word segmentation, word order), not just sizes. The production
+  // write is `perDoc.write.partitionBy("shard")`; this query is the
+  // receipt that write emits.
+  //
+  //  - Piece ids: rank by (corpus piece count DESC, piece) over the
+  //    learned segmentation — deterministic on any engine. The
+  //    row_number window is vocab-sized (driver-bounded), never corpus-
+  //    keyed.
+  //  - Both tokenizers encode the COMMON gated word set (alphabet,
+  //    length ≤ MaxWordLen — the tok_compare contract); a word outside
+  //    it is OOV (counted, skipped in the id stream). Both branches are
+  //    computed on ONE pass over the corpus (the word table carries
+  //    both encodings), and the gate — replayed exactly as tok_gate —
+  //    selects which columns ship, so both UNION-free branches stay
+  //    hash-gated regardless of which wins.
+  //  - Scale: the corpus-side work is one token explode + one broadcast
+  //    join (the word table is distinct-gated-words sized) + one
+  //    doc-keyed aggregation + one 16-row rollup. Docs with zero tokens
+  //    have no encoded rows and are not counted (the writer would skip
+  //    them too).
+  //  - checksum: per-doc portable hash of the comma-joined id sequence,
+  //    folded mod 1e9+7 before the BIGINT shard sum (5e9 docs per shard
+  //    before overflow; the report column widens to DECIMAL(38) past
+  //    that — tok_gate discipline).
+  private val EncodeShardsN = 16
+
+  private def encodeShards(s: SparkSession, d: String): DataFrame = {
+    val S = graft.text.BpeTrain.Sep
+    val maxLen = graft.text.UnigramTrain.MaxWordLen
+    val bpeWords = graft.SharedStages.bpeTrained(s, d).finalWords
+      .withColumn("word", translate(col("sym"), S, ""))
+      .filter(length(col("word")) <= maxLen)
+      .withColumn("pieces", expr(s"filter(split(sym, '$S'), x -> x <> '')"))
+      .select(col("word"), col("freq"), col("pieces"))
+    val uniWords = graft.SharedStages.unigramTrained(s, d).segmented
+      .select(col("word"), col("freq"), col("pieces"))
+
+    // (word, <pfx>_ids: comma-joined piece ids in order, <pfx>_np)
+    def wordIds(words: DataFrame, pfx: String): DataFrame = {
+      val occ = words.select(col("word"), col("freq"),
+        posexplode(col("pieces")).as(Seq("ppos", "piece")))
+      val vocab = occ.groupBy(col("piece"))
+        .agg(sum(col("freq")).as("n"))
+        // vocab-sized global window (bounded by the learned vocabulary,
+        // not the corpus) — the deterministic id assignment
+        .withColumn("id", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("piece"))).cast("long"))
+        .select(col("piece"), col("id"))
+      occ.join(broadcast(vocab), "piece")
+        .groupBy(col("word"))
+        .agg(
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(ppos, id))), x -> CAST(x.id AS STRING))"),
+            ",").as(s"${pfx}_ids"),
+          count(lit(1)).as(s"${pfx}_np"))
+    }
+    val wordTable = wordIds(bpeWords, "bpe").join(wordIds(uniWords, "uni"), "word")
+
+    val perDoc = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("wpos", "word")))
+      .join(broadcast(wordTable), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("bpe_ids").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("bpe_np"), lit(0L))).as("bpe_np"),
+        sum(coalesce(col("uni_np"), lit(0L))).as("uni_np"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN bpe_ids IS NOT NULL THEN struct(wpos, bpe_ids) END)), x -> x.bpe_ids)"),
+          ",").as("bpe_seq"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN uni_ids IS NOT NULL THEN struct(wpos, uni_ids) END)), x -> x.uni_ids)"),
+          ",").as("uni_seq"))
+
+    val shards = perDoc
+      .withColumn("shard",
+        portableHash(concat(lit("shard"), col("doc_id"))) % EncodeShardsN)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_oov")).as("n_oov"),
+        sum(col("bpe_np")).as("bpe_pieces"),
+        sum(col("uni_np")).as("uni_pieces"),
+        sum(portableHash(col("bpe_seq")) % 1000000007L).as("bpe_ck"),
+        sum(portableHash(col("uni_seq")) % 1000000007L).as("uni_ck"))
+
+    val gate = tokGate(s, d).select(col("chosen"))
+    shards.crossJoin(broadcast(gate)) // 1-row broadcast scalar
+      .select(col("shard"), col("n_docs"), col("n_words"), col("n_oov"),
+        when(col("chosen") === "bpe", col("bpe_pieces"))
+          .otherwise(col("uni_pieces")).as("n_pieces"),
+        when(col("chosen") === "bpe", col("bpe_ck"))
+          .otherwise(col("uni_ck")).as("id_checksum"),
+        col("chosen"))
+  }
+
+  private def encodeShardsSql = {
+    val bt = graft.text.BpeTrain
+    val maxLen = graft.text.UnigramTrain.MaxWordLen
+    val uniBts = (1 to maxLen)
+      .map(t => s"SELECT word, $t AS t, piece FROM ugbt1$t")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${bt.duckdbTrainCtes(tokensSql("text"))},
+       |${graft.text.UnigramTrain.duckdbTrainCtes(tokensSql("text"))},
+       |esbw AS MATERIALIZED (
+       |  SELECT replace(sym, chr(31), '') AS word,
+       |    list_filter(string_split(sym, chr(31)), x -> x <> '') AS pieces,
+       |    freq
+       |  FROM wf${bt.NMerges}
+       |  WHERE length(replace(sym, chr(31), '')) <= $maxLen),
+       |esgate AS (
+       |  SELECT CASE WHEN
+       |      CAST((SELECT SUM(freq * len(pieces)) FROM esbw) AS HUGEINT)
+       |        * (SELECT SUM(freq) FROM ugnp1)
+       |      <= CAST((SELECT SUM(freq * np) FROM ugnp1) AS HUGEINT)
+       |        * (SELECT SUM(freq) FROM esbw)
+       |    THEN 'bpe' ELSE 'unigram' END AS chosen),
+       |esbp AS MATERIALIZED (
+       |  SELECT word, unnest(pieces) AS piece,
+       |    unnest(range(1, len(pieces) + 1)) AS ppos, freq
+       |  FROM esbw),
+       |esbv AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS n
+       |  FROM esbp GROUP BY 1),
+       |esbid AS (SELECT piece,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, piece) AS BIGINT) AS id
+       |  FROM esbv),
+       |esbws AS MATERIALIZED (
+       |  SELECT word, string_agg(CAST(id AS VARCHAR), ',' ORDER BY ppos)
+       |    AS bpe_ids, COUNT(*) AS bpe_np
+       |  FROM esbp JOIN esbid USING (piece) GROUP BY 1),
+       |esup AS MATERIALIZED (
+       |  SELECT word, t, piece FROM (
+       |  $uniBts
+       |  ) WHERE piece IS NOT NULL),
+       |esuid AS (SELECT p AS piece,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY u DESC, p) AS BIGINT) AS id
+       |  FROM ugu1),
+       |esuws AS MATERIALIZED (
+       |  SELECT word, string_agg(CAST(id AS VARCHAR), ',' ORDER BY t DESC)
+       |    AS uni_ids, COUNT(*) AS uni_np
+       |  FROM esup JOIN esuid ON esuid.piece = esup.piece GROUP BY 1),
+       |esdw AS MATERIALIZED (
+       |  SELECT doc_id, unnest(toks) AS word,
+       |    unnest(range(1, len(toks) + 1)) AS wpos
+       |  FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents)),
+       |esdoc AS MATERIALIZED (
+       |  SELECT doc_id, COUNT(*) AS n_words,
+       |    SUM(CASE WHEN b.bpe_ids IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       |    SUM(COALESCE(b.bpe_np, 0)) AS bpe_np,
+       |    SUM(COALESCE(u.uni_np, 0)) AS uni_np,
+       |    COALESCE(string_agg(b.bpe_ids, ',' ORDER BY wpos)
+       |      FILTER (WHERE b.bpe_ids IS NOT NULL), '') AS bpe_seq,
+       |    COALESCE(string_agg(u.uni_ids, ',' ORDER BY wpos)
+       |      FILTER (WHERE u.uni_ids IS NOT NULL), '') AS uni_seq
+       |  FROM esdw d
+       |  LEFT JOIN esbws b USING (word)
+       |  LEFT JOIN esuws u USING (word)
+       |  GROUP BY 1),
+       |esshard AS (
+       |  SELECT ${portableHashSql("concat('shard', CAST(doc_id AS VARCHAR))")}
+       |      % $EncodeShardsN AS shard,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |    CAST(SUM(n_oov) AS BIGINT) AS n_oov,
+       |    CAST(SUM(bpe_np) AS BIGINT) AS bpe_pieces,
+       |    CAST(SUM(uni_np) AS BIGINT) AS uni_pieces,
+       |    CAST(SUM(${portableHashSql("bpe_seq")} % 1000000007) AS BIGINT)
+       |      AS bpe_ck,
+       |    CAST(SUM(${portableHashSql("uni_seq")} % 1000000007) AS BIGINT)
+       |      AS uni_ck
+       |  FROM esdoc GROUP BY 1)
+       |SELECT s.shard, s.n_docs, s.n_words, s.n_oov,
+       |  CASE WHEN g.chosen = 'bpe' THEN s.bpe_pieces
+       |       ELSE s.uni_pieces END AS n_pieces,
+       |  CASE WHEN g.chosen = 'bpe' THEN s.bpe_ck ELSE s.uni_ck END
+       |    AS id_checksum,
+       |  g.chosen
+       |FROM esshard s CROSS JOIN esgate g""".stripMargin
+  }
+
   // -------------------------------------------------------- topic_assign
   // Weak topic labeling by seed-keyword voting — the cheap corpus
   // bucketing step a mixture pipeline runs before anything learned:
@@ -919,8 +1108,9 @@ object TextQueries {
     * whose bigram carries the same −log2 P collapse into one row, so
     * the table is bounded by distinct (doc, score) pairs. */
   private[graft] def buildLmDocBits(s: SparkSession, d: String): DataFrame = {
-    val occ = bigramCountsOf(Tables.parallelize(Tables.documents(s, d)))
-      .localCheckpoint()
+    // the tokenize + pair-explode pass is its own stage, shared with the
+    // incremental-maintenance path (lm_incr)
+    val occ = graft.SharedStages.bigramCounts(s, d)
     val (refBi, refUni, vsz) = lmModelOf(occ)
     lmScoreBits(occ, refBi, refUni, vsz)
   }
@@ -1032,6 +1222,139 @@ object TextQueries {
        |      ORDER BY CAST(h_q8 AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 256),
        |        doc_id)] AS bucket
        |FROM lpdoc""".stripMargin
+
+  // -------------------------------------------------------------- lm_incr
+  // Incremental maintenance for the standing LM — the one SharedStages
+  // family that previously rebuilt from scratch per (session, dir).
+  // CCNet's deployment re-scores a rolling crawl against a SLOWLY
+  // UPDATING reference LM; the maintained object is the (lang, w1, w2)
+  // count table. The novelty_incr pattern applied to counts:
+  //
+  //  - batch A (even ref doc_ids) bootstraps a [[graft.sink.BucketStore]]
+  //    keyed by the triple (buckets = hash(lang,w1,w2) % NumBuckets);
+  //  - batch B (odd ref doc_ids) is the incremental step: probe ONLY the
+  //    buckets B's triples hash into, ADD B's counts to the existing
+  //    rows (counts are additive — the merge is a keyed sum, not a
+  //    replace), upsert the merged rows back. Per-batch cost is
+  //    O(batch + touched buckets), never O(store).
+  //  - smoothed scores are re-derived for the TOUCHED triples only,
+  //    against the merged model (num = c12+1, den = c1+v — the exact
+  //    lm_ppl chain, ilog2q8 integers end to end).
+  //
+  // Because counts are additive, the merged store must equal the
+  // from-scratch LM bit-for-bit — which is exactly what the oracle
+  // checks: DuckDB computes the full-corpus reference counts and the
+  // same per-language rollup (triple count, total count, a
+  // content checksum over every merged row, and the touched-triple
+  // score sum), so a wrong merge, a dropped bucket, or a stale row
+  // breaks the hash gate. Output is ≤ #languages rows.
+  //
+  // checksum width: each term is (h % 1000003)·(c12 % 997) < 10^9;
+  // the BIGINT sum overflows only past ~9·10^9 triples per language —
+  // at that scale the REPORT column (not the store) widens to
+  // DECIMAL(38)/HUGEINT, the tok_gate discipline.
+  private val LmStoreBuckets = 64
+
+  /** Build the standing LM count store incrementally and return
+    * (mergedCounts read-back, batch-B triple counts). Factored so
+    * StreamingPplSpec can score a stream against the UPDATED store. */
+  private[graft] def lmIncrStore(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val keys = Seq("lang", "w1", "w2")
+    val batches = graft.SharedStages.bigramCounts(s, d)
+      .filter(col("source").isin(LmRefSources: _*))
+      .groupBy(col("lang"), col("w1"), col("w2"),
+        (col("doc_id") % 2).as("parity"))
+      .agg(sum(col("cnt")).as("c12"))
+      .localCheckpoint() // feeds the bootstrap write AND the upsert probe
+    val a = batches.filter(col("parity") === 0).drop("parity")
+    val b = batches.filter(col("parity") === 1).drop("parity")
+      .localCheckpoint() // the store ops below must not recompute it
+    val path = graft.SharedStages.newScratchDir("lm_incr_store")
+    // bootstrap: the standing store as of batch A
+    graft.sink.BucketStore.upsert(s, a, path, keys, LmStoreBuckets)
+    // incremental step: additive merge of batch B into touched buckets
+    val touched = graft.sink.BucketStore.touchedBuckets(b, keys, LmStoreBuckets)
+    val existing = graft.sink.BucketStore
+      .readBuckets(s, path, b.schema, touched)
+      .withColumnRenamed("c12", "c12_old")
+    val mergedB = b.join(existing, keys, "left")
+      .select(col("lang"), col("w1"), col("w2"),
+        (col("c12") + coalesce(col("c12_old"), lit(0L))).as("c12"))
+    graft.sink.BucketStore.upsert(s, mergedB, path, keys, LmStoreBuckets)
+    val merged = graft.sink.BucketStore.read(s, path, b.schema, LmStoreBuckets)
+    (merged, b)
+  }
+
+  private def lmIncr(s: SparkSession, d: String): DataFrame = {
+    val (ab, b) = lmIncrStore(s, d)
+    val un = ab.groupBy(col("lang"), col("w1")).agg(sum(col("c12")).as("c1"))
+    val vz = ab.groupBy(col("lang"))
+      .agg((countDistinct(col("w2")) + 1).as("v"))
+    val scored0 = b.select(col("lang"), col("w1"), col("w2"))
+      .join(ab, Seq("lang", "w1", "w2"))
+      .join(un, Seq("lang", "w1"))
+      .join(vz, Seq("lang"))
+      .withColumn("num", col("c12") + 1)
+      .withColumn("den", col("c1") + col("v"))
+    val tsc = withIlog2q8(withIlog2q8(scored0, "num", "lgn"), "den", "lgd")
+      .select(col("lang"), (col("lgd") - col("lgn")).as("bits"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_touched"), sum(col("bits")).as("sum_bits"))
+    val agg = ab
+      .withColumn("term",
+        (portableHash(concat_ws(" ", col("lang"), col("w1"), col("w2")))
+          % 1000003L) * (col("c12") % 997L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_triples"), sum(col("c12")).as("sum_c12"),
+        sum(col("term")).as("checksum"))
+    agg.join(tsc, Seq("lang"))
+  }
+
+  private def lmIncrSql = {
+    val refs = LmRefSources.map(s => s"'$s'").mkString(", ")
+    val powers = (0 to 53).map(e => s"($e, ${1L << e})").mkString(", ")
+    s"""WITH lppw(e, v) AS (VALUES $powers),
+       |litk AS MATERIALIZED (
+       |  SELECT doc_id, lang, ${tokensSql("text")} AS t FROM documents
+       |  WHERE source IN ($refs)),
+       |libi AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    t[CAST(r.j AS INT)] AS w1, t[CAST(r.j + 1 AS INT)] AS w2
+       |  FROM litk, LATERAL (SELECT unnest(range(1, len(t))) AS j) r),
+       |liab AS MATERIALIZED (
+       |  SELECT lang, w1, w2, COUNT(*) AS c12 FROM libi GROUP BY 1, 2, 3),
+       |litb AS MATERIALIZED (
+       |  SELECT DISTINCT lang, w1, w2 FROM libi WHERE doc_id % 2 = 1),
+       |liun AS MATERIALIZED (
+       |  SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM liab
+       |  GROUP BY 1, 2),
+       |livz AS MATERIALIZED (
+       |  SELECT lang, COUNT(DISTINCT w2) + 1 AS v FROM liab GROUP BY 1),
+       |lisc AS MATERIALIZED (
+       |  SELECT t.lang, ab.c12 + 1 AS num, un.c1 + vz.v AS den
+       |  FROM litb t
+       |  JOIN liab ab USING (lang, w1, w2)
+       |  JOIN liun un USING (lang, w1)
+       |  JOIN livz vz USING (lang)),
+       |${ilogLookupCtes("lin", "SELECT num AS x FROM lisc")},
+       |${ilogLookupCtes("lid", "SELECT den AS x FROM lisc")},
+       |litsc AS MATERIALIZED (
+       |  SELECT lang, COUNT(*) AS n_touched,
+       |    CAST(SUM(dl.lg - nl.lg) AS BIGINT) AS sum_bits
+       |  FROM lisc
+       |  JOIN lidlg dl ON dl.x = lisc.den
+       |  JOIN linlg nl ON nl.x = lisc.num
+       |  GROUP BY 1),
+       |liagg AS MATERIALIZED (
+       |  SELECT lang, COUNT(*) AS n_triples,
+       |    CAST(SUM(c12) AS BIGINT) AS sum_c12,
+       |    CAST(SUM((${portableHashSql("lang || ' ' || w1 || ' ' || w2")}
+       |      % 1000003) * (c12 % 997)) AS BIGINT) AS checksum
+       |  FROM liab GROUP BY 1)
+       |SELECT a.lang, n_triples, sum_c12, checksum, n_touched, sum_bits
+       |FROM liagg a JOIN litsc t ON t.lang = a.lang""".stripMargin
+  }
 
   // ----------------------------------------------------------- mink_prob
   // Min-K% Prob (Shi et al. 2024, "Detecting Pretraining Data from
@@ -1260,6 +1583,7 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("text_stats", textStats, Some(textStatsSql)),
     QueryDef("lm_ppl", lmPpl, Some(lmPplSql)),
+    QueryDef("lm_incr", lmIncr, Some(lmIncrSql)),
     QueryDef("mink_prob", minkProb, Some(minkProbSql)),
     QueryDef("quality_auc", qualityAuc, Some(qualityAucSql)),
     QueryDef("quality_ensemble", qualityEnsemble, Some(qualityEnsembleSql)),
@@ -1275,6 +1599,7 @@ object TextQueries {
     QueryDef("unigram_tokenize", unigramTokenize, Some(unigramTokenizeSql)),
     QueryDef("tok_compare", tokCompare, Some(tokCompareSql)),
     QueryDef("tok_gate", tokGate, Some(tokGateSql)),
+    QueryDef("encode_shards", encodeShards, Some(encodeShardsSql)),
     QueryDef("lang_id", langId, Some(langIdSql)),
     QueryDef("lang_confusion", langConfusion, Some(langConfusionSql)),
     QueryDef("text_lang_agg", langAgg, Some(langAggSql)),

@@ -108,6 +108,45 @@ class StreamingPplSpec extends SparkTestBase {
       "restart lost or invented docs vs the batch report")
   }
 
+  test("scoring against the incrementally-maintained store equals the batch LM") {
+    import org.apache.spark.sql.functions.{col, countDistinct, sum}
+    // the lm_incr maintenance path: bootstrap the count store from even
+    // ref doc_ids, additively merge the odd batch — counts are additive,
+    // so the merged store must equal the from-scratch LM and a stream
+    // scored against it must reproduce the batch lm_ppl rows exactly
+    val (merged, _) = TextQueries.lmIncrStore(spark, sf)
+    val refBi = merged
+    val refUni = merged.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val vsz = merged.groupBy(col("lang"))
+      .agg((countDistinct(col("w2")) + 1).as("v"))
+
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"lang", $"text")
+      .as[PplDocRow].collect().toSeq.sortBy(_.doc_id)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PplDocRow]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingPpl.start(input.toDF(), refBi, refUni, vsz,
+      Files.createTempDirectory("ppl-incr-ckpt").toString) { scored =>
+      collected.synchronized { collected ++= scored.collect() }
+    }
+    try {
+      val halves = docs.grouped((docs.length + 1) / 2).toSeq
+      halves.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    def key(r: Row) = (r.getLong(r.fieldIndex("doc_id")),
+      r.getString(r.fieldIndex("lang")),
+      r.getLong(r.fieldIndex("n_bigrams")),
+      r.getLong(r.fieldIndex("h_q8")))
+    val batch = graft.SparkEntry.queries("lm_ppl")(spark, sf)
+      .drop("bucket").collect().map(key).toSet
+    assert(collected.nonEmpty)
+    assert(collected.map(key).toSet == batch,
+      "stream scored against the merged store diverged from the batch LM")
+  }
+
   test("startMink: per-micro-batch Min-K% scores equal the batch report") {
     val docs = Tables.documents(spark, sf)
       .select($"doc_id", $"source", $"lang", $"text")
