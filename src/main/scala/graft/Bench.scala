@@ -81,7 +81,21 @@ object Bench {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
 
+    // Dev/scale loop: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the bench
+    // to named queries (the driver never sets it — full registry by
+    // default; the sf10 surrogate spot-bench uses it so the 100×-decade
+    // evidence doesn't require a multi-hour full-registry run). Unknown
+    // names fail loudly — a misspelled name would otherwise silently
+    // shrink the artifact.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { sel =>
+      val unknown = sel -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in registry: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // warmup at the smallest SF (JIT, codegen cache, parquet footers)
     names.foreach { n =>
       try materialize(n, "/root/testdata/sf0.001")

@@ -67,12 +67,25 @@ object ScaleUp {
           regexp_replace(col("text"), "(\\S+)", "$1zq" + k))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
+    // Per-copy isometry: rotate by k mod d positions, negating the whole
+    // vector once the rotations wrap (copies d..2d−1). Any fixed
+    // rotation/sign matrix preserves norms and within-copy pairwise dot
+    // products, so each copy keeps the original geometry while cross-copy
+    // vectors stay distinct for factor < 2d. The round-13 form rotated by
+    // k unguarded — slice() threw on negative lengths for k ≥ d (= 64),
+    // which silently killed the embeddings write at factor 100.
+    val dim = spark.read.parquet(s"$src/embeddings.parquet")
+      .selectExpr("size(embedding)").head.getInt(0)
+    require(factor < 2 * dim,
+      s"embedding isometries exhausted: factor $factor needs < ${2 * dim}")
     copies("embeddings") { (df, k) =>
       val shifted = shift(df, k, "vec_id")
+      val r = k % dim
+      val neg = if (k / dim >= 1) "-1" else "1"
       if (k == 0) shifted
       else shifted.withColumn("embedding",
-        expr(s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
-          s"slice(embedding, 1, $k))"))
+        expr(s"transform(concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+          s"slice(embedding, 1, $r)), x -> x * CAST($neg AS FLOAT))"))
     }
     spark.stop()
   }
