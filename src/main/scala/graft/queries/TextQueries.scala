@@ -1282,7 +1282,15 @@ object TextQueries {
       .select(col("lang"), col("w1"), col("w2"),
         (col("c12") + coalesce(col("c12_old"), lit(0L))).as("c12"))
     graft.sink.BucketStore.upsert(s, mergedB, path, keys, LmStoreBuckets)
-    val merged = graft.sink.BucketStore.read(s, path, b.schema, LmStoreBuckets)
+    // Materialize the read-back: the store read is a 64-way per-bucket
+    // union, and the consumer below walks it four times (marginals,
+    // vocab, triple join, checksum rollup) through the 8-round ilog2q8
+    // projection chain — un-checkpointed, CollapseProject replicates
+    // that chain into every union branch (measured: a 131 MiB task
+    // binary at sf10). One checkpoint = one scan, small plans. At
+    // 100 TB the store is a real table and this is its one read.
+    val merged = graft.sink.BucketStore
+      .read(s, path, b.schema, LmStoreBuckets).localCheckpoint()
     (merged, b)
   }
 
