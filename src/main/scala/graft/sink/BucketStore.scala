@@ -33,20 +33,38 @@ object BucketStore {
   private def bucketCol(keyCols: Seq[String], numBuckets: Int) =
     pmod(hash(keyCols.map(col): _*), lit(numBuckets))
 
-  /** Recovering read of one bucket dir (may not exist yet). */
-  private def readBucket(spark: SparkSession, path: String, b: Int,
-                         schema: StructType): DataFrame = {
+  /** Recovering read of many buckets as ONE relation where possible:
+    * every live (promoted) bucket dir goes into a single multi-path
+    * parquet scan — one FileIndex, one plan leaf — and only buckets
+    * caught mid-promote (dir missing, `_old` generation present) fall
+    * back to per-bucket scans union'd on top. The former shape union'd
+    * one scan PER bucket: at 64 buckets the serialized plan reached
+    * ~35 MiB per task binary, and any projection chain above it was
+    * replicated into every union branch by CollapseProject. Per-bucket
+    * recovery semantics are unchanged (live dir wins, else its `_old`
+    * generation, else the bucket contributes nothing); row order may
+    * differ — stores are keyed sets, no caller is order-sensitive.
+    * Schema is explicit: inference would pay a footer-read job per
+    * read (the caller always knows the store schema). */
+  private def readMany(spark: SparkSession, path: String, buckets: Seq[Int],
+                       schema: StructType): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val dir = bucketDir(path, b)
-    // explicit schema: inference would pay a footer-read job per bucket
-    // per upsert (the caller always knows the store schema)
-    if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
-      spark.read.schema(schema).parquet(dir)
-    else if (fs.exists(new org.apache.hadoop.fs.Path(dir + "_old")))
-      spark.read.schema(schema).parquet(dir + "_old")
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val (live, rest) = buckets.partition(b =>
+      fs.exists(new org.apache.hadoop.fs.Path(bucketDir(path, b))))
+    val liveDf =
+      if (live.isEmpty) None
+      else Some(spark.read.schema(schema)
+        .parquet(live.map(bucketDir(path, _)): _*))
+    val restDf =
+      rest.filter(b =>
+          fs.exists(new org.apache.hadoop.fs.Path(bucketDir(path, b) + "_old")))
+        .map(b => spark.read.schema(schema).parquet(bucketDir(path, b) + "_old"))
+    val parts = liveDf.toSeq ++ restDf
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else parts.reduce(_ unionByName _)
   }
 
   /** Replace-on-key upsert touching only the batch's hash buckets.
@@ -65,8 +83,7 @@ object BucketStore {
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return
 
-    val existing = touched.map(readBucket(spark, path, _, batch.schema))
-      .reduce(_ unionByName _)
+    val existing = readMany(spark, path, touched, batch.schema)
     val merged = existing
       .join(batch.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
       .unionByName(batch)
@@ -96,8 +113,7 @@ object BucketStore {
   /** Whole-store read with per-bucket crash recovery. */
   def read(spark: SparkSession, path: String, schema: StructType,
            numBuckets: Int = 64): DataFrame =
-    (0 until numBuckets).map(readBucket(spark, path, _, schema))
-      .reduce(_ unionByName _)
+    readMany(spark, path, 0 until numBuckets, schema)
 
   /** The bucket ids a probe batch's keys hash into (≤ numBuckets ints —
     * a driver-side list, same bound as [[upsert]]'s touched set). */
@@ -113,6 +129,5 @@ object BucketStore {
     if (buckets.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else buckets.map(readBucket(spark, path, _, schema))
-      .reduce(_ unionByName _)
+    else readMany(spark, path, buckets, schema)
 }
