@@ -587,7 +587,12 @@ object TextQueries {
   //    that — tok_gate discipline).
   private val EncodeShardsN = 16
 
-  private def encodeShards(s: SparkSession, d: String): DataFrame = {
+  /** The per-word encoding table under BOTH learned tokenizers:
+    * (word, bpe_ids, bpe_np, uni_ids, uni_np) over the common gated
+    * word set — the standing artifact a shard writer (and its
+    * streaming twin, [[graft.streaming.StreamingEncode]]) encodes
+    * against. Vocab-sized. */
+  private[graft] def encodeWordTable(s: SparkSession, d: String): DataFrame = {
     val S = graft.text.BpeTrain.Sep
     val maxLen = graft.text.UnigramTrain.MaxWordLen
     val bpeWords = graft.SharedStages.bpeTrained(s, d).finalWords
@@ -618,9 +623,17 @@ object TextQueries {
             ",").as(s"${pfx}_ids"),
           count(lit(1)).as(s"${pfx}_np"))
     }
-    val wordTable = wordIds(bpeWords, "bpe").join(wordIds(uniWords, "uni"), "word")
+    wordIds(bpeWords, "bpe").join(wordIds(uniWords, "uni"), "word")
+  }
 
-    val perDoc = Tables.parallelize(Tables.documents(s, d))
+  /** Per-doc encoded receipt of `docs` (doc_id, text) against a FIXED
+    * word table: (doc_id, n_words, n_oov, bpe_np, uni_np, bpe_seq,
+    * uni_seq). Stateless given the table — the kernel the batch shard
+    * report and the streaming encode twin both run. Docs with zero
+    * tokens yield no row (the writer would skip them too). */
+  private[graft] def encodeDocs(docs: DataFrame,
+      wordTable: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("wpos", "word")))
       .join(broadcast(wordTable), Seq("word"), "left")
@@ -635,6 +648,11 @@ object TextQueries {
         array_join(expr(
           "transform(array_sort(collect_list(CASE WHEN uni_ids IS NOT NULL THEN struct(wpos, uni_ids) END)), x -> x.uni_ids)"),
           ",").as("uni_seq"))
+
+  private def encodeShards(s: SparkSession, d: String): DataFrame = {
+    val wordTable = encodeWordTable(s, d)
+    val perDoc = encodeDocs(Tables.parallelize(Tables.documents(s, d)),
+      wordTable)
 
     val shards = perDoc
       .withColumn("shard",

@@ -233,6 +233,27 @@ class PlanSpec extends SparkTestBase {
     assert(countShuffles(p) <= 3, s)
   }
 
+  test("substr_scrub: keyed exchanges only, no occurrence self-join") {
+    val p = plan("substr_scrub")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    // spread + the hash(h) exchange (pre-agg and per-hash stats reuse
+    // it) + the removed-position doc rollup + the rewrite join's two
+    // sides — all keyed; anything beyond ~7 means a stage stopped
+    // reusing its parent's partitioning
+    assert(countShuffles(p) <= 7, s)
+  }
+
+  test("encode_shards: word table broadcast, corpus side never shuffled for the join") {
+    val s = planString("encode_shards")
+    assert(!s.contains("CartesianProduct"), s)
+    // the doc-words → word-encodings join must be broadcast (the word
+    // table is vocab-sized); a SortMergeJoin here would shuffle every
+    // token row of the corpus
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
   test("dedup_containment joins candidates by id, never all-pairs") {
     val s = planString("dedup_containment")
     assert(!s.contains("CartesianProduct"), s)
