@@ -187,26 +187,32 @@ object FingerprintQueries {
   // SubstrScrubSpec) and the md5 of the cleaned space-rejoined text —
   // hash-gating the REWRITE itself, not just its counts.
   //
-  // Scale shape: same h-keyed exchange as substr_dup for the per-hash
-  // stats (one keyed aggregation — never a self-join on the occurrence
-  // stream); removed positions are ∝ duplicated-window occurrences, so
-  // remByDoc is sparse (rows only for docs that lose tokens) and the
-  // final join ships each doc's token array once. The kept-token filter
-  // is a per-doc lambda over ONE bounded array (docs are row-sized);
-  // it is NOT on a per-gram hot path — the corpus-scale work all
-  // happens in the keyed exchanges above it.
+  // Scale shape: ONE h-keyed exchange, ONE gram pass. The excision
+  // test needs no per-hash aggregate at all: an occurrence is removed
+  // iff doc_id ≠ min(doc_id) over its window hash — "some LOWER doc
+  // carries this window", which already implies ≥ 2 distinct docs, so
+  // the n_docs gate is redundant and the whole per-hash-stats join
+  // disappears into a min window over the h partitioning (the
+  // substr_dup exchange discipline; the first cut aggregated
+  // (n_docs, canon) per hash and joined back — column pruning made the
+  // aggregate's child and the probe's child DIFFERENT exchanges, so
+  // the corpus gram pass ran twice). Removed positions are
+  // ∝ duplicated-window occurrences, so remByDoc is sparse (rows only
+  // for docs that lose tokens) and the final join ships each doc's
+  // token array once. The kept-token filter is a per-doc lambda over
+  // ONE bounded array (docs are row-sized); it is NOT on a per-gram
+  // hot path — the corpus-scale work all happens in the keyed
+  // exchange above it.
   private def substrScrub(s: SparkSession, d: String): DataFrame = {
     val win = graft.text.TextFunctions
       .ngramRowsPos(Tables.parallelize(Tables.documents(s, d)),
         "doc_id", "text", SubW)
       .select(col("doc_id"), col("pos"), portableHash(col("s")).as("h"))
       .repartition(col("h"))
-    val hs = win
-      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
-      .groupBy(col("h"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canon"))
-    val remByDoc = win.join(hs, "h")
-      .filter(col("n_docs") >= 2 && col("doc_id") =!= col("canon"))
+    val remByDoc = win
+      .withColumn("canon", min(col("doc_id"))
+        .over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") =!= col("canon"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (SubW - 1))).as("tpos"))
       .groupBy(col("doc_id"))
@@ -236,14 +242,13 @@ object FingerprintQueries {
        |  FROM tok),
        |win AS (
        |  SELECT doc_id, pos, ${portableHashSql("s")} AS h FROM grams),
-       |hs AS (
-       |  SELECT h, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS canon
-       |  FROM win GROUP BY 1),
+       |-- removed iff a LOWER doc carries the window (implies >= 2 docs)
        |rem AS (
        |  SELECT DISTINCT w.doc_id, w.pos + q.o AS tpos
-       |  FROM win w JOIN hs USING (h),
+       |  FROM (SELECT doc_id, pos,
+       |          MIN(doc_id) OVER (PARTITION BY h) AS canon FROM win) w,
        |    LATERAL (SELECT unnest(range(0, $SubW)) AS o) q
-       |  WHERE n_docs >= 2 AND w.doc_id <> canon),
+       |  WHERE w.doc_id <> w.canon),
        |remc AS (
        |  SELECT doc_id, COUNT(*) AS n_removed FROM rem GROUP BY 1),
        |tokpos AS (
