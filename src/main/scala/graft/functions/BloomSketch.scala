@@ -43,6 +43,18 @@ object BloomSketch {
   val DefaultBits = 1 << 16
   val DefaultK = 5
 
+  /** Hard ceiling on the auto-sized m: 2^27 bits = 16 MB — the same
+    * order as Spark's own runtime-bloom cap. The collected words and
+    * the probe-side literal are the repo's one driver-side structure
+    * whose WANTED size tracks the data (10·n bits), so the cap is what
+    * keeps a 10⁹-key build side from collecting ~1.2 GB onto the
+    * driver and into every task binary. Past the cap the filter
+    * degrades in ε only (prunes less); zero false negatives at any m,
+    * so bloom_prune's value-identity is unaffected. A build side that
+    * saturates even 2^27 bits (≳ 13 M keys) should prefer Spark's
+    * injected runtime bloom filter or a partitioned semi-join. */
+  val MaxBits = 1 << 27
+
   /** The k bit positions of `key` as an array<int> column:
     * pos_i = xxhash64(key, i) mod m. k independent seeded hashes —
     * no 64-bit multiply, so ANSI overflow semantics are irrelevant. */
@@ -105,13 +117,13 @@ object BloomSketch {
     * when the key count grows 100× (ε → 1 — the filter stays correct
     * but prunes nothing), so the scale path counts the build side first
     * (one cheap agg over the rows about to be hashed anyway) and picks
-    * the next power of two ≥ bitsPerKey·n. `maxBits` caps driver/closure
-    * memory (2^27 bits = 16 MB — past that, prefer Spark's injected
-    * runtime bloom filter or a partitioned semi-join). Returns the words
-    * AND the chosen m — the probe must bit-test with the same m. */
+    * the next power of two ≥ bitsPerKey·n, hard-capped at [[MaxBits]]
+    * (see its doc for why the cap is load-bearing at 100 TB). Returns
+    * the words AND the chosen m — the probe must bit-test with the
+    * same m. */
   def buildFilterSized(df: org.apache.spark.sql.DataFrame, key: Column,
                        bitsPerKey: Int = 10, k: Int = DefaultK,
-                       maxBits: Int = 1 << 27): (Array[Long], Int) = {
+                       maxBits: Int = MaxBits): (Array[Long], Int) = {
     val n = df.count()
     val wanted = math.max(DefaultBits.toLong, n * bitsPerKey)
     val mBits = java.lang.Long.highestOneBit(

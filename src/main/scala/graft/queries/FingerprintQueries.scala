@@ -199,10 +199,15 @@ object FingerprintQueries {
   // the corpus gram pass ran twice). Removed positions are
   // ∝ duplicated-window occurrences, so remByDoc is sparse (rows only
   // for docs that lose tokens) and the final join ships each doc's
-  // token array once. The kept-token filter is a per-doc lambda over
-  // ONE bounded array (docs are row-sized); it is NOT on a per-gram
-  // hot path — the corpus-scale work all happens in the keyed
-  // exchange above it.
+  // token array once. The kept-token step is LINEAR in the doc:
+  // `array_except(positions, rem)` builds one hash set over the
+  // removal list and walks the position sequence once
+  // (O(n_tok + |rem|)); the former per-token `array_contains(rem, …)`
+  // lambda rescanned the removal array per token — O(n_tok·|rem|),
+  // quadratic for a mostly-duplicated long doc. Docs are row-sized so
+  // neither form could dominate a stage, but the linear form is the
+  // one that holds for arbitrarily long documents (SubstrScrubSpec
+  // pins both the equivalence and the long-doc case).
   private def substrScrub(s: SparkSession, d: String): DataFrame = {
     val win = graft.text.TextFunctions
       .ngramRowsPos(Tables.parallelize(Tables.documents(s, d)),
@@ -221,8 +226,15 @@ object FingerprintQueries {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .join(remByDoc, Seq("doc_id"), "left")
       .withColumn("rem", coalesce(col("rem"), array().cast("array<long>")))
+      // sequence(1, 0) would count DOWN — guard the empty-doc case
       .withColumn("kept", expr(
-        "filter(toks, (t, i) -> NOT array_contains(rem, CAST(i + 1 AS BIGINT)))"))
+        """transform(
+          |  array_except(
+          |    CASE WHEN size(toks) > 0
+          |      THEN sequence(CAST(1 AS BIGINT), CAST(size(toks) AS BIGINT))
+          |      ELSE CAST(array() AS array<bigint>) END,
+          |    rem),
+          |  p -> toks[CAST(p - 1 AS INT)])""".stripMargin))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tok"),
         size(col("rem")).cast("long").as("n_removed"),

@@ -43,6 +43,29 @@ class BloomSpec extends SparkTestBase with Matchers {
     fn shouldBe 0L
   }
 
+  test("bloom: auto-sizing is CAPPED — oversized build sides stop at maxBits") {
+    // the 100 TB guard: m must never track the build side unboundedly
+    // (a 10⁹-key build would otherwise collect a ~1.2 GB literal onto
+    // the driver and into every task binary). Past the cap the filter
+    // degrades in ε only — zero false negatives by construction, so
+    // bloom_prune's value-identity is unaffected. The production cap is
+    // 2²⁷ bits = 16 MB (the same order as Spark's own runtime bloom
+    // limit); the test pins the mechanism with a small cap so the
+    // build side genuinely overflows it.
+    val capBits = 1 << 12 // 4096 bits; 1000 keys want 10·1000 > 4096
+    val keys = (0L until 1000L).map(_ * 11 + 5)
+    val (words, mBits) = BloomSketch.buildFilterSized(
+      keys.toDF("k"), col("k"), maxBits = capBits)
+    mBits shouldBe capBits // at the cap, not 2^14
+    words.length shouldBe capBits / 64
+    val fn = keys.toDF("k")
+      .filter(!BloomSketch.mightContain(col("k"), words, mBits))
+      .count()
+    fn shouldBe 0L
+    // and the production cap is the documented 2^27 = 16 MB
+    BloomSketch.MaxBits shouldBe (1 << 27)
+  }
+
   test("bloom: build aggregation merges across partitions") {
     // the same filter must result no matter how the build side is
     // partitioned (merge = OR is the mergeability contract)

@@ -55,4 +55,32 @@ class SubstrScrubSpec extends SparkTestBase {
     assert(out(3L)._2 === 0L)
     graft.SharedStages.clear()
   }
+
+  test("long doc: mostly-duplicated 20k-token doc rewrites linearly") {
+    // the case the linear kept-token form exists for: |rem| ≈ n_tok ≈
+    // 20 000, where the former per-token array_contains lambda did
+    // O(n_tok·|rem|) ≈ 4·10⁸ comparisons per doc and the
+    // array_except walk does O(n_tok + |rem|)
+    import spark.implicits._
+    val n = 20000
+    val body = (1 to n).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      (1L, body, "en", "src0", 0L),
+      (2L, s"uniq1 uniq2 $body", "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("scrub_long").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = run(dir).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    // doc 1 canonical: untouched
+    assert(out(1L) === ((n.toLong, 0L, n.toLong,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(body))))
+    // doc 2: every body token sits in a duplicated window whose
+    // canonical home is doc 1; only the two unique lead tokens (whose
+    // covering windows exist nowhere else) survive
+    assert(out(2L) === ((n.toLong + 2, n.toLong, 2L,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("uniq1 uniq2"))))
+    graft.SharedStages.clear()
+  }
 }
