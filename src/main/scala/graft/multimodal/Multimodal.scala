@@ -63,6 +63,32 @@ object Multimodal {
       }
     }
 
+    /** Fake perceptual average-hash (aHash). A real aHash decodes,
+      * downsamples to an 8×8 grayscale grid, and thresholds each cell
+      * against the mean; the fake keeps that exact structure over the
+      * raw bytes: 64 "cells" — cell i is the leading md5 byte of the
+      * i-th of 64 contiguous byte chunks — thresholded against the
+      * cell mean by EXACT integer comparison (bit i set iff
+      * 64·cell_i > Σ cells; no float division to diverge between
+      * engines). Locality is the load-bearing property: a small byte
+      * edit rewrites few chunks, so near-identical blobs land within a
+      * small Hamming distance — what the banded near-dup search
+      * (mm_phash) exploits. Swap [[decode]] + this for a real codec
+      * and the banding/verify machinery above is unchanged. */
+    def phash(bytes: Array[Byte]): Long = {
+      val len = bytes.length
+      val cells = Array.tabulate(64) { i =>
+        Integer.parseInt(
+          md5Hex(bytes.slice(i * len / 64, (i + 1) * len / 64))
+            .substring(0, 2), 16)
+      }
+      val tot = cells.foldLeft(0L)(_ + _)
+      var h = 0L
+      var i = 0
+      while (i < 64) { if (64L * cells(i) > tot) h |= 1L << i; i += 1 }
+      h
+    }
+
     /** Fake half-resolution resize: the "downscaled image" is the
       * leading half of the bytes (a real codec decodes, scales, and
       * re-encodes — this keeps the byte-level contract deterministic
@@ -105,8 +131,19 @@ object Multimodal {
       .mapPartitions(_.map(r => FakeCodec.resize(r.id, r.content)))
 
   case class BlobFp(id: Long, format: String, content_hash: String)
+  case class Phash(id: Long, phash: Long)
 
   private implicit val fpEnc: Encoder[BlobFp] = Encoders.product[BlobFp]
+  private implicit val phEnc: Encoder[Phash] = Encoders.product[Phash]
+
+  /** df(idCol, binCol) → 64-bit perceptual hash per blob through the
+    * per-partition codec seam (map-only — the expensive decode happens
+    * once per blob; all downstream near-dup work is over the 8-byte
+    * hash, never the media bytes). */
+  def perceptualHashes(df: DataFrame, idCol: String, binCol: String): Dataset[Phash] =
+    df.select(col(idCol).as("id"), col(binCol).as("content"))
+      .as[BinaryRecord]
+      .mapPartitions(_.map(r => Phash(r.id, FakeCodec.phash(r.content))))
 
   /** df(idCol, binCol) → content fingerprint per blob — the
     * identical-media dedup key, hashed through the same per-partition

@@ -207,9 +207,106 @@ object MultimodalQueries {
       |FROM documents
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------- mm_phash
+  // Perceptual near-dup — the second gate of the media-curation
+  // cascade, after mm_dedup's exact-digest gate: a 64-bit average-hash
+  // per blob computed through the SAME per-partition codec seam as
+  // decode (FakeCodec.phash — 64 chunk-mean cells thresholded against
+  // the global cell mean, the aHash structure over the fake decode),
+  // then Hamming-banded candidate pairs via the SimHash machinery:
+  // 4 disjoint 16-bit bands, so any pair within Hamming ≤ 3 agrees
+  // exactly on some band (pigeonhole — lossless blocking for the ≤3
+  // search), verified by one xor + bit_count per band collision.
+  // Plan: the hash is map-only over the decode pass; the join is
+  // keyed on (band, value); never all-pairs. At 100 TB only the
+  // 8-byte hashes ever shuffle — the media bytes stay where the scan
+  // read them.
+  // Two oracle gates: `mm_phash` is the per-blob hash table itself —
+  // non-empty at EVERY SF, so the 64-cell aHash computation is
+  // hash-matched bit-for-bit even on corpora with no duplicate pairs —
+  // and `mm_phash_pairs` is the banded search (real result sets from
+  // sf0.1 up, where the corpus carries exact-dup clusters; the crafted
+  // near-identical fixture in MmPhashSpec covers the small end).
+  private val PhBands = 4
+  private val PhBandBits = 16
+  private val PhBandMask = (1L << PhBandBits) - 1
+  private val PhHammingMax = PhBands - 1
+
+  private def phashTable(s: SparkSession, d: String): DataFrame =
+    Multimodal.perceptualHashes(
+      Tables.parallelize(Tables.documents(s, d))
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")),
+      "doc_id", "blob").toDF()
+
+  private def mmPhashPairs(s: SparkSession, d: String): DataFrame = {
+    val banded = phashTable(s, d)
+      .withColumn("b", explode(expr(s"sequence(0, ${PhBands - 1})")))
+      .withColumn("v",
+        expr(s"shiftright(phash, b * $PhBandBits) & ${PhBandMask}L"))
+    val a = banded.select(col("b"), col("v"),
+      col("id").as("a_id"), col("phash").as("a_ph"))
+    val bs = banded.select(col("b"), col("v"),
+      col("id").as("b_id"), col("phash").as("b_ph"))
+    // verify BEFORE distinct (the simhash_pairs discipline): popcount
+    // is one codegen'd op per candidate; the distinct's exchange then
+    // carries only true near-dup pairs
+    a.join(bs, Seq("b", "v"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", expr("CAST(bit_count(a_ph ^ b_ph) AS INT)"))
+      .filter(col("hamming") <= PhHammingMax)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .distinct()
+  }
+
+  // Mirror of FakeCodec.phash + the banded search. Chunk i of a
+  // len-byte blob is bytes [i·len/64, (i+1)·len/64) — ASCII corpus, so
+  // varchar substring == byte slice (the mm_resize precedent). DuckDB
+  // refuses 1<<63 (overflow check), so bit 63's weight is spelled as
+  // the BIGINT minimum literal; the HUGEINT sum of distinct bit
+  // weights is exactly the two's-complement value and casts back
+  // losslessly.
+  private val phashCtes =
+    s"""cells AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+       |    CAST(concat('0x', substr(md5(substring(text,
+       |      CAST((u.i * length(text)) // 64 + 1 AS INT),
+       |      CAST(((u.i + 1) * length(text)) // 64
+       |        - (u.i * length(text)) // 64 AS INT))), 1, 2)) AS BIGINT)
+       |      AS cell
+       |  FROM documents, LATERAL (SELECT unnest(range(0, 64)) AS i) u),
+       |ph AS (
+       |  SELECT doc_id, CAST(SUM(CASE WHEN 64 * cell > tot THEN
+       |      CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |        ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+       |      ELSE 0 END) AS BIGINT) AS phash
+       |  FROM (SELECT doc_id, i, cell,
+       |          SUM(cell) OVER (PARTITION BY doc_id) AS tot FROM cells)
+       |  GROUP BY 1)""".stripMargin
+
+  private val mmPhashSql =
+    s"""WITH $phashCtes
+       |SELECT doc_id AS id, phash FROM ph""".stripMargin
+
+  private val mmPhashPairsSql =
+    s"""WITH $phashCtes,
+       |banded AS (
+       |  SELECT doc_id, phash, CAST(u.b AS INTEGER) AS b,
+       |    (phash >> CAST(u.b * $PhBandBits AS INTEGER)) & $PhBandMask
+       |      AS v
+       |  FROM ph, LATERAL (SELECT unnest(range(0, $PhBands)) AS b) u),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+       |  FROM banded a JOIN banded b ON a.b = b.b AND a.v = b.v
+       |    AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $PhHammingMax)
+       |SELECT DISTINCT a_id, b_id, hamming FROM cand""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("mm_decode_meta", mmDecode, Some(mmDecodeSql)),
     QueryDef("mm_dedup", mmDedup, Some(mmDedupSql)),
+    QueryDef("mm_phash", phashTable, Some(mmPhashSql)),
+    QueryDef("mm_phash_pairs", mmPhashPairs, Some(mmPhashPairsSql)),
     QueryDef("mm_sample_frames", mmFrames, Some(mmFramesSql)),
     QueryDef("mm_frame_vbow", mmFrameVbow, Some(mmFrameVbowSql)),
     QueryDef("mm_resize", mmResize, Some(mmResizeSql)))
