@@ -483,6 +483,13 @@ object MiningQueries {
   // norm joins are doc-keyed hash joins. At 100 TB the df cut is the
   // lever: posting lists above it contribute O(df²) candidate pairs
   // each, so capping df caps the quadratic term by construction.
+  // LexMaxDf is GATED, not guessed: lex_df_gate below sweeps the cap
+  // over one shared tf pipeline and certifies (in both engines) the
+  // smallest cap retaining ≥ LexRetainPct % of the widest setting's
+  // scored pairs. At sf0.001/0.01/0.1 the gate picks 15 (100 %
+  // retention at every measured SF); 25 is kept as the standing
+  // production cap — one safety notch above the measured choice —
+  // pending the sf10 sweep (BENCH_NOTES carries the numbers).
   private val LexN = 3
   private val LexMaxDf = 25
   private val LexMinCos = 0.5
@@ -551,8 +558,171 @@ object MiningQueries {
        |  >= $LexMinCos""".stripMargin
   }
 
+  // ------------------------------------------------------- lex_df_gate
+  // The measure→act gate for lex_cosine_pairs' df cap — the one tuning
+  // lever of the posting-list join's quadratic term (each term
+  // contributes O(df²) candidate pairs; the cap bounds it by
+  // construction), in the lsh_width / ivf_nprobe_gate mold: sweep
+  // MaxDf ∈ {15, 25, 50} off ONE shared tf pipeline and report, per
+  // cap, the terms kept, the candidate-pair mass Σ df·(df−1)/2 (the
+  // actual join cost), and the scored pairs retained (cos ≥ τ under
+  // that cap's term space) — then CHOOSE the smallest cap whose
+  // retained count clears LexRetainPct % of the widest setting's, by
+  // exact integer comparison, so both engines must derive the same
+  // choice. The sweep costs ONE pair join at the widest cap, not
+  // three: a pair's dot/norms under cap c are conditional sums over
+  // `df ≤ c` inside the same rollup (a pair sharing only (c, 50]-df
+  // terms gets dot_c = 0 and drops, exactly as a from-scratch run at
+  // cap c would produce). Plan: the same gram pass / term exchange /
+  // pair rollup as lex_cosine_pairs, three conditional sums wider;
+  // output is |caps| rows at any corpus size.
+  private val LexDfCaps = Seq(15, 25, 50)
+  private val LexRetainPct = 90
+
+  private def lexDfGate(s: SparkSession, d: String): DataFrame = {
+    val widest = LexDfCaps.max
+    val tf = TextFunctions.ngramRows(
+        Tables.parallelize(Tables.documents(s, d)), "doc_id", "text", LexN)
+      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("tf"))
+    val pruned = tf.repartition(col("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= widest)
+    val norms = pruned.groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("df") <= LexDfCaps.head, col("tf") * col("tf"))
+          .otherwise(0L)).as(s"n2_${LexDfCaps.head}"),
+        LexDfCaps.tail.map(c =>
+          sum(when(col("df") <= c, col("tf") * col("tf")).otherwise(0L))
+            .as(s"n2_$c")): _*)
+    val a = pruned.select(col("s"), col("df"), col("doc_id").as("a_id"),
+      col("tf").as("a_tf"))
+    val b = pruned.select(col("s"), col("doc_id").as("b_id"),
+      col("tf").as("b_tf"))
+    val dots = a.join(b, "s")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(
+        sum(when(col("df") <= LexDfCaps.head, col("a_tf") * col("b_tf"))
+          .otherwise(0L)).as(s"dot_${LexDfCaps.head}"),
+        LexDfCaps.tail.map(c =>
+          sum(when(col("df") <= c, col("a_tf") * col("b_tf")).otherwise(0L))
+            .as(s"dot_$c")): _*)
+    val scored = dots
+      .join(norms.select(col("doc_id").as("a_id") +:
+        LexDfCaps.map(c => col(s"n2_$c").as(s"a_n2_$c")): _*), "a_id")
+      .join(norms.select(col("doc_id").as("b_id") +:
+        LexDfCaps.map(c => col(s"n2_$c").as(s"b_n2_$c")): _*), "b_id")
+    // coalesce: a corpus with zero candidate pairs makes the global
+    // sums NULL in both engines; the gate must still choose (→ 0s,
+    // smallest cap wins trivially)
+    def retainedAt(c: Int) =
+      coalesce(sum(when(col(s"dot_$c") > 0 &&
+        col(s"dot_$c").cast("double") /
+          sqrt(col(s"a_n2_$c").cast("double") * col(s"b_n2_$c").cast("double"))
+          >= LexMinCos, 1L).otherwise(0L)), lit(0L)).as(s"ret_$c")
+    val rets = scored.agg(retainedAt(LexDfCaps.head),
+      LexDfCaps.tail.map(retainedAt): _*)
+    val dfTbl = pruned.select(col("s"), col("df")).distinct()
+    val terms = dfTbl.agg(
+      sum(when(col("df") <= LexDfCaps.head, 1L).otherwise(0L))
+        .as(s"terms_${LexDfCaps.head}"),
+      LexDfCaps.tail.map(c =>
+        sum(when(col("df") <= c, 1L).otherwise(0L)).as(s"terms_$c")) ++
+      LexDfCaps.map(c =>
+        sum(when(col("df") <= c, expr("df * (df - 1) DIV 2")).otherwise(0L))
+          .as(s"mass_$c")): _*)
+    val one = rets.crossJoin(terms)
+      .withColumn("chosen_cap",
+        LexDfCaps.init.foldRight(lit(widest)) { (c, rest) =>
+          when(col(s"ret_$c") * 100 >= col(s"ret_$widest") * LexRetainPct,
+            lit(c)).otherwise(rest)
+        })
+    // NB foldRight builds when(15)...when(25)...otherwise(50) — but a
+    // foldRight chain nests the SMALLEST cap outermost, which is the
+    // "smallest satisfying cap wins" rule exactly
+    one.select(explode(array(LexDfCaps.map(c => struct(
+        lit(c.toLong).as("max_df"),
+        col(s"terms_$c").as("n_terms"),
+        col(s"mass_$c").as("cand_mass"),
+        col(s"ret_$c").as("n_pairs"),
+        col(s"ret_$widest").as("n_pairs_widest"),
+        (lit(c) === col("chosen_cap")).as("chosen"))): _*)).as("r"))
+      .select(col("r.*"))
+  }
+
+  private val lexDfGateSql = {
+    val toksS = tokensSql("text")
+    val sh = shinglesSql("toks", LexN)
+    val widest = LexDfCaps.max
+    val n2Cols = LexDfCaps.map(c =>
+      s"CAST(SUM(CASE WHEN df <= $c THEN tf * tf ELSE 0 END) AS BIGINT) AS n2_$c")
+      .mkString(",\n    ")
+    val dotCols = LexDfCaps.map(c =>
+      s"CAST(SUM(CASE WHEN a.df <= $c THEN a.tf * b.tf ELSE 0 END) AS BIGINT) AS dot_$c")
+      .mkString(",\n    ")
+    val retCols = LexDfCaps.map(c =>
+      s"""CAST(COALESCE(SUM(CASE WHEN dot_$c > 0 AND CAST(dot_$c AS DOUBLE)
+         |      / sqrt(CAST(a_n2_$c AS DOUBLE) * CAST(b_n2_$c AS DOUBLE))
+         |      >= $LexMinCos THEN 1 ELSE 0 END), 0) AS BIGINT) AS ret_$c""".stripMargin)
+      .mkString(",\n    ")
+    val termCols = (LexDfCaps.map(c =>
+      s"CAST(SUM(CASE WHEN df <= $c THEN 1 ELSE 0 END) AS BIGINT) AS terms_$c") ++
+      LexDfCaps.map(c =>
+        s"CAST(SUM(CASE WHEN df <= $c THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT) AS mass_$c"))
+      .mkString(",\n    ")
+    val chosen = LexDfCaps.init.foldRight(widest.toString) { (c, rest) =>
+      s"CASE WHEN ret_$c * 100 >= ret_$widest * $LexRetainPct THEN $c ELSE $rest END"
+    }
+    val perCap = (col: String) => LexDfCaps.init.foldRight(s"${col}_$widest") {
+      (c, rest) => s"CASE WHEN u.max_df = $c THEN ${col}_$c ELSE $rest END"
+    }
+    s"""WITH tokd AS (
+       |  SELECT doc_id, $toksS AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest($sh) AS s FROM tokd),
+       |tf AS (SELECT doc_id, s, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+       |df AS (SELECT s, COUNT(*) AS df FROM tf GROUP BY 1),
+       |pruned AS (
+       |  SELECT tf.doc_id, tf.s, tf.tf, df.df FROM tf JOIN df USING (s)
+       |  WHERE df.df <= $widest),
+       |norms AS (
+       |  SELECT doc_id,
+       |    $n2Cols
+       |  FROM pruned GROUP BY 1),
+       |dots AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    $dotCols
+       |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.*,
+       |    ${LexDfCaps.map(c => s"na.n2_$c AS a_n2_$c").mkString(", ")},
+       |    ${LexDfCaps.map(c => s"nb.n2_$c AS b_n2_$c").mkString(", ")}
+       |  FROM dots d
+       |  JOIN norms na ON na.doc_id = d.a_id
+       |  JOIN norms nb ON nb.doc_id = d.b_id),
+       |rets AS (
+       |  SELECT
+       |    $retCols
+       |  FROM scored),
+       |terms AS (
+       |  SELECT
+       |    $termCols
+       |  FROM df WHERE df <= $widest),
+       |pick AS (SELECT $chosen AS chosen_cap FROM rets)
+       |SELECT CAST(u.max_df AS BIGINT) AS max_df,
+       |  ${perCap("terms")} AS n_terms,
+       |  ${perCap("mass")} AS cand_mass,
+       |  ${perCap("ret")} AS n_pairs,
+       |  ret_$widest AS n_pairs_widest,
+       |  u.max_df = chosen_cap AS chosen
+       |FROM rets, terms, pick,
+       |  (SELECT unnest([${LexDfCaps.mkString(", ")}]) AS max_df) u""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("hll_distinct", hllDistinct, Some(hllDistinctSql)),
+    QueryDef("lex_df_gate", lexDfGate, Some(lexDfGateSql)),
     QueryDef("winnow_fingerprint",
       (s, d) => graft.SharedStages.winnowFingerprints(s, d),
       Some(winnowFingerprintSql)),
