@@ -130,4 +130,110 @@ object BucketStore {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else readMany(spark, path, buckets, schema)
+
+  // ------------------------------------------------------------ lifecycle
+  // A standing store written by an unbounded stream only ever GROWS
+  // under upsert: rows never expire and the bucket count is fixed at
+  // creation, so each bucket's bytes climb until a bucket no longer
+  // fits one task — the batch analogue of an unbounded Redis keyspace.
+  // The reference bounds its per-key state with TTL eviction
+  // (`EX 300`, kafkaConsumer.js:43,300); [[evict]] is that policy for
+  // horizon-bounded stores, and [[rebucket]] is the re-spread for
+  // stores whose RETAINED set legitimately grows. Both are O(store)
+  // maintenance passes (bucket-parallel, one job) meant to run every
+  // K batches / on a [[stats]] trigger — per-batch cost stays
+  // O(batch + touched buckets), with maintenance amortized. The
+  // production swap-in (a MERGE-capable table format) owns these as
+  // DELETE WHERE + table rewrite; call shapes identical.
+
+  /** Per-bucket lifecycle stats (driver-side, ≤ numBuckets rows): live
+    * bytes + file count per bucket — the trigger input for
+    * [[rebucket]] (bucket bytes approaching one task's memory) without
+    * reading any data files. */
+  final case class BucketStat(bucket: Int, files: Int, bytes: Long)
+  def stats(spark: SparkSession, path: String,
+            numBuckets: Int = 64): Seq[BucketStat] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    (0 until numBuckets).flatMap { b =>
+      val dir = new org.apache.hadoop.fs.Path(bucketDir(path, b))
+      if (!fs.exists(dir)) None
+      else {
+        val parts = fs.listStatus(dir)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        Some(BucketStat(b, parts.length, parts.map(_.getLen).sum))
+      }
+    }
+  }
+
+  /** Retention pass: rewrite the store keeping only rows matching
+    * `keep` (e.g. `col("doc_id") > horizon`) — TTL eviction for
+    * horizon-bounded stores. Placement is unchanged (`bucketCols`
+    * must match the store's upsert placement); every surviving bucket
+    * promotes through the same rename-aside protocol as [[upsert]],
+    * and a bucket whose rows are ALL evicted is removed outright (its
+    * backup too — those rows are expired by definition, so the crash
+    * window loses nothing a replay needs). Single writer, like
+    * upsert. Returns rows kept. */
+  def evict(spark: SparkSession, path: String, schema: StructType,
+            keep: org.apache.spark.sql.Column, keyCols: Seq[String],
+            numBuckets: Int = 64, bucketCols: Seq[String] = Nil): Long = {
+    val bc = bucketCol(if (bucketCols.isEmpty) keyCols else bucketCols,
+      numBuckets)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val live = (0 until numBuckets).filter { b =>
+      fs.exists(new org.apache.hadoop.fs.Path(bucketDir(path, b))) ||
+        fs.exists(new org.apache.hadoop.fs.Path(bucketDir(path, b) + "_old"))
+    }
+    if (live.isEmpty) return 0L
+    val survivors = readMany(spark, path, live, schema)
+      .filter(keep)
+      .withColumn("__bucket", bc)
+      // one coherent file per surviving bucket (the upsert discipline)
+      .repartition(live.length, col("__bucket"))
+      .localCheckpoint() // one pass: the write below + the count
+    val tmpRoot = path + "_evt"
+    survivors.write.mode("overwrite").partitionBy("__bucket").parquet(tmpRoot)
+    live.foreach { b =>
+      val staged = s"$tmpRoot/__bucket=$b"
+      if (fs.exists(new org.apache.hadoop.fs.Path(staged)))
+        EventStoreSink.promote(fs, staged, bucketDir(path, b))
+      else {
+        fs.delete(new org.apache.hadoop.fs.Path(bucketDir(path, b)), true)
+        fs.delete(new org.apache.hadoop.fs.Path(bucketDir(path, b) + "_old"), true)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
+    survivors.count()
+  }
+
+  /** Re-spread a store into a different bucket count at a NEW path —
+    * the maintenance move for a store whose retained set outgrew its
+    * creation-time bucket count (or shrank far below it). Writing to
+    * a fresh root keeps the move crash-safe with no mixed-generation
+    * window: the old store stays fully readable until the caller
+    * switches paths (the table-format swap-in owns this as a
+    * transactional rewrite). Probe/upsert against the new path must
+    * use `toBuckets`. */
+  def rebucket(spark: SparkSession, path: String, newPath: String,
+               schema: StructType, keyCols: Seq[String],
+               fromBuckets: Int, toBuckets: Int,
+               bucketCols: Seq[String] = Nil): Unit = {
+    val bc = bucketCol(if (bucketCols.isEmpty) keyCols else bucketCols,
+      toBuckets)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tmpRoot = newPath + "_tmp"
+    read(spark, path, schema, fromBuckets)
+      .withColumn("__bucket", bc)
+      .repartition(toBuckets, col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(tmpRoot)
+    (0 until toBuckets).foreach { b =>
+      val staged = s"$tmpRoot/__bucket=$b"
+      if (fs.exists(new org.apache.hadoop.fs.Path(staged)))
+        EventStoreSink.promote(fs, staged, bucketDir(newPath, b))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
+  }
 }

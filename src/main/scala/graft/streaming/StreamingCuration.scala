@@ -232,6 +232,31 @@ object StreamingCuration {
     flagged
   }
 
+  /** Retention pass over the four standing stores — the batch analogue
+    * of the reference's Redis TTL (`EX 300`, kafkaConsumer.js:43):
+    * drop every store row whose doc_id has fallen behind
+    * `horizonMinId`. With a doc_id-ordered arrival stream this bounds
+    * each store to the trailing horizon's rows, so per-bucket bytes
+    * PLATEAU instead of growing with the corpus (StreamScale measures
+    * it). Semantics under a horizon are dedup-within-horizon — a new
+    * doc no longer matches partners older than the horizon — the same
+    * trade [[graft.dedup.StreamingNearDup]]'s bounded MapState horizon
+    * makes, and the right one for a rolling crawl. Returns total rows
+    * kept across the stores. */
+  def evictStores(spark: org.apache.spark.sql.SparkSession, root: String,
+                  horizonMinId: Long): Long = {
+    val keep = col("doc_id") >= lit(horizonMinId)
+    BucketStore.evict(spark, fpPath(root), fpSchema, keep,
+      Seq("fp"), NumBuckets) +
+      BucketStore.evict(spark, bandPath(root), bandSchema, keep,
+        Seq("band", "bucket", "doc_id"), NumBuckets,
+        bucketCols = Seq("band", "bucket")) +
+      BucketStore.evict(spark, shPath(root), shSchema, keep,
+        Seq("doc_id"), NumBuckets) +
+      BucketStore.evict(spark, simPath(root), simSchema, keep,
+        Seq("b", "v", "doc_id"), NumBuckets, bucketCols = Seq("b", "v"))
+  }
+
   /** Per-source funnel rollup of a flag table — the dedup_funnel
     * report shape plus the quality stage. */
   def funnelCounts(flags: DataFrame): DataFrame =
@@ -247,15 +272,30 @@ object StreamingCuration {
 
   /** Attach the funnel to a streaming doc source (doc_id, source,
     * text, ...). Flags land under `outDir/batch=<id>` (overwritten on
-    * replay); stores live under `storeRoot`. */
+    * replay); stores live under `storeRoot`. `horizonDocs`, when set,
+    * turns on store retention: every `evictEvery` batches, rows more
+    * than `horizonDocs` doc_ids behind the batch's max are evicted
+    * ([[evictStores]] — bounded stores, dedup-within-horizon
+    * semantics). Eviction runs AFTER the batch's flags are written, so
+    * a crash-replayed batch re-runs against stores at least as full as
+    * its first run saw — eviction is monotone, replays are harmless. */
   def attach(docs: DataFrame, storeRoot: String, outDir: String,
-             checkpoint: String, minTokens: Int = 0): StreamingQuery =
+             checkpoint: String, minTokens: Int = 0,
+             horizonDocs: Option[Long] = None,
+             evictEvery: Int = 4): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val flags = flagBatch(
           batch.select(col("doc_id"), col("source"), col("text")),
           storeRoot, minTokens)
         flags.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        horizonDocs.foreach { h =>
+          if ((id + 1) % evictEvery == 0) {
+            val mx = batch.agg(max(col("doc_id"))).head()
+            if (!mx.isNullAt(0))
+              evictStores(batch.sparkSession, storeRoot, mx.getLong(0) - h)
+          }
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -16,14 +16,22 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * "cost ∝ batch, not store size" argument MEASURED, not extrapolated
   * (BENCH_NOTES.md carries the table).
   *
-  * Usage: runMain graft.tools.StreamScale <sfDir> [nBatches]
+  * Usage: runMain graft.tools.StreamScale <sfDir> [nBatches] [horizonDocs]
   * Prints one line per processed micro-batch plus a final equivalence
   * check against the one-shot batch funnel (same flags per source).
+  *
+  * With `horizonDocs` set, store retention ([[graft.streaming
+  * .StreamingCuration.evictStores]]) runs every 2 batches and the
+  * per-batch line carries the store row counts — the evidence that
+  * store size PLATEAUS at the horizon while per-batch cost stays flat
+  * (the funnel-equivalence check is skipped: under a horizon the
+  * semantics are deliberately dedup-within-horizon, not global).
   */
 object StreamScale {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val n = if (args.length > 1) args(1).toInt else 6
+    val horizon = if (args.length > 2) Some(args(2).toLong) else None
     val minTokens = 8
     val spark = graft.GraftSession
       .builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
@@ -50,7 +58,13 @@ object StreamScale {
         .coalesce(1).write.mode("append").parquet(src)
     }
 
-    val timings = ArrayBuffer[(Long, Long, Double)]()
+    def storeRowsNow(): Seq[Long] =
+      Seq("fp", "band", "sh", "sim").map { stage =>
+        try spark.read.parquet(s"$stores/$stage/b*").count()
+        catch { case _: Throwable => 0L }
+      }
+
+    val timings = ArrayBuffer[(Long, Long, Double, Seq[Long])]()
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
         e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -61,8 +75,11 @@ object StreamScale {
         val p = e.progress
         if (p.numInputRows > 0)
           timings.synchronized {
+            // store sizes only sampled in horizon mode (4 extra counts
+            // per batch would perturb the plain-mode timing evidence)
             timings += ((p.batchId, p.numInputRows,
-              p.durationMs.getOrDefault("triggerExecution", 0L) / 1000.0))
+              p.durationMs.getOrDefault("triggerExecution", 0L) / 1000.0,
+              if (horizon.isDefined) storeRowsNow() else Nil))
           }
       }
     })
@@ -74,7 +91,8 @@ object StreamScale {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       graft.streaming.StreamingCuration.attach(
-        stream, stores, out, ckpt, minTokens)
+        stream, stores, out, ckpt, minTokens,
+        horizonDocs = horizon, evictEvery = 2)
     }
 
     def storeRows(stage: String): Long =
@@ -97,11 +115,19 @@ object StreamScale {
     q2.stop(); q2.awaitTermination()
 
     timings.synchronized(timings.toSeq).sortBy(_._1).foreach {
-      case (id, rows, sec) =>
-        println(f"[streamscale] batch=$id rows=$rows sec=$sec%.2f")
+      case (id, rows, sec, st) =>
+        val stores = if (st.isEmpty) ""
+          else s" stores=${st.mkString("/")}"
+        println(f"[streamscale] batch=$id rows=$rows sec=$sec%.2f$stores")
     }
     println(s"[streamscale] final store rows fp/band/sh/sim = " +
       Seq("fp", "band", "sh", "sim").map(storeRows).mkString("/"))
+    if (horizon.isDefined) {
+      // horizon mode: stores are deliberately bounded, so the global
+      // funnel equivalence doesn't apply — the plateau table above IS
+      // the evidence
+      spark.stop(); return
+    }
 
     // ---- equivalence: streamed flags == one-shot batch funnel
     val streamed = graft.streaming.StreamingCuration

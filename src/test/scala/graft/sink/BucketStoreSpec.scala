@@ -78,6 +78,77 @@ class BucketStoreSpec extends SparkTestBase {
     assert(new File(s"$dir/b$b").exists())
   }
 
+  test("evict: retention keeps only matching rows, empties dead buckets") {
+    val dir = Files.createTempDirectory("bevict").toString + "/docs"
+    val rows = (1 to 200).map(i => (s"dev-$i", i.toLong, 1L))
+      .toDF("dev", "end_ts", "v")
+    BucketStore.upsert(spark, rows, dir, Seq("dev"), N)
+    val bytesBefore = BucketStore.stats(spark, dir, N).map(_.bytes).sum
+    assert(BucketStore.stats(spark, dir, N).nonEmpty && bytesBefore > 0)
+
+    // TTL pass: keep the trailing 50 "timestamps"
+    val kept = BucketStore.evict(spark, dir, rows.schema,
+      $"end_ts" > 150L, Seq("dev"), N)
+    assert(kept == 50L)
+    val got = BucketStore.read(spark, dir, rows.schema, N)
+    assert(got.count() == 50 &&
+      got.agg(min($"end_ts")).as[Long].head() == 151L)
+    // probes against surviving keys still hit (placement unchanged)
+    val probe = BucketStore.readBuckets(spark, dir, rows.schema,
+      BucketStore.touchedBuckets(Seq(("dev-200", 0L, 0L))
+        .toDF("dev", "end_ts", "v"), Seq("dev"), N))
+    assert(probe.filter($"dev" === "dev-200").count() == 1)
+    assert(BucketStore.stats(spark, dir, N).map(_.bytes).sum < bytesBefore)
+
+    // evicting everything removes every bucket dir (and its backup)
+    assert(BucketStore.evict(spark, dir, rows.schema,
+      lit(false), Seq("dev"), N) == 0L)
+    assert(BucketStore.stats(spark, dir, N).isEmpty)
+    assert(BucketStore.read(spark, dir, rows.schema, N).count() == 0)
+  }
+
+  test("evict is idempotent and upserts keep working afterwards") {
+    val dir = Files.createTempDirectory("bevict2").toString + "/docs"
+    val rows = (1 to 40).map(i => (s"dev-$i", i.toLong, 1L))
+      .toDF("dev", "end_ts", "v")
+    BucketStore.upsert(spark, rows, dir, Seq("dev"), N)
+    BucketStore.evict(spark, dir, rows.schema, $"end_ts" > 20L, Seq("dev"), N)
+    // replaying the same eviction (the crash-replay shape) is a no-op
+    val again = BucketStore.evict(spark, dir, rows.schema,
+      $"end_ts" > 20L, Seq("dev"), N)
+    assert(again == 20L)
+    BucketStore.upsert(spark,
+      Seq(("dev-5", 99L, 2L)).toDF("dev", "end_ts", "v"), dir, Seq("dev"), N)
+    val got = BucketStore.read(spark, dir, rows.schema, N)
+    assert(got.count() == 21 &&
+      got.filter($"dev" === "dev-5").select($"end_ts").as[Long].head() == 99L)
+  }
+
+  test("rebucket: re-spread to a new bucket count, probes unchanged") {
+    val dir = Files.createTempDirectory("brb").toString + "/docs"
+    val dir32 = Files.createTempDirectory("brb").toString + "/docs32"
+    val rows = (1 to 200).map(i => (s"dev-$i", i.toLong, 1L))
+      .toDF("dev", "end_ts", "v")
+    BucketStore.upsert(spark, rows, dir, Seq("dev"), N)
+    BucketStore.rebucket(spark, dir, dir32, rows.schema, Seq("dev"), N, 32)
+    // identical row set under the new spread
+    def all(p: String, nb: Int) = BucketStore.read(spark, p, rows.schema, nb)
+      .select($"dev", $"end_ts", $"v").as[(String, Long, Long)]
+      .collect().sorted.toSeq
+    assert(all(dir32, 32) == all(dir, N))
+    // pruned probe path works against the new count
+    val probe = BucketStore.readBuckets(spark, dir32, rows.schema,
+      BucketStore.touchedBuckets(Seq(("dev-77", 0L, 0L))
+        .toDF("dev", "end_ts", "v"), Seq("dev"), 32))
+    assert(probe.filter($"dev" === "dev-77").select($"end_ts")
+      .as[Long].head() == 77L)
+    // and upserts continue at the new granularity
+    BucketStore.upsert(spark,
+      Seq(("dev-77", 999L, 2L)).toDF("dev", "end_ts", "v"),
+      dir32, Seq("dev"), 32)
+    assert(BucketStore.read(spark, dir32, rows.schema, 32).count() == 200)
+  }
+
   test("status stream -> stateful sessions -> bucketed store (3.2 end-to-end)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("bsess").toString + "/sessions"

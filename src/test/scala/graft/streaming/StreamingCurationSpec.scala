@@ -123,4 +123,30 @@ class StreamingCurationSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
     assert(got == want, s"funnel semantics drifted:\n  got  $got\n  want $want")
   }
+
+  test("store retention: horizon eviction bounds stores, dedup-within-horizon") {
+    val root = freshRoot().resolve("stores").toString
+    // two advancing batches far apart in doc_id
+    StreamingCuration.flagBatch(docsDf(Seq((1L, "web", base))), root)
+    StreamingCuration.flagBatch(docsDf(Seq(
+      (100L, "web", "completely different content about spark plans"))), root)
+    // pre-eviction: a new exact copy of doc 1 is flagged against the store
+    val before = collectFlags(StreamingCuration.flagBatch(
+      docsDf(Seq((101L, "web", base))), root, advance = false))
+    assert(before(101L)._2 == 1L, s"expected exact-dup flag: $before")
+
+    // horizonMinId = 0 keeps everything — a no-op pass that returns the
+    // store's total row count (and pins eviction idempotence)
+    val total = StreamingCuration.evictStores(spark, root, 0L)
+    // TTL to the horizon: doc 1's fingerprint/band/signature rows expire
+    val kept = StreamingCuration.evictStores(spark, root, 100L)
+    assert(kept > 0 && kept < total, s"stores did not shrink: $kept / $total")
+
+    // post-eviction: the same copy no longer matches the expired partner
+    // (dedup-within-horizon — the StreamingNearDup bounded-state trade)
+    val after = collectFlags(StreamingCuration.flagBatch(
+      docsDf(Seq((102L, "web", base))), root, advance = false))
+    assert(after(102L) == ((0L, 0L, 0L, 0L)),
+      s"expired partner still matched: $after")
+  }
 }
