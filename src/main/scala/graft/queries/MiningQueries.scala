@@ -502,10 +502,17 @@ object MiningQueries {
     // unique per (doc, term), so count == document frequency); the
     // explicit repartition makes the term exchange visible for reuse by
     // both posting-list sides of the self-join
+    // materialize the pruned postings ONCE: three consumers (both
+    // posting-list sides + the norms rollup) project different columns,
+    // so canonicalization sees different exchanges and re-runs the
+    // corpus gram pass per consumer (the substr_scrub round-14 lesson,
+    // caught again by the lex_df_gate plan pin) — after the df cut the
+    // postings are the SLIM rows, cheap to hold, expensive to rebuild
     val pruned = tf.repartition(col("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= LexMaxDf)
       .select(col("doc_id"), col("s"), col("tf"))
+      .localCheckpoint()
     val norms = pruned.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("n2"))
     val a = pruned.select(col("s"), col("doc_id").as("a_id"),
@@ -584,9 +591,14 @@ object MiningQueries {
     val tf = TextFunctions.ngramRows(
         Tables.parallelize(Tables.documents(s, d)), "doc_id", "text", LexN)
       .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("tf"))
+    // one materialized posting table for FIVE consumers (two posting
+    // sides, two norm joins' source, the df table) — see the
+    // lex_cosine_pairs note; without this the plan pin showed the
+    // corpus gram pass scheduled five times
     val pruned = tf.repartition(col("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= widest)
+      .localCheckpoint()
     val norms = pruned.groupBy(col("doc_id"))
       .agg(
         sum(when(col("df") <= LexDfCaps.head, col("tf") * col("tf"))

@@ -245,6 +245,39 @@ class PlanSpec extends SparkTestBase {
     assert(countShuffles(p) <= 7, s)
   }
 
+  test("mm_phash: the perceptual-hash pass is map-only after the spread") {
+    val p = plan("mm_phash")
+    val s = p.toString
+    assert(!s.contains("Join"), s"decode pass should join nothing:\n$s")
+    // parallelize spread only — the codec seam itself must add no
+    // exchange (at 100 TB the media bytes never move)
+    assert(countShuffles(p) <= 1, s)
+  }
+
+  test("mm_phash_pairs: banded join keyed on (band,value), never all-pairs") {
+    val p = plan("mm_phash_pairs")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    // spread + two (b,v)-keyed join sides + the distinct rollup
+    assert(countShuffles(p) <= 5, s)
+  }
+
+  test("lex_df_gate: one gram pass, term-keyed join, no cartesian sweep") {
+    val p = plan("lex_df_gate")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    // (a BroadcastNestedLoopJoin IS present — it is the deliberate
+    // 1-row × 1-row combine of the rets/terms reports, bounded by
+    // construction; the corpus-sized join below is hash-keyed on s)
+    // the three-cap sweep must NOT multiply the pipeline: the pruned
+    // posting table is materialized once (localCheckpoint) and the
+    // conditional sums ride the single widest-cap pair join. Budget:
+    // pair rollup + norms agg + two norm-join sides + df-table
+    // distinct + the two 1-row aggs
+    assert(countShuffles(p) <= 8, s)
+  }
+
   test("encode_shards: word table broadcast, corpus side never shuffled for the join") {
     val s = planString("encode_shards")
     assert(!s.contains("CartesianProduct"), s)
