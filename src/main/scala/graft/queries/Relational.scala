@@ -28,6 +28,19 @@ object Relational {
   // Exact decimal factors for money arithmetic. Products of decimals are
   // exact in both engines (unlike double→decimal casts of products,
   // which round through different double representations).
+  //
+  // Corpus-scale decimal sums are ROUND(…, 2)-ed before the final double
+  // cast: a scale-4/6 sum's unscaled integer exceeds 2^53 once the group
+  // sum passes ~1e9/~1e7, and a decimal→double conversion that widens the
+  // unscaled value through a double (two roundings) can then differ by
+  // 1 ULP from a correctly-rounded conversion — observed engine-to-engine
+  // at sf1, and run-to-run under parallel reduction reordering at any
+  // scale if the sum were done in doubles. At scale 2 the unscaled value
+  // stays exactly representable far past 100 TB group sums (2^53/100 ≈
+  // 9e13), so the conversion is a single correctly-rounded step in both
+  // engines. HALF_UP tie behavior matches (both round half away from
+  // zero); per-bounded-key sums (q3's per-order revenue) can't leave the
+  // exact range and keep full scale.
   private def ext2: Column = col("l_extendedprice").cast(DecimalType(12, 2))
   private def discMul: Column =
     lit(BigDecimal(1)).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))
@@ -48,16 +61,16 @@ object Relational {
       .agg(
         decSum(col("l_quantity"), 2).as("sum_qty"),
         decSum(col("l_extendedprice"), 2).as("sum_base_price"),
-        sum(ext2 * discMul).cast("double").as("sum_disc_price"),
-        sum(ext2 * discMul * taxMul).cast("double").as("sum_charge"),
+        round(sum(ext2 * discMul), 2).cast("double").as("sum_disc_price"),
+        round(sum(ext2 * discMul * taxMul), 2).cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
 
   private val q1Sql =
     s"""SELECT l_returnflag, l_linestatus,
        |  ${decSumSql("l_quantity", 2)} AS sum_qty,
        |  ${decSumSql("l_extendedprice", 2)} AS sum_base_price,
-       |  CAST(SUM($extSql * $discSql) AS DOUBLE) AS sum_disc_price,
-       |  CAST(SUM($extSql * $discSql * $taxSql) AS DOUBLE) AS sum_charge,
+       |  CAST(ROUND(SUM($extSql * $discSql), 2) AS DOUBLE) AS sum_disc_price,
+       |  CAST(ROUND(SUM($extSql * $discSql * $taxSql), 2) AS DOUBLE) AS sum_charge,
        |  COUNT(*) AS count_order
        |FROM lineitem
        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -77,13 +90,13 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(ext2 * discMul).cast("double").as("revenue"),
+        round(sum(ext2 * discMul), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
   private val q2Sql =
     s"""SELECT n_name,
-       |  CAST(SUM($extSql * $discSql) AS DOUBLE) AS revenue,
+       |  CAST(ROUND(SUM($extSql * $discSql), 2) AS DOUBLE) AS revenue,
        |  COUNT(*) AS n_items
        |FROM lineitem
        |JOIN orders   ON l_orderkey = o_orderkey
@@ -206,8 +219,10 @@ object Relational {
   // a per-group total sort, a deliberate skew accepted ONLY because
   // this query is the exactness twin of the reference's literal
   // sorted[floor(n·p)] percentile. Production surfaces should route to
-  // q17_tdigest (mergeable O(δ) state, partial agg below the exchange)
-  // and keep this form as the small-N verification gate.
+  // q17_tdigest (digest-guided exact quantile: mergeable O(δ) digest
+  // narrows each rank, bounded passes snap to the true order statistic
+  // — same exact answer, no per-group sort) and keep this form as the
+  // small-N verification gate.
   private def q9(s: SparkSession, d: String): DataFrame = {
     val w  = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
     val wn = Window.partitionBy(col("event_type"))

@@ -284,24 +284,90 @@ object StreamAnalyticsQueries {
       |GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------- q17_tdigest
-  // Mergeable t-digest quantiles (custom typed Aggregator) per
-  // event_type. At oracle scale no buffer overflows, so the digest's
-  // nearest-rank answer IS the exact order statistic ((n*p) DIV 100)+1
-  // — hash-checkable against a ranked DuckDB mirror (same
-  // exact-regime-pinning trick as q15's KMV); the compressed regime is
-  // property-tested in TDigestSpec. At 100 TB the digest ships O(δ)
-  // centroids per group through the shuffle instead of sorting the
-  // group (q9's window form).
+  // Digest-GUIDED exact quantiles per event_type: the t-digest (custom
+  // typed Aggregator) answers each target rank approximately in one
+  // mergeable pass; a counts pass then measures each answer's exact
+  // rank, and a bounded top-k pass snaps it to the true order statistic
+  // ((n*p) DIV 100)+1. The output is EXACT at every scale — the ranked
+  // DuckDB mirror holds whether or not the digest compressed (round 14
+  // pinned only the exact regime; at sf1 the 198k-row groups left it,
+  // so the snap passes were added to make exactness scale-free).
+  //
+  // Scale shape (the reason this beats q9's window sort at 100 TB):
+  //   pass 1  digest groupBy       — O(δ + rawCap) state per group
+  //   pass 2  rank of the approx   — plain sum of (value <= approx),
+  //           groups × percentiles rows out (bounded by the event_type
+  //           schema, ≤ 3·|groups| — the same bounded-collect contract
+  //           as mmr_select's ≤K broadcast)
+  //   pass 3  snap                 — TopKPerKey with k = the measured
+  //           digest rank error; map-side partial heaps mean only
+  //           partitions·groups·3·k candidate rows cross the exchange.
+  // All three scans are full scans of events, but nothing ever sorts a
+  // group and no stage's state exceeds O(k): the digest does the
+  // narrowing, the exact passes do only residual work proportional to
+  // the digest's error (measured, not assumed — k comes from pass 2).
+  // TDigestSpec property-tests the digest's own rank-error bound.
   private def tdigestQ(s: SparkSession, d: String): DataFrame = {
-    val td = udaf(new graft.functions.TDigestSketch.Quantiles(Seq(50, 95, 99)))
-    Tables.events(s, d)
-      .groupBy(col("event_type"))
+    val ps = Seq(50, 95, 99)
+    val td = udaf(new graft.functions.TDigestSketch.Quantiles(ps))
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+
+    // Pass 1: digest per group -> approximate value at each target rank.
+    val approx = ev.groupBy(col("event_type"))
       .agg(td(col("value")).as("qs"), count(lit(1)).as("n"))
-      .select(col("event_type"),
-        col("qs").getItem(0).as("p50"),
-        col("qs").getItem(1).as("p95"),
-        col("qs").getItem(2).as("p99"),
-        col("n"))
+      .select(col("event_type"), col("n"),
+        posexplode(col("qs")).as(Seq("pi", "approx")))
+      .withColumn("p", element_at(lit(ps.toArray), col("pi") + 1))
+      .withColumn("target", expr("((n * p) DIV 100) + 1"))
+      .select("event_type", "p", "n", "approx", "target")
+
+    // Pass 2: exact rank of each approximate answer. One broadcast join
+    // (3 boundary rows per group), one aggregation; the collect is
+    // bounded by |event_type schema| * |percentiles|.
+    val ranks = ev.join(broadcast(approx), Seq("event_type"))
+      .groupBy(col("event_type"), col("p"))
+      .agg(
+        sum(when(col("value") <= col("approx"), 1L).otherwise(0L)).as("cnt_le"),
+        first(col("approx")).as("approx"),
+        first(col("target")).as("target"),
+        first(col("n")).as("n"))
+      .collect()
+
+    // Per boundary: if the approx's rank reached the target, the true
+    // value is the (cnt_le-target+1)-th LARGEST among values <= approx;
+    // otherwise the (target-cnt_le)-th SMALLEST among values > approx.
+    // A signed sort key folds both sides into one ascending TopKPerKey.
+    val bounds = ranks.toSeq.map { r =>
+      val cntLe  = r.getAs[Long]("cnt_le")
+      val target = r.getAs[Long]("target")
+      val fromLe = cntLe >= target
+      (r.getAs[String]("event_type"), r.getAs[Int]("p"),
+        r.getAs[Long]("n"), r.getAs[Double]("approx"),
+        fromLe, if (fromLe) cntLe - target + 1 else target - cntLe)
+    }
+    val kmax = math.max(1L, bounds.map(_._6).max).toInt
+    import s.implicits._
+    val boundDf = broadcast(bounds.toDF(
+      "event_type", "p", "n", "approx", "from_le", "kneed"))
+
+    // Pass 3: snap. Candidates on each boundary's needed side, k-th by
+    // the signed key = the exact order statistic.
+    val cand = ev.join(boundDf, Seq("event_type"))
+      .filter((col("from_le") && col("value") <= col("approx")) ||
+              (!col("from_le") && col("value") > col("approx")))
+      .withColumn("sk", when(col("from_le"), -col("value")).otherwise(col("value")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("p")).orderBy(col("sk"))
+    graft.plans.TopK.perKey(cand, Seq("event_type", "p"),
+        Seq(("sk", true)), kmax)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === col("kneed"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("p") === 50, col("value"))).as("p50"),
+        max(when(col("p") === 95, col("value"))).as("p95"),
+        max(when(col("p") === 99, col("value"))).as("p99"),
+        max(col("n")).as("n"))
   }
 
   private val tdigestSql =

@@ -58,11 +58,19 @@ object StreamScale {
         .coalesce(1).write.mode("append").parquet(src)
     }
 
+    // Glob-check before reading: an empty/evicted store is a normal state
+    // in horizon mode, and letting the read throw means Spark logs a WARN
+    // + stack trace per probe (harmless but it buries the batch table).
+    def countStore(stage: String): Long = {
+      val p  = new org.apache.hadoop.fs.Path(s"$stores/$stage/b*")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hits = fs.globStatus(p)
+      if (hits == null || hits.isEmpty) 0L
+      else spark.read.parquet(s"$stores/$stage/b*").count()
+    }
+
     def storeRowsNow(): Seq[Long] =
-      Seq("fp", "band", "sh", "sim").map { stage =>
-        try spark.read.parquet(s"$stores/$stage/b*").count()
-        catch { case _: Throwable => 0L }
-      }
+      Seq("fp", "band", "sh", "sim").map(countStore)
 
     val timings = ArrayBuffer[(Long, Long, Double, Seq[Long])]()
     spark.streams.addListener(new StreamingQueryListener {
@@ -95,9 +103,7 @@ object StreamScale {
         horizonDocs = horizon, evictEvery = 2)
     }
 
-    def storeRows(stage: String): Long =
-      try spark.read.parquet(s"$stores/$stage/b*").count()
-      catch { case _: Throwable => 0L }
+    def storeRows(stage: String): Long = countStore(stage)
 
     // ---- phase 1: run roughly half the batches, then stop (restart seam)
     val q1 = startQuery()

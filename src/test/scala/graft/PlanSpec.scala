@@ -124,13 +124,21 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct"), s"cartesian product in:\n$s")
   }
 
-  test("q17 t-digest aggregates partially below the exchange") {
-    // the digest must combine map-side (partial states merge) — a plan
-    // that ships raw rows to a single final agg would defeat the sketch
+  test("q17 digest-guided snap bounds candidates map-side") {
+    // q17 runs three passes; the returned frame is the SNAP pass. Its
+    // candidate set must be bounded BEFORE the exchange (partial per-key
+    // heaps ship ≤ partitions·groups·3·k rows), and the only full-input
+    // work is the scan + broadcast boundary join — never a per-group
+    // sort of events (that is q9's deliberate exactness-twin shape).
+    // The digest pass itself (pass 1) executes eagerly inside the query
+    // builder; its partial-aggregation shape is pinned by the udaf
+    // Aggregator contract and TDigestSpec's merge tests.
     val s = planString("q17_tdigest")
-    assert(s.contains("ObjectHashAggregate"), s"no object agg in:\n$s")
-    assert("partial".r.findFirstIn(s.toLowerCase).isDefined,
-      s"no partial aggregation in:\n$s")
+    assert(s.contains("TopKPerKeyPartial"),
+      s"snap candidates not bounded map-side:\n$s")
+    val n = countShuffles(plan("q17_tdigest"))
+    assert(n <= 2, s"q17 snap should shuffle only bounded candidates " +
+      s"(topk final + result agg), got $n shuffles:\n${planString("q17_tdigest")}")
   }
 
   test("quality_deciles_digest has no window and no single-partition exchange") {
