@@ -75,18 +75,39 @@ object Multimodal {
       * small Hamming distance — what the banded near-dup search
       * (mm_phash) exploits. Swap [[decode]] + this for a real codec
       * and the banding/verify machinery above is unchanged. */
-    def phash(bytes: Array[Byte]): Long = {
+    def phash(bytes: Array[Byte]): Long = phashCells(bytes, 64)(0)
+
+    /** Wide variant for the adaptive band tier ([[graft.queries
+      * .MultimodalQueries]] mm_phash_width): 128 cells over the same
+      * chunk→md5-byte→threshold structure, packed into (lo = bits
+      * 0–63, hi = bits 64–127). Finer cells = a STRICTER absolute
+      * Hamming-3 tolerance (each cell covers len/128 bytes, so
+      * localized-edit robustness is unchanged while diffuse edits
+      * trip more cells) — the documented trade for 2^32-wide bands. */
+    def phash128(bytes: Array[Byte]): (Long, Long) = {
+      val hs = phashCells(bytes, 128)
+      (hs(0), hs(1))
+    }
+
+    /** nCells ∈ {64, 128}: cell i is the leading md5 byte of the i-th
+      * of nCells contiguous chunks, bit set iff nCells·cell_i > Σcells
+      * (exact integer threshold — no float division to diverge between
+      * engines); packed little-endian into ⌈nCells/64⌉ longs. */
+    private def phashCells(bytes: Array[Byte], nCells: Int): Array[Long] = {
       val len = bytes.length
-      val cells = Array.tabulate(64) { i =>
+      val cells = Array.tabulate(nCells) { i =>
         Integer.parseInt(
-          md5Hex(bytes.slice(i * len / 64, (i + 1) * len / 64))
+          md5Hex(bytes.slice(i * len / nCells, (i + 1) * len / nCells))
             .substring(0, 2), 16)
       }
       val tot = cells.foldLeft(0L)(_ + _)
-      var h = 0L
+      val out = new Array[Long](nCells / 64)
       var i = 0
-      while (i < 64) { if (64L * cells(i) > tot) h |= 1L << i; i += 1 }
-      h
+      while (i < nCells) {
+        if (nCells.toLong * cells(i) > tot) out(i / 64) |= 1L << (i % 64)
+        i += 1
+      }
+      out
     }
 
     /** Fake half-resolution resize: the "downscaled image" is the
@@ -132,9 +153,11 @@ object Multimodal {
 
   case class BlobFp(id: Long, format: String, content_hash: String)
   case class Phash(id: Long, phash: Long)
+  case class Phash128(id: Long, lo: Long, hi: Long)
 
   private implicit val fpEnc: Encoder[BlobFp] = Encoders.product[BlobFp]
   private implicit val phEnc: Encoder[Phash] = Encoders.product[Phash]
+  private implicit val ph128Enc: Encoder[Phash128] = Encoders.product[Phash128]
 
   /** df(idCol, binCol) → 64-bit perceptual hash per blob through the
     * per-partition codec seam (map-only — the expensive decode happens
@@ -144,6 +167,16 @@ object Multimodal {
     df.select(col(idCol).as("id"), col(binCol).as("content"))
       .as[BinaryRecord]
       .mapPartitions(_.map(r => Phash(r.id, FakeCodec.phash(r.content))))
+
+  /** 128-cell tier for large corpora (mm_phash_width's 32-bit bands):
+    * same codec seam, two longs per blob. */
+  def perceptualHashes128(df: DataFrame, idCol: String, binCol: String): Dataset[Phash128] =
+    df.select(col(idCol).as("id"), col(binCol).as("content"))
+      .as[BinaryRecord]
+      .mapPartitions(_.map { r =>
+        val (lo, hi) = FakeCodec.phash128(r.content)
+        Phash128(r.id, lo, hi)
+      })
 
   /** df(idCol, binCol) → content fingerprint per blob — the
     * identical-media dedup key, hashed through the same per-partition

@@ -214,9 +214,10 @@ object MultimodalQueries {
   // decode (FakeCodec.phash — 64 chunk-mean cells thresholded against
   // the global cell mean, the aHash structure over the fake decode),
   // then Hamming-banded candidate pairs via the SimHash machinery:
-  // 4 disjoint 16-bit bands, so any pair within Hamming ≤ 3 agrees
-  // exactly on some band (pigeonhole — lossless blocking for the ≤3
-  // search), verified by one xor + bit_count per band collision.
+  // 4 disjoint bands at the mm_phash_width-chosen width, so any pair
+  // within Hamming ≤ 3 agrees exactly on some band (pigeonhole —
+  // lossless blocking for the ≤3 search at ANY band width), verified
+  // by one xor + bit_count per band collision.
   // Plan: the hash is map-only over the decode pass; the join is
   // keyed on (band, value); never all-pairs. At 100 TB only the
   // 8-byte hashes ever shuffle — the media bytes stay where the scan
@@ -232,6 +233,23 @@ object MultimodalQueries {
   private val PhBandMask = (1L << PhBandBits) - 1
   private val PhHammingMax = PhBands - 1
 
+  /** ADAPTIVE BAND WIDTH (the mm_phash 100 TB lever, the RpLsh.widthFor
+    * discipline applied to Hamming bands): with FIXED 16-bit bands the
+    * random-collision candidate mass is 4·C(n,2)/2^16 — quadratic in
+    * the corpus, and measured live at the sf10 surrogate (500k blobs →
+    * ~7.6e9 popcount candidates before the Hamming filter). The ladder
+    * keeps the mass ≤ 4n by construction: at n = 2^17 exactly,
+    * 4·(n²/2)/2^16 = 4n, so 2^17 is the largest corpus the 16-bit tier
+    * serves at linear cost; past it the 128-cell hash's 32-bit bands
+    * hold the same bound to n = 2^33. Pigeonhole is tier-independent
+    * (4 disjoint bands cover Hamming ≤ 3 at any width). The threshold
+    * is an exact integer compare on COUNT(*), derived identically in
+    * both engines — `mm_phash_width` is the oracle-gated decision. */
+  private val PhTier16MaxN = 1L << 17
+
+  private[graft] def phBandBitsFor(n: Long): Int =
+    if (n <= PhTier16MaxN) 16 else 32
+
   private def phashTable(s: SparkSession, d: String): DataFrame =
     Multimodal.perceptualHashes(
       Tables.parallelize(Tables.documents(s, d))
@@ -239,24 +257,79 @@ object MultimodalQueries {
       "doc_id", "blob").toDF()
 
   private def mmPhashPairs(s: SparkSession, d: String): DataFrame = {
-    val banded = phashTable(s, d)
+    val docs = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+    // one parquet count-star (metadata-cheap) picks the tier — the
+    // RpLsh.buckets precedent
+    mmPhashPairsAt(docs, phBandBitsFor(Tables.documents(s, d).count()))
+  }
+
+  /** Banded near-dup pairs at an explicit band width (16 → 64-cell
+    * hash in `lo`, hi = 0; 32 → 128-cell hash across lo/hi). One code
+    * path: band b of width w reads lo while b·w < 64, hi above;
+    * Hamming is popcount(lo⊕lo) + popcount(hi⊕hi) — at the 16 tier the
+    * hi terms are constant 0 and fold away. */
+  private[graft] def mmPhashPairsAt(docs: DataFrame, bandBits: Int): DataFrame = {
+    val hashed =
+      if (bandBits == 16)
+        Multimodal.perceptualHashes(docs, "doc_id", "blob").toDF()
+          .select(col("id"), col("phash").as("lo"), lit(0L).as("hi"))
+      else
+        Multimodal.perceptualHashes128(docs, "doc_id", "blob").toDF()
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val banded = hashed
       .withColumn("b", explode(expr(s"sequence(0, ${PhBands - 1})")))
       .withColumn("v",
-        expr(s"shiftright(phash, b * $PhBandBits) & ${PhBandMask}L"))
-    val a = banded.select(col("b"), col("v"),
-      col("id").as("a_id"), col("phash").as("a_ph"))
-    val bs = banded.select(col("b"), col("v"),
-      col("id").as("b_id"), col("phash").as("b_ph"))
+        when(col("b") * bandBits < 64,
+          expr(s"shiftright(lo, CAST(b * $bandBits AS INT)) & ${mask}L"))
+        .otherwise(
+          expr(s"shiftright(hi, CAST(b * $bandBits - 64 AS INT)) & ${mask}L")))
+    val a = banded.select(col("b"), col("v"), col("id").as("a_id"),
+      col("lo").as("a_lo"), col("hi").as("a_hi"))
+    val bs = banded.select(col("b"), col("v"), col("id").as("b_id"),
+      col("lo").as("b_lo"), col("hi").as("b_hi"))
     // verify BEFORE distinct (the simhash_pairs discipline): popcount
     // is one codegen'd op per candidate; the distinct's exchange then
     // carries only true near-dup pairs
     a.join(bs, Seq("b", "v"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("hamming", expr("CAST(bit_count(a_ph ^ b_ph) AS INT)"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(a_lo ^ b_lo) + bit_count(a_hi ^ b_hi) AS INT)"))
       .filter(col("hamming") <= PhHammingMax)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .distinct()
   }
+
+  // ------------------------------------------------- mm_phash_width
+  // The measure→act decision row for the band ladder (lsh_width's
+  // shape): n from one count, the random-collision candidate mass of
+  // each tier as EXACT integers (4·(n·(n−1) DIV 2) DIV 2^bits — n² fits
+  // a BIGINT to n ≈ 3e9, two corpus decades past the widest tier's
+  // linear range), the 4n budget, and the chosen width = the smallest
+  // tier whose mass clears it. Both engines derive every column from
+  // the same COUNT(*) by integer arithmetic — a drift in the threshold
+  // seam desyncs this oracle before it can desync the pairs query.
+  private def mmPhashWidth(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_blobs"))
+      .select(col("n_blobs"),
+        expr(s"$PhBands * ((n_blobs * (n_blobs - 1)) DIV 2) DIV ${1L << 16}")
+          .as("rand_cand_16"),
+        expr(s"$PhBands * ((n_blobs * (n_blobs - 1)) DIV 2) DIV ${1L << 32}")
+          .as("rand_cand_32"),
+        expr(s"$PhBands * n_blobs").as("cand_budget"),
+        when(col("n_blobs") <= PhTier16MaxN, 16).otherwise(32)
+          .as("band_bits"))
+
+  private val mmPhashWidthSql =
+    s"""SELECT n_blobs,
+       |  CAST($PhBands * ((n_blobs * (n_blobs - 1)) // 2) // ${1L << 16}
+       |    AS BIGINT) AS rand_cand_16,
+       |  CAST($PhBands * ((n_blobs * (n_blobs - 1)) // 2) // ${1L << 32}
+       |    AS BIGINT) AS rand_cand_32,
+       |  CAST($PhBands * n_blobs AS BIGINT) AS cand_budget,
+       |  CASE WHEN n_blobs <= $PhTier16MaxN THEN 16 ELSE 32 END AS band_bits
+       |FROM (SELECT COUNT(*) AS n_blobs FROM documents)""".stripMargin
 
   // Mirror of FakeCodec.phash + the banded search. Chunk i of a
   // len-byte blob is bytes [i·len/64, (i+1)·len/64) — ASCII corpus, so
@@ -287,19 +360,66 @@ object MultimodalQueries {
     s"""WITH $phashCtes
        |SELECT doc_id AS id, phash FROM ph""".stripMargin
 
+  /** Two-long variant of [[phashCtes]] at an arbitrary cell count:
+    * `<p>ph(doc_id, lo, hi)` — bits 0–63 in lo, 64–127 in hi (hi ≡ 0
+    * at 64 cells, mirroring the Spark tier's `lit(0L)`). Same
+    * chunk→md5-byte→exact-integer-threshold structure; the BIGINT
+    * minimum literal spells each long's sign bit (DuckDB refuses
+    * 1<<63). */
+  private def phashCtes2(cells: Int, p: String): String =
+    s"""${p}cells AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+       |    CAST(concat('0x', substr(md5(substring(text,
+       |      CAST((u.i * length(text)) // $cells + 1 AS INT),
+       |      CAST(((u.i + 1) * length(text)) // $cells
+       |        - (u.i * length(text)) // $cells AS INT))), 1, 2)) AS BIGINT)
+       |      AS cell
+       |  FROM documents, LATERAL (SELECT unnest(range(0, $cells)) AS i) u),
+       |${p}ph AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN $cells * cell > tot AND i < 64 THEN
+       |        CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |          ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+       |        ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(SUM(CASE WHEN $cells * cell > tot AND i >= 64 THEN
+       |        CASE WHEN i = 127 THEN CAST(-9223372036854775808 AS BIGINT)
+       |          ELSE (CAST(1 AS BIGINT) << CAST(i - 64 AS INT)) END
+       |        ELSE 0 END) AS BIGINT) AS hi
+       |  FROM (SELECT doc_id, i, cell,
+       |          SUM(cell) OVER (PARTITION BY doc_id) AS tot FROM ${p}cells)
+       |  GROUP BY 1)""".stripMargin
+
+  // The tier guards replicate phBandBitsFor on the same COUNT(*); the
+  // unchosen tier's branch is row-empty under its guard, so exactly one
+  // hash table feeds the banding at any SF.
   private val mmPhashPairsSql =
-    s"""WITH $phashCtes,
+    s"""WITH nrow AS (SELECT COUNT(*) AS n FROM documents),
+       |params AS (
+       |  SELECT CASE WHEN n <= $PhTier16MaxN THEN 16 ELSE 32 END AS w
+       |  FROM nrow),
+       |${phashCtes2(64, "t16")},
+       |${phashCtes2(128, "t32")},
+       |ph AS (
+       |  SELECT * FROM t16ph WHERE (SELECT w FROM params) = 16
+       |  UNION ALL
+       |  SELECT * FROM t32ph WHERE (SELECT w FROM params) = 32),
        |banded AS (
-       |  SELECT doc_id, phash, CAST(u.b AS INTEGER) AS b,
-       |    (phash >> CAST(u.b * $PhBandBits AS INTEGER)) & $PhBandMask
-       |      AS v
-       |  FROM ph, LATERAL (SELECT unnest(range(0, $PhBands)) AS b) u),
+       |  SELECT doc_id, lo, hi, CAST(u.b AS INTEGER) AS b,
+       |    CASE WHEN u.b * p.w < 64
+       |      THEN (lo >> CAST(u.b * p.w AS INTEGER))
+       |        & ((CAST(1 AS BIGINT) << p.w) - 1)
+       |      ELSE (hi >> CAST(u.b * p.w - 64 AS INTEGER))
+       |        & ((CAST(1 AS BIGINT) << p.w) - 1) END AS v
+       |  FROM ph, params p,
+       |    LATERAL (SELECT unnest(range(0, $PhBands)) AS b) u),
        |cand AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |    CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+       |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+       |      AS INTEGER) AS hamming
        |  FROM banded a JOIN banded b ON a.b = b.b AND a.v = b.v
        |    AND a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.phash, b.phash)) <= $PhHammingMax)
+       |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+       |    <= $PhHammingMax)
        |SELECT DISTINCT a_id, b_id, hamming FROM cand""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
@@ -307,6 +427,7 @@ object MultimodalQueries {
     QueryDef("mm_dedup", mmDedup, Some(mmDedupSql)),
     QueryDef("mm_phash", phashTable, Some(mmPhashSql)),
     QueryDef("mm_phash_pairs", mmPhashPairs, Some(mmPhashPairsSql)),
+    QueryDef("mm_phash_width", mmPhashWidth, Some(mmPhashWidthSql)),
     QueryDef("mm_sample_frames", mmFrames, Some(mmFramesSql)),
     QueryDef("mm_frame_vbow", mmFrameVbow, Some(mmFrameVbowSql)),
     QueryDef("mm_resize", mmResize, Some(mmResizeSql)))

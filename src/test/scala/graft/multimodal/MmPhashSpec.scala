@@ -62,4 +62,52 @@ class MmPhashSpec extends SparkTestBase with Matchers {
     pairs.keySet.exists { case (a, b) => a == 4L || b == 4L } shouldBe false
     graft.SharedStages.clear()
   }
+
+  private def ph128(s: String): (Long, Long) =
+    FakeCodec.phash128(s.getBytes("UTF-8"))
+  private def ham128(a: (Long, Long), b: (Long, Long)): Int =
+    java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+
+  test("128-cell tier: locality holds at the finer granularity") {
+    ham128(ph128(base), ph128(base)) shouldBe 0
+    // a one-byte edit rewrites ≤1 of 128 chunks (+ mean-threshold
+    // spill) — the absolute ≤3 tolerance is granularity-independent
+    // for localized edits, which is the documented trade
+    Seq(137, 2000, 5001, base.length - 1).foreach { pos =>
+      ham128(ph128(base), ph128(editAt(base, pos))) should be <= 3
+    }
+    ham128(ph128(base), ph128(unrelated)) should be > 16
+  }
+
+  test("band-width ladder: exact threshold, mass bound at the seam") {
+    import graft.queries.MultimodalQueries
+    MultimodalQueries.phBandBitsFor(1L) shouldBe 16
+    MultimodalQueries.phBandBitsFor(1L << 17) shouldBe 16
+    MultimodalQueries.phBandBitsFor((1L << 17) + 1) shouldBe 32
+    // at each tier's upper edge the random-collision candidate mass
+    // 4·C(n,2)/2^bits stays within the 4n budget (the ladder's
+    // invariant; BigInt — n² at the 32-bit tier edge exceeds a Long)
+    def mass(n: Long, bits: Int): BigInt =
+      4 * (BigInt(n) * (n - 1) / 2) >> bits
+    mass(1L << 17, 16) should be <= BigInt(4) * (1L << 17)
+    mass(1L << 33, 32) should be <= BigInt(4) * (1L << 33)
+    // and the NEXT corpus decade would blow the 16-bit budget — why
+    // the ladder exists
+    mass(1L << 19, 16) should be > BigInt(4) * (1L << 19)
+  }
+
+  test("32-bit-band tier finds the same near pairs (wide pipeline e2e)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, base), (2L, nearDup), (3L, base), (4L, unrelated))
+      .toDF("doc_id", "text")
+      .select($"doc_id", org.apache.spark.sql.functions.encode($"text", "UTF-8").as("blob"))
+    val pairs = graft.queries.MultimodalQueries.mmPhashPairsAt(docs, 32)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    pairs((1L, 3L)) shouldBe 0
+    pairs.keySet should contain allOf ((1L, 2L), (2L, 3L))
+    pairs((1L, 2L)) should be <= 3
+    pairs.keySet.exists { case (a, b) => a == 4L || b == 4L } shouldBe false
+  }
 }
