@@ -63,13 +63,26 @@ object BloomSketch {
     array((0 until k).map(i =>
       pmod(xxhash64(key, lit(i)), lit(mBits.toLong)).cast("int")): _*)
 
-  /** Membership test against collected filter words: AND over the k bit
-    * probes, each an `element_at` on the words literal + shifts — plain
-    * codegen'd expressions (shift amount is a column, hence
-    * `call_function`; the named function is the same codegen'd
-    * ShiftRight the Int-arg API builds). */
+  /** Membership test against collected filter words — the native
+    * [[BloomMightContain]] expression: one generated probe loop, the
+    * words array added to the task's codegen references ONCE. (The
+    * previous k-probe Column composition re-referenced the words
+    * literal per probe: k copies of the filter in every task binary —
+    * 131 MiB tasks measured at the sf10 surrogate. The Column twin
+    * lives on as [[mightContainColumns]] for the equivalence spec.) */
   def mightContain(key: Column, words: Array[Long],
-                   mBits: Int = DefaultBits, k: Int = DefaultK): Column = {
+                   mBits: Int = DefaultBits, k: Int = DefaultK): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      BloomMightContain(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(key),
+        words, mBits, k))
+
+  /** Legacy declarative probe (k × `element_at` on a words literal) —
+    * kept ONLY as the independent formulation BloomSpec checks the
+    * native expression against; not used on any query path. */
+  private[graft] def mightContainColumns(
+      key: Column, words: Array[Long],
+      mBits: Int = DefaultBits, k: Int = DefaultK): Column = {
     val w = typedLit(words.toSeq)
     (0 until k).map { i =>
       val pos = pmod(xxhash64(key, lit(i)), lit(mBits.toLong)).cast("int")

@@ -75,6 +75,40 @@ class BloomSpec extends SparkTestBase with Matchers {
     w1.toSeq shouldBe w8.toSeq
   }
 
+  test("bloom: native probe ≡ the declarative k-probe composition, bit for bit") {
+    // the native expression exists to ship ONE copy of the words per
+    // task; its DECISIONS (true positives AND false positives — the
+    // same xxhash64 fold, pmod, bit test) must match the legacy Column
+    // form on every key, or the prune set silently shifts
+    val members = (0L until 3000L).map(_ * 13 + 7)
+    val words = BloomSketch.buildFilter(members.toDF("k"), col("k"))
+    val probe = (0L until 50000L).toDF("k")
+    val diff = probe.filter(
+      BloomSketch.mightContain(col("k"), words) =!=
+        BloomSketch.mightContainColumns(col("k"), words))
+      .count()
+    diff shouldBe 0L
+    // interpreted twin agrees with the generated loop
+    val nat = probe.filter(BloomSketch.mightContain(col("k"), words))
+      .collect().map(_.getLong(0)).toSet
+    (0L until 50000L).filter(k =>
+      BloomMightContain.test(k, words, BloomSketch.DefaultBits,
+        BloomSketch.DefaultK)).toSet shouldBe nat
+  }
+
+  test("bloom: native probe null contract and type check") {
+    val words = BloomSketch.buildFilter((0L until 10L).toDF("k"), col("k"))
+    val r = Seq(Some(3L), None).toDF("k")
+      .select(BloomSketch.mightContain(col("k"), words).as("hit"))
+      .collect()
+    r.exists(_.isNullAt(0)) shouldBe true // null key → null, not false
+    // non-BIGINT keys are rejected at analysis (the build hashed longs;
+    // an int key would hash differently and silently miss)
+    an[Exception] should be thrownBy
+      Seq(1).toDF("k")
+        .select(BloomSketch.mightContain(col("k"), words)).collect()
+  }
+
   test("bloom: probe filter stays codegen (no UDF, no interpreted HOF)") {
     val words = BloomSketch.buildFilter((0L until 10L).toDF("k"), col("k"))
     // spark.range, not a local Seq: Catalyst folds filters over a
