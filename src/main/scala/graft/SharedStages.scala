@@ -171,12 +171,20 @@ object SharedStages {
     }
 
   /** Banded SimHash Hamming≤3 near-dup pairs (a_id, b_id, hamming) —
-    * consumed by the simhash_pairs report AND the cascade funnel's
-    * third stage (dedup_funnel). The signature + band join is the
-    * expensive pass; the pair set is ∝ true near-dups. */
+    * consumed by the simhash_pairs report (ADAPTIVE width, the
+    * BandLadder gate) AND the cascade funnel's third stage
+    * (dedup_funnel — PINNED at the 16-bit production width, matching
+    * its streaming twin StreamingCuration, whose standing band stores
+    * fix the width as part of their layout). The memo is keyed by
+    * tier, so below the ladder seam both consumers share one build. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    stage(s, dir, "simPairs") {
-      graft.queries.DedupQueries.buildSimhashPairs(s, dir).localCheckpoint()
+    simhashPairsAt(s, dir, graft.functions.BandLadder.bitsFor(
+      graft.Tables.documents(s, dir).count()))
+
+  def simhashPairsAt(s: SparkSession, dir: String, bandBits: Int): DataFrame =
+    stage(s, dir, s"simPairs$bandBits") {
+      graft.queries.DedupQueries.buildSimhashPairsAt(s, dir, bandBits)
+        .localCheckpoint()
     }
 
   /** Winnowed fingerprint selection (winnow_fingerprint) — consumed by

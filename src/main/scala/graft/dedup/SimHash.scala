@@ -63,6 +63,69 @@ object SimHash {
       .select(col(idCol), col("simhash"))
   }
 
+  /** 128-bit tier for the simhash_width band ladder: bits 64–127 vote
+    * on md5 hex chars 17–24 / 25–32 of the SAME token digest (one md5,
+    * four independent 32-bit words), so the LOW long of the 128-bit
+    * fingerprint is bit-identical to [[simhash]] — SimhashPairsSpec
+    * pins it. docs(idCol, textCol) → (id, lo, hi). */
+  def simhash128(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = Seq("w1", "w2", "w3", "w4")
+    val voteAggs: Seq[Column] = (0 until 2 * Bits).map { b =>
+      val word = words(b / HalfBits)
+      sum(expr(s"(shiftright($word, ${b % HalfBits}) & 1) * 2 - 1")).as(s"__v$b")
+    }
+    def assemble(off: Int): Column = (0 until Bits).map { b =>
+      when(col(s"__v${off + b}") > 0, lit(bitMask(b))).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val hashWords = words.zipWithIndex.map { case (w, i) =>
+      expr(s"cast(conv(substring(md5(w), ${i * 8 + 1}, 8), 16, 10) AS bigint)")
+        .as(w)
+    }
+    graft.Tables.parallelize(docs)
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("w"))
+      .select(col(idCol) +: hashWords: _*)
+      .groupBy(col(idCol))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .withColumn("lo", assemble(0))
+      .withColumn("hi", assemble(Bits))
+      .select(col(idCol), col("lo"), col("hi"))
+  }
+
+  /** DuckDB mirror of [[simhash128]]: `sim128(doc_id, lo, hi)`. Each
+    * token's md5 is computed ONCE (materialized digest list), then the
+    * four 32-bit words slice the hex — the Scala side gets the same
+    * effect from common-subexpression elimination over `md5(w)`. */
+  def duckdbCte128: String = {
+    val toks = TextFunctions.tokensSql("text")
+    def hashWord(i: Int) =
+      s"CAST(concat('0x', substr(s, ${i * 8 + 1}, 8)) AS BIGINT)"
+    def maskSql(b: Int): String =
+      if (b == 63) "CAST(-9223372036854775808 AS BIGINT)"
+      else s"(CAST(1 AS BIGINT) << $b)"
+    def bitTerms(off: Int): String = (0 until Bits).map { b =>
+      val word = s"w${(off + b) / HalfBits + 1}"
+      s"CASE WHEN list_sum(list_transform($word, x -> ((x >> ${(off + b) % HalfBits}) & 1) * 2 - 1)) > 0 " +
+      s"THEN ${maskSql(b)} ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" |\n      ")
+    val wordLists = (0 until 4).map(i =>
+      s"list_transform(digs, s -> ${hashWord(i)}) AS w${i + 1}").mkString(",\n    ")
+    s"""simtok128 AS (
+       |  SELECT doc_id, list_distinct($toks) AS w FROM documents),
+       |simdig128 AS MATERIALIZED (
+       |  SELECT doc_id, list_transform(w, s -> md5(s)) AS digs
+       |  FROM simtok128 WHERE len(w) > 0),
+       |simhashed128 AS (
+       |  SELECT doc_id,
+       |    $wordLists
+       |  FROM simdig128),
+       |sim128 AS (
+       |  SELECT doc_id,
+       |    ${bitTerms(0)} AS lo,
+       |    ${bitTerms(Bits)} AS hi
+       |  FROM simhashed128)""".stripMargin
+  }
+
   /** DuckDB mirror (from the `documents` view): `sim(doc_id, simhash)`.
     * Bit assembly uses `|` (no overflow path) and spells the bit-63 mask
     * as the signed literal — DuckDB rejects `1::BIGINT << 63`. */

@@ -362,48 +362,118 @@ object DedupQueries {
   // fan-out at O(n²/65 536) per band vs the O(n²/256) the former
   // 32-bit/8-bit layout allowed; the blocking guarantee is the same
   // pigeonhole argument at any width.
-  private val SimBands = 4
+  private val SimBands = graft.functions.BandLadder.Bands
+  private val SimHammingMax = graft.functions.BandLadder.HammingMax
+  private val SimTier16MaxN = graft.functions.BandLadder.Tier16MaxN
+  // the cascade funnel's PINNED production width (see the rm3 note)
   private val SimBandBits = SimHash.Bits / SimBands
-  private val SimHammingMax = SimBands - 1
   private val SimBandMask = (1L << SimBandBits) - 1
 
   /** The banded pair builder behind [[graft.SharedStages.simhashPairs]]
     * — the registered query and the cascade funnel both read the
-    * materialized stage. */
-  private[graft] def buildSimhashPairs(s: SparkSession, d: String): DataFrame = {
-    val banded = SimHash.simhash(Tables.documents(s, d), "doc_id", "text")
+    * materialized stage. ADAPTIVE band width (the mm_phash_pairs
+    * ladder, [[graft.functions.BandLadder]]): 64-bit fingerprint /
+    * 16-bit bands while 4·C(n,2)/2^16 stays within the 4n budget
+    * (n ≤ 2^17), the 128-bit [[SimHash.simhash128]] / 32-bit bands past
+    * it — `simhash_width` is the oracle-gated decision. At the wide
+    * tier Hamming ≤ 3 is measured over 128 bits (finer votes — the
+    * documented semantic of the tier, mirrored exactly in the oracle). */
+  private[graft] def buildSimhashPairs(s: SparkSession, d: String): DataFrame =
+    buildSimhashPairsAt(s, d,
+      graft.functions.BandLadder.bitsFor(Tables.documents(s, d).count()))
+
+  private[graft] def buildSimhashPairsAt(s: SparkSession, d: String,
+                                         bandBits: Int): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val hashed =
+      if (bandBits == 16)
+        SimHash.simhash(docs, "doc_id", "text")
+          .select(col("doc_id"), col("simhash").as("lo"), lit(0L).as("hi"))
+      else SimHash.simhash128(docs, "doc_id", "text")
+    val mask = (1L << bandBits) - 1
+    val banded = hashed
       .withColumn("b", explode(expr(s"sequence(0, ${SimBands - 1})")))
       .withColumn("v",
-        expr(s"shiftright(simhash, b * $SimBandBits) & ${SimBandMask}L"))
-    val a = banded.select(col("b"), col("v"),
-      col("doc_id").as("a_id"), col("simhash").as("a_sim"))
-    val bs = banded.select(col("b"), col("v"),
-      col("doc_id").as("b_id"), col("simhash").as("b_sim"))
+        when(col("b") * bandBits < 64,
+          expr(s"shiftright(lo, CAST(b * $bandBits AS INT)) & ${mask}L"))
+        .otherwise(
+          expr(s"shiftright(hi, CAST(b * $bandBits - 64 AS INT)) & ${mask}L")))
+    val a = banded.select(col("b"), col("v"), col("doc_id").as("a_id"),
+      col("lo").as("a_lo"), col("hi").as("a_hi"))
+    val bs = banded.select(col("b"), col("v"), col("doc_id").as("b_id"),
+      col("lo").as("b_lo"), col("hi").as("b_hi"))
     // verify BEFORE distinct: the popcount is one codegen'd op per
     // candidate row, and filtering at <=3 first shrinks the distinct's
     // exchange from every band collision to only true near-dup pairs
     a.join(bs, Seq("b", "v"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("hamming", expr("CAST(bit_count(a_sim ^ b_sim) AS INT)"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(a_lo ^ b_lo) + bit_count(a_hi ^ b_hi) AS INT)"))
       .filter(col("hamming") <= SimHammingMax)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .distinct()
   }
 
+  // Tier guards replicate BandLadder.bitsFor on the same COUNT(*);
+  // exactly one fingerprint table is row-live under its guard.
   private def simhashPairsSql =
-    s"""WITH ${SimHash.duckdbCte},
+    s"""WITH nrow AS (SELECT COUNT(*) AS n FROM documents),
+       |params AS (
+       |  SELECT CASE WHEN n <= $SimTier16MaxN THEN 16 ELSE 32 END AS w
+       |  FROM nrow),
+       |${SimHash.duckdbCte},
+       |${SimHash.duckdbCte128},
+       |ph AS (
+       |  SELECT doc_id, simhash AS lo, CAST(0 AS BIGINT) AS hi FROM sim
+       |  WHERE (SELECT w FROM params) = 16
+       |  UNION ALL
+       |  SELECT doc_id, lo, hi FROM sim128
+       |  WHERE (SELECT w FROM params) = 32),
        |banded AS (
-       |  SELECT doc_id, simhash, CAST(u.b AS INTEGER) AS b,
-       |    (simhash >> CAST(u.b * $SimBandBits AS INTEGER)) & $SimBandMask
-       |      AS v
-       |  FROM sim, LATERAL (SELECT unnest(range(0, $SimBands)) AS b) u),
+       |  SELECT doc_id, lo, hi, CAST(u.b AS INTEGER) AS b,
+       |    CASE WHEN u.b * p.w < 64
+       |      THEN (lo >> CAST(u.b * p.w AS INTEGER))
+       |        & ((CAST(1 AS BIGINT) << p.w) - 1)
+       |      ELSE (hi >> CAST(u.b * p.w - 64 AS INTEGER))
+       |        & ((CAST(1 AS BIGINT) << p.w) - 1) END AS v
+       |  FROM ph, params p,
+       |    LATERAL (SELECT unnest(range(0, $SimBands)) AS b) u),
        |cand AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+       |      AS INTEGER) AS hamming
        |  FROM banded a JOIN banded b ON a.b = b.b AND a.v = b.v
        |    AND a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHammingMax)
+       |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+       |    <= $SimHammingMax)
        |SELECT DISTINCT a_id, b_id, hamming FROM cand""".stripMargin
+
+  // ------------------------------------------------------ simhash_width
+  // The measure→act decision row for the simhash band ladder — same
+  // shape as mm_phash_width (exact integer arithmetic off one
+  // COUNT(*)); a drift in the threshold seam desyncs this oracle before
+  // it can desync simhash_pairs.
+  private def simhashWidth(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("n_docs"),
+        expr(s"$SimBands * ((n_docs * (n_docs - 1)) DIV 2) DIV ${1L << 16}")
+          .as("rand_cand_16"),
+        expr(s"$SimBands * ((n_docs * (n_docs - 1)) DIV 2) DIV ${1L << 32}")
+          .as("rand_cand_32"),
+        expr(s"$SimBands * n_docs").as("cand_budget"),
+        when(col("n_docs") <= SimTier16MaxN, 16).otherwise(32)
+          .as("band_bits"))
+
+  private val simhashWidthSql =
+    s"""SELECT n_docs,
+       |  CAST($SimBands * ((n_docs * (n_docs - 1)) // 2) // ${1L << 16}
+       |    AS BIGINT) AS rand_cand_16,
+       |  CAST($SimBands * ((n_docs * (n_docs - 1)) // 2) // ${1L << 32}
+       |    AS BIGINT) AS rand_cand_32,
+       |  CAST($SimBands * n_docs AS BIGINT) AS cand_budget,
+       |  CASE WHEN n_docs <= $SimTier16MaxN THEN 16 ELSE 32 END AS band_bits
+       |FROM (SELECT COUNT(*) AS n_docs FROM documents)""".stripMargin
 
   // -------------------------------------------------------- chunk_dedup
   // C4/CCNet-style passage-level dedup — the removal step between
@@ -689,7 +759,11 @@ object DedupQueries {
       .join(s1.withColumnRenamed("doc_id", "b_id"), "b_id")
       .select(col("b_id").as("doc_id")).distinct()
     val s2 = s1.join(rm2, Seq("doc_id"), "left_anti")
-    val rm3 = graft.SharedStages.simhashPairs(s, d)
+    // the cascade's simhash stage runs the PINNED 16-bit production
+    // width (its streaming twin StreamingCuration fixes the width in
+    // the standing band stores' layout; the funnel oracle mirrors 16);
+    // the standalone simhash_pairs report is the BandLadder-gated one
+    val rm3 = graft.SharedStages.simhashPairsAt(s, d, 16)
       .join(s2.withColumnRenamed("doc_id", "a_id"), "a_id")
       .join(s2.withColumnRenamed("doc_id", "b_id"), "b_id")
       .select(col("b_id").as("doc_id")).distinct()
@@ -903,6 +977,7 @@ object DedupQueries {
     QueryDef("chunk_dedup", chunkDedup, Some(chunkDedupSql)),
     QueryDef("simhash_pairs",
       (s, d) => graft.SharedStages.simhashPairs(s, d), Some(simhashPairsSql)),
+    QueryDef("simhash_width", simhashWidth, Some(simhashWidthSql)),
     QueryDef("cdc_dedup", cdcDedup, Some(cdcDedupSql)),
     QueryDef("lsh_recall", lshRecall, Some(lshRecallSql)))
 }

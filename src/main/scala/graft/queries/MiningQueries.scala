@@ -688,13 +688,19 @@ object MiningQueries {
     val perCap = (col: String) => LexDfCaps.init.foldRight(s"${col}_$widest") {
       (c, rest) => s"CASE WHEN u.max_df = $c THEN ${col}_$c ELSE $rest END"
     }
+    // AS MATERIALIZED (DuckDB-only syntax; the oracle never runs in
+    // Spark): tf is read by df + pruned and pruned by norms + both dot
+    // sides — inlined, DuckDB recomputes the corpus gram pipeline per
+    // reference, which blew an 85+ GB temp spill at the sf10 surrogate;
+    // materialized once, the same query fits and hash-matches there.
     s"""WITH tokd AS (
        |  SELECT doc_id, $toksS AS toks FROM documents),
        |grams AS (
        |  SELECT doc_id, unnest($sh) AS s FROM tokd),
-       |tf AS (SELECT doc_id, s, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, s, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
        |df AS (SELECT s, COUNT(*) AS df FROM tf GROUP BY 1),
-       |pruned AS (
+       |pruned AS MATERIALIZED (
        |  SELECT tf.doc_id, tf.s, tf.tf, df.df FROM tf JOIN df USING (s)
        |  WHERE df.df <= $widest),
        |norms AS (

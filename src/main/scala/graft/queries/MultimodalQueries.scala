@@ -245,10 +245,10 @@ object MultimodalQueries {
     * (4 disjoint bands cover Hamming ≤ 3 at any width). The threshold
     * is an exact integer compare on COUNT(*), derived identically in
     * both engines — `mm_phash_width` is the oracle-gated decision. */
-  private val PhTier16MaxN = 1L << 17
+  private val PhTier16MaxN = graft.functions.BandLadder.Tier16MaxN
 
   private[graft] def phBandBitsFor(n: Long): Int =
-    if (n <= PhTier16MaxN) 16 else 32
+    graft.functions.BandLadder.bitsFor(n)
 
   private def phashTable(s: SparkSession, d: String): DataFrame =
     Multimodal.perceptualHashes(

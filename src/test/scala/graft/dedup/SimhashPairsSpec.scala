@@ -65,4 +65,45 @@ class SimhashPairsSpec extends SparkTestBase {
     // distinct collapsed multi-band collisions: no duplicate pairs
     assert(df.count() == df.select("a_id", "b_id").distinct().count())
   }
+
+  test("simhash128: the low long IS the 64-bit fingerprint") {
+    // bits 0-63 vote on the same md5 words as simhash (chars 1-8/9-16
+    // of one digest), so the wide tier embeds the narrow one exactly —
+    // the seam a Scala<->SQL drift in the new words would break first
+    val s64 = SimHash.simhash(Tables.documents(spark, sf), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s128 = SimHash.simhash128(Tables.documents(spark, sf), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(s128.keySet == s64.keySet)
+    s128.foreach { case (id, (lo, hi)) =>
+      assert(lo == s64(id), s"doc $id lo != simhash")
+      assert(hi != 0L || lo == 0L || s128.size < 2,
+        s"doc $id hi should carry real votes") // hi is a real fingerprint
+    }
+  }
+
+  test("32-bit-band tier: lossless blocking vs brute force over 128 bits") {
+    val sims = SimHash.simhash128(Tables.documents(spark, sf), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (a, al, ah) <- sims; (b, bl, bh) <- sims if a < b
+      h = java.lang.Long.bitCount(al ^ bl) + java.lang.Long.bitCount(ah ^ bh)
+      if h <= 3
+    } yield ((a, b), h)).toMap
+    val got = graft.queries.DedupQueries
+      .buildSimhashPairsAt(spark, sf, 32)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got == brute,
+      s"wide-tier blocking lost/invented pairs: got ${got.size}, brute ${brute.size}")
+  }
+
+  test("band ladder seam: exact threshold shared with the mm family") {
+    import graft.functions.BandLadder
+    assert(BandLadder.bitsFor(BandLadder.Tier16MaxN) == 16)
+    assert(BandLadder.bitsFor(BandLadder.Tier16MaxN + 1) == 32)
+    // the seam is the point where the 16-bit tier's random-collision
+    // mass exactly meets the 4n budget
+    val n = BandLadder.Tier16MaxN
+    assert(4 * (BigInt(n) * (n - 1) / 2) >> 16 <= BigInt(4) * n)
+  }
 }
