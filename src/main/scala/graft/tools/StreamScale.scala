@@ -66,7 +66,10 @@ object StreamScale {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val hits = fs.globStatus(p)
       if (hits == null || hits.isEmpty) 0L
-      else spark.read.parquet(s"$stores/$stage/b*").count()
+      // read the EXPANDED dirs: a glob string makes FileStreamSink's
+      // metadata probe stat the literal "b*" path and log a WARN +
+      // stack per read, burying the per-batch table
+      else spark.read.parquet(hits.map(_.getPath.toString).toSeq: _*).count()
     }
 
     def storeRowsNow(): Seq[Long] =
