@@ -94,10 +94,10 @@ object Multimodal {
       * (exact integer threshold — no float division to diverge between
       * engines); packed little-endian into ⌈nCells/64⌉ longs. */
     private def phashCells(bytes: Array[Byte], nCells: Int): Array[Long] = {
-      val len = bytes.length
+      val len = bytes.length.toLong // Long: i*len overflows Int past ~16.9 MB/cellCount
       val cells = Array.tabulate(nCells) { i =>
         Integer.parseInt(
-          md5Hex(bytes.slice(i * len / nCells, (i + 1) * len / nCells))
+          md5Hex(bytes.slice((i * len / nCells).toInt, ((i + 1) * len / nCells).toInt))
             .substring(0, 2), 16)
       }
       val tot = cells.foldLeft(0L)(_ + _)

@@ -345,7 +345,7 @@ object StreamAnalyticsQueries {
         r.getAs[Long]("n"), r.getAs[Double]("approx"),
         fromLe, if (fromLe) cntLe - target + 1 else target - cntLe)
     }
-    val kmax = math.max(1L, bounds.map(_._6).max).toInt
+    val kmax = bounds.map(_._6).foldLeft(1L)(math.max).toInt
     import s.implicits._
     val boundDf = broadcast(bounds.toDF(
       "event_type", "p", "n", "approx", "from_le", "kneed"))

@@ -276,26 +276,28 @@ object StreamingCuration {
     * turns on store retention: every `evictEvery` batches, rows more
     * than `horizonDocs` doc_ids behind the batch's max are evicted
     * ([[evictStores]] — bounded stores, dedup-within-horizon
-    * semantics). Eviction runs AFTER the batch's flags are written, so
-    * a crash-replayed batch re-runs against stores at least as full as
-    * its first run saw — eviction is monotone, replays are harmless. */
+    * semantics). Eviction runs at the START of the batch, BEFORE its
+    * flags are computed: the evict threshold is derived from the same
+    * batch's max doc_id, so a crash-replayed batch re-evicts the exact
+    * same horizon (idempotent) and flags against the identical store
+    * state — no kept/flagged flip across the crash window. */
   def attach(docs: DataFrame, storeRoot: String, outDir: String,
              checkpoint: String, minTokens: Int = 0,
              horizonDocs: Option[Long] = None,
              evictEvery: Int = 4): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val flags = flagBatch(
-          batch.select(col("doc_id"), col("source"), col("text")),
-          storeRoot, minTokens)
-        flags.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        val src = batch.select(col("doc_id"), col("source"), col("text"))
+          .localCheckpoint()
         horizonDocs.foreach { h =>
-          if ((id + 1) % evictEvery == 0) {
-            val mx = batch.agg(max(col("doc_id"))).head()
+          if (id > 0 && id % evictEvery == 0) {
+            val mx = src.agg(max(col("doc_id"))).head()
             if (!mx.isNullAt(0))
               evictStores(batch.sparkSession, storeRoot, mx.getLong(0) - h)
           }
         }
+        val flags = flagBatch(src, storeRoot, minTokens)
+        flags.write.mode("overwrite").parquet(s"$outDir/batch=$id")
         ()
       }
       .option("checkpointLocation", checkpoint)
