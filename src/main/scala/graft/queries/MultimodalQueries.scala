@@ -225,9 +225,9 @@ object MultimodalQueries {
   // Two oracle gates: `mm_phash` is the per-blob hash table itself —
   // non-empty at EVERY SF, so the 64-cell aHash computation is
   // hash-matched bit-for-bit even on corpora with no duplicate pairs —
-  // and `mm_phash_pairs` is the banded search (real result sets from
-  // sf0.1 up, where the corpus carries exact-dup clusters; the crafted
-  // near-identical fixture in MmPhashSpec covers the small end).
+  // and `mm_phash_pairs` is the banded search over the corpus PLUS a
+  // planted twin fixture (below), so the pair path produces real rows
+  // at every SF instead of hash-matching empty sets below sf0.1.
   private val PhBands = 4
   private val PhBandBits = 16
   private val PhBandMask = (1L << PhBandBits) - 1
@@ -256,11 +256,44 @@ object MultimodalQueries {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")),
       "doc_id", "blob").toDF()
 
+  // Planted twin fixture — the non-vacuous driver gate. Small-SF
+  // corpora carry no near-identical blobs, so the r15 gate row for
+  // mm_phash_pairs hash-"matched" on empty sets (0 rows at sf0.01);
+  // real coverage only started at sf0.1. The pair search therefore
+  // derives a deterministic fixture FROM the corpus itself: each of
+  // the PlantSeeds smallest doc_ids gets an exact twin (Hamming 0 —
+  // a guaranteed pair at any SF) and a one-char in-place edit (the
+  // MmPhashSpec locality fixture — lands within the banded search's
+  // Hamming window with high probability), at doc_ids 2^40 above any
+  // real id (ScaleUp tops out near 10^9). The derivation is mirrored
+  // clause-for-clause in the oracle, so the banding + popcount verify
+  // path is exercised by real rows at the per-round sf0.01 gate. Cost
+  // at scale: one top-4 TakeOrdered over doc_id + 8 extra rows.
+  private val PlantSeeds = 4
+  private val PlantOff = 1L << 40
+
+  private[graft] def plantTwins(docs: DataFrame): DataFrame = {
+    // ≤ PlantSeeds rows — checkpointed so the two twin branches read
+    // the 4-row result instead of re-running the top-k per branch
+    val seeds = docs.orderBy(col("doc_id")).limit(PlantSeeds)
+      .localCheckpoint()
+    docs
+      .unionByName(seeds.select(
+        (col("doc_id") + PlantOff).as("doc_id"), col("text")))
+      .unionByName(seeds.select(
+        (col("doc_id") + 2 * PlantOff).as("doc_id"),
+        expr("concat(substr(text, 1, 8), 'Q', substr(text, 10))")
+          .as("text")))
+  }
+
   private def mmPhashPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.parallelize(Tables.documents(s, d))
+    val docs = plantTwins(
+        Tables.parallelize(Tables.documents(s, d))
+          .select(col("doc_id"), col("text")))
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
     // one parquet count-star (metadata-cheap) picks the tier — the
-    // RpLsh.buckets precedent
+    // RpLsh.buckets precedent; the +8 planted rows are excluded so
+    // both engines derive the width from the same corpus COUNT(*)
     mmPhashPairsAt(docs, phBandBitsFor(Tables.documents(s, d).count()))
   }
 
@@ -366,7 +399,8 @@ object MultimodalQueries {
     * chunk→md5-byte→exact-integer-threshold structure; the BIGINT
     * minimum literal spells each long's sign bit (DuckDB refuses
     * 1<<63). */
-  private def phashCtes2(cells: Int, p: String): String =
+  private def phashCtes2(cells: Int, p: String,
+                         src: String = "documents"): String =
     s"""${p}cells AS (
        |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
        |    CAST(concat('0x', substr(md5(substring(text,
@@ -374,7 +408,7 @@ object MultimodalQueries {
        |      CAST(((u.i + 1) * length(text)) // $cells
        |        - (u.i * length(text)) // $cells AS INT))), 1, 2)) AS BIGINT)
        |      AS cell
-       |  FROM documents, LATERAL (SELECT unnest(range(0, $cells)) AS i) u),
+       |  FROM $src, LATERAL (SELECT unnest(range(0, $cells)) AS i) u),
        |${p}ph AS (
        |  SELECT doc_id,
        |    CAST(SUM(CASE WHEN $cells * cell > tot AND i < 64 THEN
@@ -392,13 +426,24 @@ object MultimodalQueries {
   // The tier guards replicate phBandBitsFor on the same COUNT(*); the
   // unchosen tier's branch is row-empty under its guard, so exactly one
   // hash table feeds the banding at any SF.
+  // `blobs` = documents + the planted twin fixture (plantTwins above,
+  // clause-for-clause). MATERIALIZED: the two tier CTEs both read it —
+  // DuckDB re-inlines multi-consumer CTEs (the lex_df_gate lesson).
   private val mmPhashPairsSql =
     s"""WITH nrow AS (SELECT COUNT(*) AS n FROM documents),
        |params AS (
        |  SELECT CASE WHEN n <= $PhTier16MaxN THEN 16 ELSE 32 END AS w
        |  FROM nrow),
-       |${phashCtes2(64, "t16")},
-       |${phashCtes2(128, "t32")},
+       |seeds AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT $PlantSeeds),
+       |blobs AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $PlantOff AS doc_id, text FROM seeds
+       |  UNION ALL SELECT doc_id + ${2 * PlantOff} AS doc_id,
+       |    concat(substr(text, 1, 8), 'Q', substr(text, 10)) AS text
+       |  FROM seeds),
+       |${phashCtes2(64, "t16", "blobs")},
+       |${phashCtes2(128, "t32", "blobs")},
        |ph AS (
        |  SELECT * FROM t16ph WHERE (SELECT w FROM params) = 16
        |  UNION ALL

@@ -154,10 +154,95 @@ object PipelineQueries {
        |FROM evts
        |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------- store_rebucket_gate
+  // Measure→act gate for BucketStore rebucketing (K4's lifecycle knob,
+  // the last caller-picked tuning constant): builds a REAL store from
+  // the documents fingerprint table at a deliberately small bucket
+  // count, derives the rebucket decision by exact integer arithmetic
+  // (BucketStore.rebucketDecision — the lsh_width mold: smallest
+  // power-of-two multiple of buckets0 whose per-bucket load fits the
+  // budget), ACTS on it (rebucket to a fresh root when tripped), and
+  // proves probe identity across the move: a deterministic key subset
+  // (doc_id % 97 = 0) is probed through the pruned-read path against
+  // BOTH layouts, and every probe must hit in both. The oracle derives
+  // every column from the same COUNT(*)s — rows_after == n_rows pins
+  // zero loss through the move; probe_found_* == probe_n pins placement
+  // correctness before AND after. The row budget is SF-scaled so the
+  // gate genuinely trips from sf0.01 up (stay at sf0.001), exercising
+  // both branches across the driver's SFs; production watches bytes via
+  // BucketStore.stats and feeds the same ladder.
+  private val StoreBuckets0 = 8
+  private val StoreRowBudget = 500L
+
+  private def storeRebucketGate(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.BucketStore
+    val rows = Tables.parallelize(Tables.documents(s, d))
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .localCheckpoint() // feeds the store write, the count, the probes
+    val path = graft.SharedStages.newScratchDir("rebucket_store")
+    BucketStore.upsert(s, rows, path, Seq("doc_id"), StoreBuckets0)
+    // the byte-level trigger input exists and is populated (what a
+    // standing deployment polls between batches)
+    val st = BucketStore.stats(s, path, StoreBuckets0)
+    require(st.nonEmpty && st.map(_.bytes).sum > 0, "store wrote no bytes")
+
+    val n = rows.count()
+    val chosen = BucketStore.rebucketDecision(n, StoreBuckets0, StoreRowBudget)
+    val probeKeys = rows.filter(col("doc_id") % 97 === 0)
+      .select("doc_id").localCheckpoint()
+    def probeFound(p: String, nb: Int): Long = {
+      val touched = BucketStore.touchedBuckets(probeKeys, Seq("doc_id"), nb)
+      BucketStore.readBuckets(s, p, rows.schema, touched)
+        .join(probeKeys, Seq("doc_id"), "left_semi").count()
+    }
+    val before = probeFound(path, StoreBuckets0)
+    val (after, rowsAfter) =
+      if (chosen == StoreBuckets0)
+        (before, BucketStore.read(s, path, rows.schema, StoreBuckets0).count())
+      else {
+        val np = graft.SharedStages.newScratchDir("rebucket_store_to")
+        BucketStore.rebucket(s, path, np, rows.schema, Seq("doc_id"),
+          StoreBuckets0, chosen)
+        (probeFound(np, chosen),
+          BucketStore.read(s, np, rows.schema, chosen).count())
+      }
+    import s.implicits._
+    Seq((n, StoreBuckets0.toLong,
+        (n + StoreBuckets0 - 1) / StoreBuckets0, StoreRowBudget,
+        chosen.toLong, rowsAfter, probeKeys.count(), before, after))
+      .toDF("n_rows", "buckets0", "per_bucket_rows0", "row_budget",
+        "chosen_buckets", "rows_after", "probe_n", "probe_found_before",
+        "probe_found_after")
+  }
+
+  private val storeRebucketGateSql =
+    s"""WITH n AS (SELECT COUNT(*) AS n_rows FROM documents),
+       |c AS (
+       |  SELECT MIN($StoreBuckets0 * (1 << CAST(u.k AS INT)))
+       |    AS chosen_buckets
+       |  FROM n, LATERAL (SELECT unnest(range(0, 24)) AS k) u
+       |  WHERE n.n_rows <= CAST($StoreBuckets0 AS BIGINT)
+       |    * (1 << CAST(u.k AS INT)) * $StoreRowBudget),
+       |p AS (SELECT COUNT(*) AS probe_n FROM documents
+       |      WHERE doc_id % 97 = 0)
+       |SELECT n.n_rows,
+       |  CAST($StoreBuckets0 AS BIGINT) AS buckets0,
+       |  CAST((n.n_rows + ${StoreBuckets0 - 1}) // $StoreBuckets0 AS BIGINT)
+       |    AS per_bucket_rows0,
+       |  CAST($StoreRowBudget AS BIGINT) AS row_budget,
+       |  CAST(c.chosen_buckets AS BIGINT) AS chosen_buckets,
+       |  n.n_rows AS rows_after,
+       |  p.probe_n,
+       |  p.probe_n AS probe_found_before,
+       |  p.probe_n AS probe_found_after
+       |FROM n, c, p""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("viol_derive", violDerive, Some(violDeriveSql)),
     QueryDef("status_derive", statusDerive, Some(statusDeriveSql)),
     QueryDef("viol_counts", violCounts, Some(violCountsSql)),
     QueryDef("sessionize", sessionize, Some(sessionizeSql)),
-    QueryDef("latency_carry", latencyCarry, Some(latencyCarrySql)))
+    QueryDef("latency_carry", latencyCarry, Some(latencyCarrySql)),
+    QueryDef("store_rebucket_gate", storeRebucketGate,
+      Some(storeRebucketGateSql)))
 }

@@ -208,6 +208,22 @@ object BucketStore {
     survivors.count()
   }
 
+  /** Measure→act decision for [[rebucket]] (the lsh_width discipline —
+    * tuning knobs get derived decisions, not caller-picked constants):
+    * the smallest power-of-two multiple of `buckets` whose per-bucket
+    * row load fits `rowBudget`. Exact integer arithmetic, mirrored
+    * column-for-column by the `store_rebucket_gate` oracle; the
+    * byte-level trigger input ([[stats]] — what production watches,
+    * since "fits one task" is a byte bound) drives the same ladder via
+    * bytes/rowBudget scaling at the call site. */
+  def rebucketDecision(nRows: Long, buckets: Int, rowBudget: Long): Int = {
+    require(buckets > 0 && rowBudget > 0)
+    var chosen = buckets
+    while (nRows > chosen.toLong * rowBudget && chosen < (1 << 30))
+      chosen *= 2
+    chosen
+  }
+
   /** Re-spread a store into a different bucket count at a NEW path —
     * the maintenance move for a store whose retained set outgrew its
     * creation-time bucket count (or shrank far below it). Writing to

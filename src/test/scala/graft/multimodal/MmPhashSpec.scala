@@ -58,8 +58,24 @@ class MmPhashSpec extends SparkTestBase with Matchers {
     pairs((1L, 3L)) shouldBe 0
     pairs.keySet should contain allOf ((1L, 2L), (2L, 3L))
     pairs((1L, 2L)) should be <= 3
-    // the unrelated blob pairs with nothing
-    pairs.keySet.exists { case (a, b) => a == 4L || b == 4L } shouldBe false
+    // the unrelated blob pairs with no ORIGINAL doc (its planted exact
+    // twin at doc_id 4 + 2^40 is by construction a Hamming-0 pair)
+    pairs.keySet.exists { case (a, b) =>
+      (a == 4L || b == 4L) && b < (1L << 40) } shouldBe false
+    pairs((4L, 4L + (1L << 40))) shouldBe 0
+    graft.SharedStages.clear()
+  }
+
+  test("planted twins make the pair gate non-vacuous at every SF") {
+    val d = "/root/testdata/sf0.001"
+    val pairs = graft.SparkEntry.queries("mm_phash_pairs")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val seeds = graft.Tables.documents(spark, d)
+      .orderBy("doc_id").limit(4).collect().map(_.getAs[Long]("doc_id"))
+    seeds should have size 4
+    // every seed pairs with its exact twin at Hamming 0 — guaranteed
+    // rows at ANY scale factor, so the driver-gate row has teeth
+    seeds.foreach { s => pairs((s, s + (1L << 40))) shouldBe 0 }
     graft.SharedStages.clear()
   }
 

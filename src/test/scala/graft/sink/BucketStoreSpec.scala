@@ -149,6 +149,43 @@ class BucketStoreSpec extends SparkTestBase {
     assert(BucketStore.read(spark, dir32, rows.schema, 32).count() == 200)
   }
 
+  test("rebucketDecision: exact ladder, stays inside budget, minimal") {
+    // inside budget -> stay
+    assert(BucketStore.rebucketDecision(100L, 8, 500L) == 8)
+    assert(BucketStore.rebucketDecision(4000L, 8, 500L) == 8) // boundary
+    // one past the boundary -> first doubling
+    assert(BucketStore.rebucketDecision(4001L, 8, 500L) == 16)
+    // the sf1/sf10 gate points (documents 50k / 500k at budget 500)
+    assert(BucketStore.rebucketDecision(50000L, 8, 500L) == 128)
+    assert(BucketStore.rebucketDecision(500000L, 8, 500L) == 1024)
+    // chosen is always a power-of-two multiple and minimal
+    val c = BucketStore.rebucketDecision(12345L, 8, 100L)
+    assert(c == 128 && 12345L <= c.toLong * 100 && 12345L > (c / 2).toLong * 100)
+  }
+
+  test("measure-to-act: stats feeds the decision, rebucket acts on it") {
+    val dir = Files.createTempDirectory("bgate").toString + "/docs"
+    val rows = (1 to 300).map(i => (s"dev-$i", i.toLong, 1L))
+      .toDF("dev", "end_ts", "v")
+    BucketStore.upsert(spark, rows, dir, Seq("dev"), N)
+    // the byte-level trigger input is live for every written bucket
+    val st = BucketStore.stats(spark, dir, N)
+    assert(st.nonEmpty && st.forall(s => s.bytes > 0 && s.files > 0))
+    // a 20-rows-per-bucket budget trips the gate at 300 rows / 8 buckets
+    val chosen = BucketStore.rebucketDecision(300L, N, 20L)
+    assert(chosen == 16)
+    val dirTo = Files.createTempDirectory("bgate").toString + "/docs16"
+    BucketStore.rebucket(spark, dir, dirTo, rows.schema, Seq("dev"), N, chosen)
+    // probe identity across the move, through the PRUNED read path
+    val probeKeys = rows.filter($"end_ts" % 7 === 0).select("dev", "end_ts", "v")
+    def found(p: String, nb: Int): Long =
+      BucketStore.readBuckets(spark, p, rows.schema,
+          BucketStore.touchedBuckets(probeKeys, Seq("dev"), nb))
+        .join(probeKeys.select("dev"), Seq("dev"), "left_semi").count()
+    assert(found(dir, N) == found(dirTo, chosen) &&
+      found(dirTo, chosen) == probeKeys.count())
+  }
+
   test("status stream -> stateful sessions -> bucketed store (3.2 end-to-end)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("bsess").toString + "/sessions"
