@@ -384,6 +384,27 @@ object SharedStages {
     }
   }
 
+  // ---------------------------------------------- deep BPE training
+  // The realistic-depth trainer ([[graft.text.BpeDeep]]): one
+  // distributed corpus pass builds the capped candidate table, then
+  // DeepMerges driver-side argmax rounds — trained once per
+  // (session, dir), shared by bpe_train_deep and bpe_deep_encode.
+  private val bpeDeepMemo =
+    new ConcurrentHashMap[(SparkSession, String), graft.text.BpeDeep.DeepTrained]()
+
+  def bpeDeepTrained(s: SparkSession, dir: String): graft.text.BpeDeep.DeepTrained = {
+    val key = (s, dir)
+    val existing = bpeDeepMemo.get(key)
+    if (existing != null) existing
+    else {
+      val t0 = System.nanoTime()
+      val built = graft.text.BpeDeep.train(s, dir)
+      recordBuild(dir, "bpeDeepTrained", (System.nanoTime() - t0) / 1e9)
+      val prev = bpeDeepMemo.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
   // --------------------------------------------- unigram-LM training
   // The EM-trained unigram tokenizer ([[graft.text.UnigramTrain]]) —
   // two segmentation passes + vocab-sized collects, trained once per
@@ -471,6 +492,7 @@ object SharedStages {
     pcaMemo.clear()
     probeMemo.clear()
     bpeMemo.clear()
+    bpeDeepMemo.clear()
     unigramMemo.clear()
     import scala.jdk.CollectionConverters._
     storeMemo.values().asScala.foreach(discardScratch)

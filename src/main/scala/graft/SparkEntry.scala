@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.derive.{EventsAdapter, ViolationDeriver}
-import graft.queries.{BehaviorQueries, BloomQueries, CurationQueries, DedupQueries, EmbedQueries, FingerprintQueries, MiningQueries, MultimodalQueries, PipelineQueries, QualityQueries, QueryDef, Relational, StreamAnalyticsQueries, TextQueries, TrainingQueries}
+import graft.queries.{BehaviorQueries, BloomQueries, CurationQueries, DedupQueries, EmbedQueries, FingerprintQueries, MiningQueries, MultimodalQueries, PipelineQueries, QualityQueries, QueryDef, Relational, StreamAnalyticsQueries, TextQueries, TokDeepQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
       DedupQueries.all ++ EmbedQueries.all ++ MultimodalQueries.all ++
       StreamAnalyticsQueries.all ++ CurationQueries.all ++
       FingerprintQueries.all ++ BloomQueries.all ++ QualityQueries.all ++
-      TrainingQueries.all ++ MiningQueries.all ++ BehaviorQueries.all
+      TrainingQueries.all ++ MiningQueries.all ++ BehaviorQueries.all ++
+      TokDeepQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core dataflow: telemetry → violation events

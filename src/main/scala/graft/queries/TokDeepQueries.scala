@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.text.BpeDeep
+import graft.text.TextFunctions.{portableHashSql, tokensSql}
+
+/** Deep-tokenizer gates (SURVEY tokenizer family, realistic depth):
+  * the 12-merge `bpe_train` certifies the machinery; these certify a
+  * [[BpeDeep.DeepMerges]]-merge vocabulary — the depth class a
+  * training pipeline actually ships — end to end against a full
+  * DuckDB replay over the same capped candidate table.
+  *
+  *  - `bpe_train_deep`: the learned merge table itself, all
+  *    [[BpeDeep.DeepMerges]] rows hash-gated (every argmax decision,
+  *    every tie-break, every rewrite feeding the next round).
+  *  - `bpe_deep_encode`: the encode receipt on the deep vocabulary —
+  *    deterministic piece ids (corpus count DESC, piece), per-word id
+  *    sequences folded into one portable checksum (the encode_shards
+  *    discipline): a drift in ANY word's segmentation or ANY piece's
+  *    rank desyncs the row.
+  *
+  * Scale: the corpus-sized work in both engines is ONE word-count
+  * pass; everything after is bounded by [[BpeDeep.CapWords]] — the
+  * documented SentencePiece-style candidate truncation that makes
+  * realistic depth affordable at any corpus size.
+  */
+object TokDeepQueries {
+
+  private def bpeTrainDeep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.SharedStages.bpeDeepTrained(s, d).merges
+      .toDF("merge_rank", "a", "b", "pair_count")
+  }
+
+  private val bpeTrainDeepSql =
+    s"""WITH ${BpeDeep.duckdbDeepCtes(tokensSql("text"))}
+       |SELECT merge_rank, a, b, pair_count FROM ${BpeDeep.duckdbMergeTree()}""".stripMargin
+
+  private def bpeDeepEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = graft.SharedStages.bpeDeepTrained(s, d)
+    // vocab-sized post-processing of the trained state (≤ CapWords
+    // rows) — the corpus-scale pass already happened in cappedWords
+    val words = t.finalWords.map { case (sym, f) =>
+      (sym.replace(BpeDeep.Sep, ""),
+        sym.split(BpeDeep.Sep).filter(_.nonEmpty).toSeq, f)
+    }
+    val vocab = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (_, ps, f) =>
+      ps.foreach(p => vocab.update(p, vocab.getOrElse(p, 0L) + f))
+    }
+    val ids = vocab.toSeq.sortBy { case (p, n) => (-n, p) }.zipWithIndex
+      .map { case ((p, _), i) => p -> (i + 1).toLong }.toMap
+    def ph(str: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    val checksum = words.map { case (w, ps, _) =>
+      ph(w + ":" + ps.map(ids).mkString(",")) % 1000000007L
+    }.sum
+    val totalPieces = words.map { case (_, ps, f) => ps.length.toLong * f }.sum
+    val totalFreq = words.map(_._3).sum
+    Seq((words.size.toLong, vocab.size.toLong, totalFreq, totalPieces,
+        totalPieces.toDouble / totalFreq.toDouble, checksum))
+      .toDF("n_words", "vocab_size", "total_freq", "total_pieces",
+        "fertility", "ids_checksum")
+  }
+
+  private val bpeDeepEncodeSql =
+    s"""WITH ${BpeDeep.duckdbDeepCtes(tokensSql("text"))},
+       |dpieces AS MATERIALIZED (
+       |  SELECT replace(sym, chr(31), '') AS word,
+       |    list_filter(string_split(sym, chr(31)), x -> x <> '') AS pieces,
+       |    freq
+       |  FROM dwf${BpeDeep.DeepMerges}),
+       |dpp AS MATERIALIZED (
+       |  SELECT word, unnest(pieces) AS piece,
+       |    unnest(range(1, len(pieces) + 1)) AS ppos, freq
+       |  FROM dpieces),
+       |dvocab AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS n
+       |  FROM dpp GROUP BY 1),
+       |dvid AS (SELECT piece,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, piece) AS BIGINT) AS id
+       |  FROM dvocab),
+       |dwid AS MATERIALIZED (
+       |  SELECT word,
+       |    string_agg(CAST(id AS VARCHAR), ',' ORDER BY ppos) AS ids,
+       |    COUNT(*) AS np, MAX(freq) AS freq
+       |  FROM dpp JOIN dvid USING (piece) GROUP BY 1)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM dvid) AS vocab_size,
+       |  CAST(SUM(freq) AS BIGINT) AS total_freq,
+       |  CAST(SUM(freq * np) AS BIGINT) AS total_pieces,
+       |  CAST(SUM(freq * np) AS DOUBLE) / CAST(SUM(freq) AS DOUBLE)
+       |    AS fertility,
+       |  CAST(SUM(${portableHashSql("word || ':' || ids")} % 1000000007)
+       |    AS BIGINT) AS ids_checksum
+       |FROM dwid""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("bpe_train_deep", bpeTrainDeep, Some(bpeTrainDeepSql)),
+    QueryDef("bpe_deep_encode", bpeDeepEncode, Some(bpeDeepEncodeSql)))
+}
