@@ -118,7 +118,8 @@ object StreamingCuration {
     * (funnel_quality) that discard the scratch stores skip the write
     * cost, while the streaming deployment keeps the default. */
   def flagBatch(batch: DataFrame, root: String, minTokens: Int = 0,
-                advance: Boolean = true): DataFrame = {
+                advance: Boolean = true,
+                numBuckets: Int = NumBuckets): DataFrame = {
     val spark = batch.sparkSession
 
     // ---- stage 0: stateless quality gate (cheapest first)
@@ -143,7 +144,7 @@ object StreamingCuration {
     val inBatch = fps.withColumn("keep_id",
       min(col("doc_id")).over(Window.partitionBy(col("fp"))))
     val fpStored = BucketStore.readBuckets(spark, fpPath(root), fpSchema,
-        BucketStore.touchedBuckets(fps.select("fp"), Seq("fp"), NumBuckets))
+        BucketStore.touchedBuckets(fps.select("fp"), Seq("fp"), numBuckets))
       .withColumnRenamed("doc_id", "stored_id")
     val ex = inBatch.join(fpStored, Seq("fp"), "left")
       .withColumn("rm_exact",
@@ -161,7 +162,7 @@ object StreamingCuration {
     val candIn = MinHashLSH.candidatePairs(sigs, "doc_id")
       .select(col("a_id"), col("b_id"))
     val bandStored = BucketStore.readBuckets(spark, bandPath(root), bandSchema,
-      BucketStore.touchedBuckets(bands, Seq("band", "bucket"), NumBuckets))
+      BucketStore.touchedBuckets(bands, Seq("band", "bucket"), numBuckets))
     val candX = bands
       .join(bandStored.withColumnRenamed("doc_id", "a_id"), Seq("band", "bucket"))
       .filter(col("a_id") < col("doc_id"))
@@ -169,7 +170,7 @@ object StreamingCuration {
     val allCands = candIn.unionByName(candX).distinct().localCheckpoint()
     val shStored = BucketStore.readBuckets(spark, shPath(root), shSchema,
       BucketStore.touchedBuckets(
-        allCands.select(col("a_id").as("doc_id")), Seq("doc_id"), NumBuckets))
+        allCands.select(col("a_id").as("doc_id")), Seq("doc_id"), numBuckets))
     val allSh = sigs.select(col("doc_id"), col("sh"))
       .unionByName(shStored)
       // a replayed batch's own docs are both in sigs and the store —
@@ -192,7 +193,7 @@ object StreamingCuration {
       .filter(expr("bit_count(x.simhash ^ y.simhash)") <= SimHammingMax)
       .select(col("y.doc_id").as("doc_id"))
     val simStored = BucketStore.readBuckets(spark, simPath(root), simSchema,
-      BucketStore.touchedBuckets(sBands, Seq("b", "v"), NumBuckets))
+      BucketStore.touchedBuckets(sBands, Seq("b", "v"), numBuckets))
     val sX = sBands.as("x")
       .join(simStored.as("st"),
         col("x.b") === col("st.b") && col("x.v") === col("st.v") &&
@@ -215,19 +216,19 @@ object StreamingCuration {
       val newFps = ex.filter(col("rm_exact") === 0)
         .select(col("fp"), col("doc_id"))
       if (!newFps.isEmpty)
-        BucketStore.upsert(spark, newFps, fpPath(root), Seq("fp"), NumBuckets)
+        BucketStore.upsert(spark, newFps, fpPath(root), Seq("fp"), numBuckets)
       if (!sigs.isEmpty) {
         // rows keyed (band, bucket, doc_id) but PROBED by (band, bucket):
         // placement must hash the probe key (see BucketStore.upsert)
         BucketStore.upsert(spark, bands, bandPath(root),
-          Seq("band", "bucket", "doc_id"), NumBuckets,
+          Seq("band", "bucket", "doc_id"), numBuckets,
           bucketCols = Seq("band", "bucket"))
         BucketStore.upsert(spark, sigs.select(col("doc_id"), col("sh")),
-          shPath(root), Seq("doc_id"), NumBuckets)
+          shPath(root), Seq("doc_id"), numBuckets)
       }
       if (!sims.isEmpty)
         BucketStore.upsert(spark, sBands, simPath(root),
-          Seq("b", "v", "doc_id"), NumBuckets, bucketCols = Seq("b", "v"))
+          Seq("b", "v", "doc_id"), numBuckets, bucketCols = Seq("b", "v"))
     }
     flagged
   }
@@ -244,17 +245,44 @@ object StreamingCuration {
     * makes, and the right one for a rolling crawl. Returns total rows
     * kept across the stores. */
   def evictStores(spark: org.apache.spark.sql.SparkSession, root: String,
-                  horizonMinId: Long): Long = {
+                  horizonMinId: Long,
+                  numBuckets: Int = NumBuckets): Long = {
     val keep = col("doc_id") >= lit(horizonMinId)
     BucketStore.evict(spark, fpPath(root), fpSchema, keep,
-      Seq("fp"), NumBuckets) +
+      Seq("fp"), numBuckets) +
       BucketStore.evict(spark, bandPath(root), bandSchema, keep,
-        Seq("band", "bucket", "doc_id"), NumBuckets,
+        Seq("band", "bucket", "doc_id"), numBuckets,
         bucketCols = Seq("band", "bucket")) +
       BucketStore.evict(spark, shPath(root), shSchema, keep,
-        Seq("doc_id"), NumBuckets) +
+        Seq("doc_id"), numBuckets) +
       BucketStore.evict(spark, simPath(root), simSchema, keep,
-        Seq("b", "v", "doc_id"), NumBuckets, bucketCols = Seq("b", "v"))
+        Seq("b", "v", "doc_id"), numBuckets, bucketCols = Seq("b", "v"))
+  }
+
+  /** Re-spread all four standing stores into a new bucket count at a
+    * fresh root — the ACT of the store_rebucket_gate decision
+    * ([[graft.sink.BucketStore.rebucketDecision]]), for a deployment
+    * whose retained set outgrew its creation-time bucket count. Run in
+    * a maintenance window (between micro-batches / at a restart seam —
+    * single writer, like eviction); the old root stays fully readable
+    * until the caller switches `storeRoot` and `numBuckets` on the
+    * next [[attach]]. Probe identity across the move is asserted by
+    * the caller (StreamScale prints the episode; BucketStoreSpec pins
+    * the mechanism). Returns total rows re-spread. */
+  def rebucketStores(spark: org.apache.spark.sql.SparkSession,
+                     root: String, newRoot: String,
+                     fromBuckets: Int, toBuckets: Int): Long = {
+    def move(path: String => String, schema: StructType,
+             keyCols: Seq[String], bucketCols: Seq[String]): Long = {
+      BucketStore.rebucket(spark, path(root), path(newRoot), schema,
+        keyCols, fromBuckets, toBuckets, bucketCols)
+      BucketStore.read(spark, path(newRoot), schema, toBuckets).count()
+    }
+    move(fpPath, fpSchema, Seq("fp"), Nil) +
+      move(bandPath, bandSchema, Seq("band", "bucket", "doc_id"),
+        Seq("band", "bucket")) +
+      move(shPath, shSchema, Seq("doc_id"), Nil) +
+      move(simPath, simSchema, Seq("b", "v", "doc_id"), Seq("b", "v"))
   }
 
   /** Per-source funnel rollup of a flag table — the dedup_funnel
@@ -284,7 +312,8 @@ object StreamingCuration {
   def attach(docs: DataFrame, storeRoot: String, outDir: String,
              checkpoint: String, minTokens: Int = 0,
              horizonDocs: Option[Long] = None,
-             evictEvery: Int = 4): StreamingQuery =
+             evictEvery: Int = 4,
+             numBuckets: Int = NumBuckets): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val src = batch.select(col("doc_id"), col("source"), col("text"))
@@ -293,10 +322,12 @@ object StreamingCuration {
           if (id > 0 && id % evictEvery == 0) {
             val mx = src.agg(max(col("doc_id"))).head()
             if (!mx.isNullAt(0))
-              evictStores(batch.sparkSession, storeRoot, mx.getLong(0) - h)
+              evictStores(batch.sparkSession, storeRoot, mx.getLong(0) - h,
+                numBuckets)
           }
         }
-        val flags = flagBatch(src, storeRoot, minTokens)
+        val flags = flagBatch(src, storeRoot, minTokens,
+          numBuckets = numBuckets)
         flags.write.mode("overwrite").parquet(s"$outDir/batch=$id")
         ()
       }

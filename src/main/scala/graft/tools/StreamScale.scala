@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * "cost ∝ batch, not store size" argument MEASURED, not extrapolated
   * (BENCH_NOTES.md carries the table).
   *
-  * Usage: runMain graft.tools.StreamScale <sfDir> [nBatches] [horizonDocs]
+  * Usage: runMain graft.tools.StreamScale <sfDir> [nBatches] [horizonDocs] [rowBudget]
   * Prints one line per processed micro-batch plus a final equivalence
   * check against the one-shot batch funnel (same flags per source).
   *
@@ -42,6 +42,9 @@ object StreamScale {
     val stores = s"$work/stores"
     val out = s"$work/flags"
     val ckpt = s"$work/ckpt"
+    // the root the per-batch store sampler reads — switches to the
+    // re-spread root after a mid-run rebucket episode
+    @volatile var liveRoot = stores
 
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
@@ -62,7 +65,7 @@ object StreamScale {
     // in horizon mode, and letting the read throw means Spark logs a WARN
     // + stack trace per probe (harmless but it buries the batch table).
     def countStore(stage: String): Long = {
-      val p  = new org.apache.hadoop.fs.Path(s"$stores/$stage/b*")
+      val p  = new org.apache.hadoop.fs.Path(s"$liveRoot/$stage/b*")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val hits = fs.globStatus(p)
       if (hits == null || hits.isEmpty) 0L
@@ -98,12 +101,13 @@ object StreamScale {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("source", StringType),
       StructField("text", StringType)))
-    def startQuery() = {
+    def startQuery(root: String = stores,
+                   buckets: Int = graft.streaming.StreamingCuration.NumBuckets) = {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       graft.streaming.StreamingCuration.attach(
-        stream, stores, out, ckpt, minTokens,
-        horizonDocs = horizon, evictEvery = 2)
+        stream, root, out, ckpt, minTokens,
+        horizonDocs = horizon, evictEvery = 2, numBuckets = buckets)
     }
 
     def storeRows(stage: String): Long = countStore(stage)
@@ -118,8 +122,60 @@ object StreamScale {
     println(s"[streamscale] stopped after ${timings.size} batches; " +
       s"store rows fp/band/sh/sim = ${storesAtStop.mkString("/")}")
 
+    // ---- maintenance window at the restart seam (horizon mode): the
+    // store_rebucket_gate episode END TO END against the live stores —
+    // measure (stats + row count), decide (rebucketDecision, exact
+    // integers), act (rebucketStores to a fresh root), assert probe
+    // identity through the pruned-read path, and continue the stream
+    // against the re-spread layout.
+    var phase2Root = stores
+    var phase2Buckets = graft.streaming.StreamingCuration.NumBuckets
+    if (horizon.isDefined) {
+      val sc = graft.streaming.StreamingCuration
+      val fpRows = storeRows("fp")
+      val st = graft.sink.BucketStore.stats(spark, s"$stores/fp",
+        sc.NumBuckets)
+      // per-bucket row budget (4th arg; default sized to TRIP at the
+      // 100x plateau's ~5-20k fp rows)
+      val budget = if (args.length > 3) args(3).toLong else 128L
+      val chosen = graft.sink.BucketStore.rebucketDecision(
+        fpRows, sc.NumBuckets, budget)
+      println(s"[streamscale] rebucket gate: fp rows=$fpRows " +
+        s"buckets=${sc.NumBuckets} budget=$budget " +
+        s"bytes=${st.map(_.bytes).sum} -> chosen=$chosen " +
+        (if (chosen == sc.NumBuckets) "(stay)" else "(TRIP)"))
+      if (chosen != sc.NumBuckets) {
+        val newRoot = s"$work/stores2"
+        val fpSchema = StructType(Seq(
+          StructField("fp", StringType), StructField("doc_id", LongType)))
+        // expanded dirs, not the glob string (the FileStreamSink
+        // metadata-probe WARN gotcha)
+        val fpGlob = new org.apache.hadoop.fs.Path(s"$stores/fp/b*")
+        val fpDirs = fpGlob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .globStatus(fpGlob).map(_.getPath.toString).toSeq
+        val probeKeys = spark.read.schema(fpSchema)
+          .parquet(fpDirs: _*).filter(col("doc_id") % 7 === 0)
+          .select("fp").localCheckpoint()
+        val moved = sc.rebucketStores(spark, stores, newRoot,
+          sc.NumBuckets, chosen)
+        def found(root: String, nb: Int): Long =
+          graft.sink.BucketStore.readBuckets(spark, s"$root/fp", fpSchema,
+              graft.sink.BucketStore.touchedBuckets(probeKeys, Seq("fp"), nb))
+            .join(probeKeys, Seq("fp"), "left_semi").count()
+        val (before, after) =
+          (found(stores, sc.NumBuckets), found(newRoot, chosen))
+        println(s"[streamscale] rebucketed $moved rows to $chosen buckets; " +
+          s"probe identity ${probeKeys.count()} keys: " +
+          s"before=$before after=$after match=${before == after}")
+        require(before == after, "probe identity broken across rebucket")
+        phase2Root = newRoot
+        phase2Buckets = chosen
+        liveRoot = newRoot
+      }
+    }
+
     // ---- phase 2: restart from the checkpoint, drain the rest
-    val q2 = startQuery()
+    val q2 = startQuery(phase2Root, phase2Buckets)
     q2.processAllAvailable()
     q2.stop(); q2.awaitTermination()
 
