@@ -28,8 +28,9 @@ import duckdb, json, math, os, sys
 sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
 con = duckdb.connect()
 con.execute("SET temp_directory='/tmp/duck_spill'")
-con.execute("SET memory_limit='48GB'")
+con.execute("SET memory_limit='40GB'")
 con.execute("SET threads TO 16")
+con.execute("SET enable_progress_bar = false")
 for t in %r:
     path = f"{sf_dir}/{t}.parquet"
     if os.path.isdir(path):
@@ -90,7 +91,7 @@ def main():
     if only: names = [n for n in names if n in only]
     for i, name in enumerate(names):
         if skip_done and name in ledger and \
-                ledger[name].get("status") in ("verified", "vacuous"):
+                ledger[name].get("status") in ("verified", "vacuous", "oracle-bound", "oracle-error", "mismatch"):
             continue
         if not os.path.isdir(f"{out_dir}/{name}"):
             ledger[name] = {"status": "spark-missing"}
@@ -109,7 +110,22 @@ def main():
                 ledger[name] = {"status": "oracle-error", "sec": took,
                                 "detail": (err[-1] if err else "?")[:300]}
             else:
-                rec = json.loads(r.stdout.strip().splitlines()[-1])
+                # scan stdout bottom-up for the worker's JSON line (a
+                # DuckDB progress/warning line can land on stdout too)
+                rec = None
+                outs = (r.stdout or "")
+                # the JSON can share a line with a progress bar: parse
+                # from the last '{"status"' occurrence
+                pos = outs.rfind('{"status"')
+                if pos >= 0:
+                    try:
+                        rec = json.loads(outs[pos:].strip().splitlines()[0])
+                    except ValueError:
+                        rec = None
+                if rec is None:
+                    rec = {"status": "oracle-error",
+                           "detail": "no JSON in worker stdout: " +
+                                     (r.stdout or "")[-200:]}
                 rec["sec"] = took
                 ledger[name] = rec
         except subprocess.TimeoutExpired:
