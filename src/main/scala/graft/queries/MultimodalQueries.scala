@@ -297,12 +297,13 @@ object MultimodalQueries {
     mmPhashPairsAt(docs, phBandBitsFor(Tables.documents(s, d).count()))
   }
 
-  /** Banded near-dup pairs at an explicit band width (16 → 64-cell
-    * hash in `lo`, hi = 0; 32 → 128-cell hash across lo/hi). One code
-    * path: band b of width w reads lo while b·w < 64, hi above;
-    * Hamming is popcount(lo⊕lo) + popcount(hi⊕hi) — at the 16 tier the
-    * hi terms are constant 0 and fold away. */
-  private[graft] def mmPhashPairsAt(docs: DataFrame, bandBits: Int): DataFrame = {
+  /** Band-collision candidates at an explicit width — the pre-Hamming
+    * stage of [[mmPhashPairsAt]], exposed separately so the cost-curve
+    * tool ([[graft.tools.MmPhashMass]]) can measure the ACTUAL
+    * candidate mass each tier produces against the ladder's 4n budget
+    * (the BandLadder arithmetic is about random collisions; the
+    * measured mass includes the corpus's real near-dup structure). */
+  private[graft] def mmPhashCandAt(docs: DataFrame, bandBits: Int): DataFrame = {
     val hashed =
       if (bandBits == 16)
         Multimodal.perceptualHashes(docs, "doc_id", "blob").toDF()
@@ -328,10 +329,18 @@ object MultimodalQueries {
       .filter(col("a_id") < col("b_id"))
       .withColumn("hamming",
         expr("CAST(bit_count(a_lo ^ b_lo) + bit_count(a_hi ^ b_hi) AS INT)"))
+  }
+
+  /** Banded near-dup pairs at an explicit band width (16 → 64-cell
+    * hash in `lo`, hi = 0; 32 → 128-cell hash across lo/hi). One code
+    * path: band b of width w reads lo while b·w < 64, hi above;
+    * Hamming is popcount(lo⊕lo) + popcount(hi⊕hi) — at the 16 tier the
+    * hi terms are constant 0 and fold away. */
+  private[graft] def mmPhashPairsAt(docs: DataFrame, bandBits: Int): DataFrame =
+    mmPhashCandAt(docs, bandBits)
       .filter(col("hamming") <= PhHammingMax)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .distinct()
-  }
 
   // ------------------------------------------------- mm_phash_width
   // The measure→act decision row for the band ladder (lsh_width's

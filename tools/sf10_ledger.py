@@ -26,10 +26,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 WORKER = """
 import duckdb, json, math, os, sys
 sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
+threads = sys.argv[4] if len(sys.argv) > 4 else "16"
 con = duckdb.connect()
 con.execute("SET temp_directory='/tmp/duck_spill'")
 con.execute("SET memory_limit='40GB'")
-con.execute("SET threads TO 16")
+con.execute(f"SET threads TO {threads}")
 con.execute("SET enable_progress_bar = false")
 for t in %r:
     path = f"{sf_dir}/{t}.parquet"
@@ -76,12 +77,14 @@ def main():
     timeout = 1200
     only = None
     skip_done = False
+    threads = "16"
     args = sys.argv[4:]
     while args:
         a = args.pop(0)
         if a == "--timeout": timeout = int(args.pop(0))
         elif a == "--only": only = set(args.pop(0).split(","))
         elif a == "--skip-done": skip_done = True
+        elif a == "--threads": threads = args.pop(0)
     os.makedirs("/tmp/duck_spill", exist_ok=True)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ledger = {}
@@ -102,7 +105,7 @@ def main():
         t0 = time.time()
         try:
             r = subprocess.run(
-                [sys.executable, "-c", WORKER, sf_dir, out_dir, name],
+                [sys.executable, "-c", WORKER, sf_dir, out_dir, name, threads],
                 capture_output=True, text=True, timeout=timeout)
             took = round(time.time() - t0, 1)
             if r.returncode != 0:
