@@ -537,21 +537,71 @@ object CurationQueries {
   // aggregation (O(δ) state per partition, no sort), then a map-only
   // bucket assignment against the collected boundaries — the collect is
   // 9 doubles by design, the broadcast-boundaries pattern. No global
-  // NTILE sort, no single-partition window anywhere in the plan
-  // (PlanSpec asserts this). Oracle trick (q17's exact-regime pinning):
-  // at verify scale the digest never compresses, so each boundary IS the
-  // exact nearest-rank order statistic ((n·p) DIV 100)+1, which DuckDB
-  // reproduces with a ranked mirror; bucket = 1 + #(boundaries ≤ value).
-  // Semantics vs exact NTILE: ties of the same value land in the same
-  // bucket here (boundary rule), where NTILE splits them by rowcount —
-  // both forms stay oracle-gated, this one is the production route.
+  // NTILE sort, no single-partition window anywhere in the RETURNED
+  // plan (PlanSpec asserts this). Boundaries are EXACT at every scale
+  // via the q17 digest-guided snap (the sf10 ledger caught the
+  // approximate form drifting once the digest compresses at ~5M rows:
+  // b90 848 vs the exact 843): the digest narrows each target rank, a
+  // counts pass measures the approximation's exact rank (9-row bounded
+  // collect), and a TopKPerKey pass walks the measured error k to the
+  // true ((n·p) DIV 100)+1 order statistic — residual work proportional
+  // to the digest's actual error, never a global sort. The snap passes
+  // execute eagerly in the builder (q17's pass-1 shape); the returned
+  // plan is the map-only bucket aggregation. Oracle: the exact ranked
+  // mirror; bucket = 1 + #(boundaries ≤ value). Semantics vs exact
+  // NTILE: ties of the same value land in the same bucket here
+  // (boundary rule), where NTILE splits them by rowcount — both forms
+  // stay oracle-gated, this one is the production route.
   private val DecilePs = Seq(10, 20, 30, 40, 50, 60, 70, 80, 90)
   private def qualityDecilesDigest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val td = udaf(new graft.functions.TDigestSketch.Quantiles(DecilePs))
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars").cast("double").as("v"))
-    val bounds: Seq[Double] =
-      docs.agg(td(col("v")).as("bs")).head().getSeq[Double](0)
+
+    // Pass 1: digest -> approximate boundary per decile + exact n.
+    val approx = docs.agg(td(col("v")).as("qs"), count(lit(1)).as("n"))
+      .select(col("n"), posexplode(col("qs")).as(Seq("pi", "approx")))
+      .withColumn("p", element_at(lit(DecilePs.toArray), col("pi") + 1))
+      .withColumn("target", expr("((n * p) DIV 100) + 1"))
+      .select("p", "approx", "target")
+
+    // Pass 2: exact rank of each approximation (9 boundary rows ride a
+    // broadcast; the collect is 9 rows by construction).
+    val ranks = docs.crossJoin(broadcast(approx))
+      .groupBy(col("p"))
+      .agg(
+        sum(when(col("v") <= col("approx"), 1L).otherwise(0L)).as("cnt_le"),
+        first(col("approx")).as("approx"),
+        first(col("target")).as("target"))
+      .collect()
+
+    val bounds: Seq[Double] = if (ranks.isEmpty) Nil else {
+      // Signed sort key folds both snap directions into one ascending
+      // TopKPerKey (the q17 shape): rank overshot -> k-th largest among
+      // v <= approx; undershot -> k-th smallest among v > approx.
+      val meta = ranks.toSeq.map { r =>
+        val cntLe  = r.getAs[Long]("cnt_le")
+        val target = r.getAs[Long]("target")
+        val fromLe = cntLe >= target
+        (r.getAs[Int]("p"), r.getAs[Double]("approx"), fromLe,
+          if (fromLe) cntLe - target + 1 else target - cntLe)
+      }
+      val kmax = meta.map(_._4).foldLeft(1L)(math.max).toInt
+      import s.implicits._
+      val boundDf = broadcast(meta.toDF("p", "approx", "from_le", "kneed"))
+      val cand = docs.crossJoin(boundDf)
+        .filter((col("from_le") && col("v") <= col("approx")) ||
+                (!col("from_le") && col("v") > col("approx")))
+        .withColumn("sk",
+          when(col("from_le"), -col("v")).otherwise(col("v")))
+      val w = Window.partitionBy(col("p")).orderBy(col("sk"))
+      graft.plans.TopK.perKey(cand, Seq("p"), Seq(("sk", true)), kmax)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === col("kneed"))
+        .select(col("p"), col("v")).collect()
+        .sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq
+    }
     docs
       .groupBy(graft.functions.TDigestSketch.bucketColumn(col("v"), bounds)
         .cast("long").as("bucket"))

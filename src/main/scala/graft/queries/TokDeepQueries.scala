@@ -98,7 +98,74 @@ object TokDeepQueries {
        |    AS BIGINT) AS ids_checksum
        |FROM dwid""".stripMargin
 
+  // --------------------------------------------------- bpe_depth_gate
+  // The measure→act gate for the ONE knob the deep trainer introduced:
+  // DeepMerges itself (the lsh_width / lex_df_gate / store_rebucket
+  // discipline — a tuning constant earns an oracle-gated decision row
+  // derived from measurements). BPE is greedy-incremental, so depth-d
+  // state is a prefix of the deep chain: ONE training run yields the
+  // capped table's piece total at every DepthLadder rung, and the gate
+  // chooses the SMALLEST depth whose compression is within 5% of the
+  // deepest rung's — exact integer cross-multiplication
+  // pieces(d)·100 ≤ pieces(max)·105 (total_freq is depth-invariant and
+  // cancels), no float threshold to drift. The oracle replays the same
+  // chain (the dwf_t CTEs already materialize every intermediate
+  // state) and derives the same row. A depth the gate would shrink is
+  // wasted trainer rounds; one it would grow is a fertility cliff —
+  // either way the decision is now measured, not asserted.
+  private def bpeDepthGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = graft.SharedStages.bpeDeepTrained(s, d)
+    val dp = t.depthPieces.toMap
+    val deepest = BpeDeep.DepthLadder.last
+    val pMax = dp(deepest)
+    val chosen = BpeDeep.chooseDepth(dp)
+    val totalFreq = t.finalWords.iterator.map(_._2).sum
+    Seq((t.finalWords.size.toLong, totalFreq,
+        dp(32), dp(64), dp(128), dp(deepest), chosen,
+        pMax.toDouble / totalFreq.toDouble,
+        dp(chosen).toDouble / totalFreq.toDouble))
+      .toDF("n_words", "total_freq", "pieces_32", "pieces_64",
+        "pieces_128", "pieces_256", "chosen_merges",
+        "fertility_deep", "fertility_chosen")
+  }
+
+  private val bpeDepthGateSql = {
+    val pieces = (d: Int) =>
+      s"""SELECT $d AS d, CAST(SUM(freq * len(list_filter(
+         |    string_split(sym, chr(31)), x -> x <> ''))) AS BIGINT) AS pieces
+         |  FROM dwf$d""".stripMargin
+    s"""WITH ${BpeDeep.duckdbDeepCtes(tokensSql("text"))},
+       |dpt AS MATERIALIZED (
+       |  ${BpeDeep.DepthLadder.map(pieces).mkString("\n  UNION ALL\n  ")}),
+       |dpv AS (SELECT
+       |    MAX(CASE WHEN d = 32 THEN pieces END) AS p32,
+       |    MAX(CASE WHEN d = 64 THEN pieces END) AS p64,
+       |    MAX(CASE WHEN d = 128 THEN pieces END) AS p128,
+       |    MAX(CASE WHEN d = ${BpeDeep.DeepMerges} THEN pieces END) AS p256
+       |  FROM dpt),
+       |dbs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(freq) AS BIGINT) AS total_freq
+       |  FROM dwf${BpeDeep.DeepMerges})
+       |SELECT n_words, total_freq,
+       |  p32 AS pieces_32, p64 AS pieces_64, p128 AS pieces_128,
+       |  p256 AS pieces_256,
+       |  CAST(CASE WHEN p32 * 100 <= p256 * 105 THEN 32
+       |       WHEN p64 * 100 <= p256 * 105 THEN 64
+       |       WHEN p128 * 100 <= p256 * 105 THEN 128
+       |       ELSE ${BpeDeep.DeepMerges} END AS INT) AS chosen_merges,
+       |  CAST(p256 AS DOUBLE) / CAST(total_freq AS DOUBLE)
+       |    AS fertility_deep,
+       |  CAST(CASE WHEN p32 * 100 <= p256 * 105 THEN p32
+       |       WHEN p64 * 100 <= p256 * 105 THEN p64
+       |       WHEN p128 * 100 <= p256 * 105 THEN p128
+       |       ELSE p256 END AS DOUBLE) / CAST(total_freq AS DOUBLE)
+       |    AS fertility_chosen
+       |FROM dbs, dpv""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("bpe_train_deep", bpeTrainDeep, Some(bpeTrainDeepSql)),
-    QueryDef("bpe_deep_encode", bpeDeepEncode, Some(bpeDeepEncodeSql)))
+    QueryDef("bpe_deep_encode", bpeDeepEncode, Some(bpeDeepEncodeSql)),
+    QueryDef("bpe_depth_gate", bpeDepthGate, Some(bpeDepthGateSql)))
 }

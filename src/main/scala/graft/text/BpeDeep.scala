@@ -50,6 +50,12 @@ object BpeDeep {
   val DeepMerges = 256
   val CapWords = 4096
   val ChunkWords = 4
+  /** Checkpoint depths for the depth gate (`bpe_depth_gate`): the
+    * piece total of the capped table is recorded at each — ONE
+    * training chain serves every rung, because depth-d state is a
+    * prefix of the deep chain (BPE is greedy-incremental). Must end
+    * at [[DeepMerges]]. */
+  val DepthLadder = Seq(32, 64, 128, DeepMerges)
   /** SentencePiece's ▁ word-start marker, spelled as an ASCII char the
     * corpus alphabet ([a-z0-9 ]) cannot collide with. */
   val Marker = "_"
@@ -57,7 +63,21 @@ object BpeDeep {
 
   final case class DeepTrained(
       merges: Seq[(Int, String, String, Long)], // (rank, a, b, pair_count)
-      finalWords: Seq[(String, Long)]) // delimited sym, freq — capped table
+      finalWords: Seq[(String, Long)], // delimited sym, freq — capped table
+      // Σ freq·pieces of the capped table after each DepthLadder rank
+      // (only ranks ≤ nMerges appear) — the depth gate's evidence.
+      depthPieces: Seq[(Int, Long)] = Nil)
+
+  /** The depth gate's decision rule (`bpe_depth_gate`): smallest
+    * DepthLadder rung whose piece total is within 5% of the deepest
+    * rung's — exact integer cross-multiplication (total_freq is
+    * depth-invariant and cancels out of the fertility ratio). */
+  def chooseDepth(depthPieces: Map[Int, Long]): Int = {
+    val deepest = DepthLadder.last
+    val pMax = depthPieces(deepest)
+    DepthLadder.find(k => depthPieces(k) * 100 <= pMax * 105)
+      .getOrElse(deepest)
+  }
 
   /** Delimited character-symbol form: "low" → "␟l␟o␟w␟". */
   private[text] def delimit(word: String): String =
@@ -88,6 +108,16 @@ object BpeDeep {
                      nMerges: Int): DeepTrained = {
     var words = words0.toArray
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    val depthPieces = Seq.newBuilder[(Int, Long)]
+    def totalPieces: Long = {
+      var s = 0L
+      var i = 0
+      while (i < words.length) {
+        s += words(i)._2 * words(i)._1.split(Sep).count(_.nonEmpty)
+        i += 1
+      }
+      s
+    }
     for (rank <- 1 to nMerges) {
       val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
       var i = 0
@@ -118,8 +148,9 @@ object BpeDeep {
       words = words.map { case (sym, f) =>
         (sym.replace(pat, rep).replace(pat, rep), f)
       }
+      if (DepthLadder.contains(rank)) depthPieces += ((rank, totalPieces))
     }
-    DeepTrained(merges.result(), words.toSeq)
+    DeepTrained(merges.result(), words.toSeq, depthPieces.result())
   }
 
   def train(s: SparkSession, d: String): DeepTrained =

@@ -98,6 +98,44 @@ class BpeDeepSpec extends SparkTestBase {
       s"diverged at merge $firstDiff: deep=${deep.merges(math.max(firstDiff, 0))} ref=${ref(math.max(firstDiff, 0))}")
   }
 
+  test("depthPieces: ladder checkpoints match an independent replay") {
+    val raw = synthWords(3000)
+    val deep = BpeDeep.trainFromWords(
+      raw.map { case (w, f) => (BpeDeep.delimit(w), f) }, BpeDeep.DeepMerges)
+    assert(deep.depthPieces.map(_._1) == BpeDeep.DepthLadder)
+    // independent replay: apply the reference rewrite and total symbols
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var rank = 0
+    var state = raw.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    BpeDeep.DepthLadder.foreach { d =>
+      // advance the reference trainer from the previous checkpoint
+      val merges = deep.merges.slice(rank, d)
+      merges.foreach { case (_, a, b, _) =>
+        state = state.map { case (xs, f) => (refRewrite(xs, a, b), f) }
+      }
+      rank = d
+      want += ((d, state.iterator.map { case (xs, f) => xs.length.toLong * f }.sum))
+    }
+    assert(deep.depthPieces == want.toSeq,
+      s"piece totals diverge: got ${deep.depthPieces} want $want")
+    // deeper vocabularies never segment worse on the training table
+    val ps = deep.depthPieces.map(_._2)
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("chooseDepth: both branches of the depth gate") {
+    // compression plateaus after 64 → the gate STAYS at the smallest
+    // rung within 5% of the deepest
+    assert(BpeDeep.chooseDepth(
+      Map(32 -> 1000L, 64 -> 820L, 128 -> 815L, 256 -> 810L)) == 64)
+    // every rung still >5% worse than the deepest → the gate keeps depth
+    assert(BpeDeep.chooseDepth(
+      Map(32 -> 1000L, 64 -> 900L, 128 -> 860L, 256 -> 800L)) == 256)
+    // boundary: exactly 5% is within the margin (≤, not <)
+    assert(BpeDeep.chooseDepth(
+      Map(32 -> 840L, 64 -> 830L, 128 -> 820L, 256 -> 800L)) == 32)
+  }
+
   test("cappedWords: marker-joined chunks, exact (freq DESC, chunk) top-k") {
     val d = "/root/testdata/sf0.001"
     val got = BpeDeep.cappedWords(spark, d)
