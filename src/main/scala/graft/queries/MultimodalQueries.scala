@@ -237,7 +237,8 @@ object MultimodalQueries {
     * discipline applied to Hamming bands): with FIXED 16-bit bands the
     * random-collision candidate mass is 4·C(n,2)/2^16 — quadratic in
     * the corpus, and measured live at the sf10 surrogate (500k blobs →
-    * ~7.6e9 popcount candidates before the Hamming filter). The ladder
+    * 8.8M popcount candidates, 4.4× the 4n budget and growing with n²;
+    * MmPhashMass records the curve). The ladder
     * keeps the mass ≤ 4n by construction: at n = 2^17 exactly,
     * 4·(n²/2)/2^16 = 4n, so 2^17 is the largest corpus the 16-bit tier
     * serves at linear cost; past it the 128-cell hash's 32-bit bands
