@@ -27,9 +27,11 @@ WORKER = """
 import duckdb, json, math, os, sys
 sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
 threads = sys.argv[4] if len(sys.argv) > 4 else "16"
+memory = sys.argv[5] if len(sys.argv) > 5 else "40GB"
+tempdir = sys.argv[6] if len(sys.argv) > 6 else "/tmp/duck_spill"
 con = duckdb.connect()
-con.execute("SET temp_directory='/tmp/duck_spill'")
-con.execute("SET memory_limit='40GB'")
+con.execute(f"SET temp_directory='{tempdir}'")
+con.execute(f"SET memory_limit='{memory}'")
 con.execute(f"SET threads TO {threads}")
 con.execute("SET enable_progress_bar = false")
 for t in %r:
@@ -78,6 +80,8 @@ def main():
     only = None
     skip_done = False
     threads = "16"
+    memory = "40GB"
+    tempdir = "/tmp/duck_spill"
     args = sys.argv[4:]
     while args:
         a = args.pop(0)
@@ -85,7 +89,9 @@ def main():
         elif a == "--only": only = set(args.pop(0).split(","))
         elif a == "--skip-done": skip_done = True
         elif a == "--threads": threads = args.pop(0)
-    os.makedirs("/tmp/duck_spill", exist_ok=True)
+        elif a == "--memory": memory = args.pop(0)
+        elif a == "--tempdir": tempdir = args.pop(0)
+    os.makedirs(tempdir, exist_ok=True)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ledger = {}
     if os.path.exists(ledger_path):
@@ -105,7 +111,8 @@ def main():
         t0 = time.time()
         try:
             r = subprocess.run(
-                [sys.executable, "-c", WORKER, sf_dir, out_dir, name, threads],
+                [sys.executable, "-c", WORKER, sf_dir, out_dir, name,
+                 threads, memory, tempdir],
                 capture_output=True, text=True, timeout=timeout)
             took = round(time.time() - t0, 1)
             if r.returncode != 0:
