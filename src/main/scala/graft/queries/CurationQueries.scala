@@ -587,6 +587,12 @@ object CurationQueries {
         (r.getAs[Int]("p"), r.getAs[Double]("approx"), fromLe,
           if (fromLe) cntLe - target + 1 else target - cntLe)
       }
+      // One shared kmax (worst digest error across the nine deciles)
+      // sizes every key's heap: a single badly-approximated boundary
+      // amplifies retention+shuffle for all nine keys by that factor.
+      // Acceptable because t-digest boundary error is tiny (kmax is
+      // single-digit at every measured SF); if it ever grows, switch to
+      // per-key k by filtering TopKPerKey output to rn <= kneed per p.
       val kmax = meta.map(_._4).foldLeft(1L)(math.max).toInt
       import s.implicits._
       val boundDf = broadcast(meta.toDF("p", "approx", "from_le", "kneed"))

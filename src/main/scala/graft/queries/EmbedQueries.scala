@@ -1971,6 +1971,12 @@ object EmbedQueries {
   // fit 64-bit at ANY corpus size); scores are element-wise doubles on
   // exact integers with vec_id tie-break, so the oracle replays the
   // identical greedy unrolled as K CTEs.
+  //
+  // Deployment contract at warehouse scale: the persisted scoring base
+  // is re-read K times, so run MMR on a sampled or pre-filtered
+  // candidate pool (e.g. the top-N of `knn_topk`/`budget_select`), not
+  // the raw 100 TB corpus — the algorithm stays linear per round, but
+  // K re-reads of a base that exceeds cluster cache turns into K scans.
   private val MmrK = 8
   private val MmrCCap = 1L << 20
 

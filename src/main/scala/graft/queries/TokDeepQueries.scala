@@ -113,53 +113,84 @@ object TokDeepQueries {
   // state) and derives the same row. A depth the gate would shrink is
   // wasted trainer rounds; one it would grow is a fertility cliff —
   // either way the decision is now measured, not asserted.
+  // Columns and the oracle's CASE chain are DERIVED from
+  // BpeDeep.DepthLadder (one `pieces_<d>` column per rung), so a ladder
+  // change cannot desync the Spark gate from the DuckDB gate or throw at
+  // runtime on a missing rung — both sides regenerate together.
   private def bpeDepthGate(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val t = graft.SharedStages.bpeDeepTrained(s, d)
     val dp = t.depthPieces.toMap
-    val deepest = BpeDeep.DepthLadder.last
-    val pMax = dp(deepest)
+    val ladder = BpeDeep.DepthLadder
+    require(ladder.forall(dp.contains),
+      s"depthPieces rungs ${dp.keys.toSeq.sorted} != DepthLadder $ladder")
+    val deepest = ladder.last
     val chosen = BpeDeep.chooseDepth(dp)
     val totalFreq = t.finalWords.iterator.map(_._2).sum
-    Seq((t.finalWords.size.toLong, totalFreq,
-        dp(32), dp(64), dp(128), dp(deepest), chosen,
-        pMax.toDouble / totalFreq.toDouble,
-        dp(chosen).toDouble / totalFreq.toDouble))
-      .toDF("n_words", "total_freq", "pieces_32", "pieces_64",
-        "pieces_128", "pieces_256", "chosen_merges",
-        "fertility_deep", "fertility_chosen")
+    // Seq[Any] element-wise (NOT a bare Seq(chosen, fert, fert):
+    // numeric widening would unify Int+Double to Seq[Double] and box
+    // chosen_merges as a Double, breaking the IntegerType schema slot)
+    val values: Seq[Any] =
+      Seq[Any](t.finalWords.size.toLong, totalFreq) ++
+        ladder.map(r => dp(r): Any) ++
+        Seq[Any](chosen, dp(deepest).toDouble / totalFreq.toDouble,
+          dp(chosen).toDouble / totalFreq.toDouble)
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("n_words",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("total_freq",
+          org.apache.spark.sql.types.LongType)) ++
+        ladder.map(r => org.apache.spark.sql.types.StructField(
+          s"pieces_$r", org.apache.spark.sql.types.LongType)) ++
+        Seq(
+          org.apache.spark.sql.types.StructField("chosen_merges",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("fertility_deep",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("fertility_chosen",
+            org.apache.spark.sql.types.DoubleType)))
+    s.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row.fromSeq(values)),
+      schema)
   }
 
+  // Derived from BpeDeep.DepthLadder like the Spark side above: the
+  // p<d> aliases, the pieces_<d> projection, and both CASE chains are
+  // generated per rung, so the two gates can never disagree on the
+  // ladder shape.
   private val bpeDepthGateSql = {
+    val ladder = BpeDeep.DepthLadder
+    val deepest = ladder.last
     val pieces = (d: Int) =>
       s"""SELECT $d AS d, CAST(SUM(freq * len(list_filter(
          |    string_split(sym, chr(31)), x -> x <> ''))) AS BIGINT) AS pieces
          |  FROM dwf$d""".stripMargin
+    val pAliases = ladder.map(d =>
+      s"MAX(CASE WHEN d = $d THEN pieces END) AS p$d").mkString(",\n    ")
+    val piecesCols = ladder.map(d => s"p$d AS pieces_$d").mkString(", ")
+    // within-5%-of-deepest arms, shallowest rung first (the gate's order)
+    val chosenArms = ladder.init.map(d =>
+      s"WHEN p$d * 100 <= p$deepest * 105 THEN $d").mkString("\n       ")
+    val chosenPieceArms = ladder.init.map(d =>
+      s"WHEN p$d * 100 <= p$deepest * 105 THEN p$d").mkString("\n       ")
     s"""WITH ${BpeDeep.duckdbDeepCtes(tokensSql("text"))},
        |dpt AS MATERIALIZED (
-       |  ${BpeDeep.DepthLadder.map(pieces).mkString("\n  UNION ALL\n  ")}),
+       |  ${ladder.map(pieces).mkString("\n  UNION ALL\n  ")}),
        |dpv AS (SELECT
-       |    MAX(CASE WHEN d = 32 THEN pieces END) AS p32,
-       |    MAX(CASE WHEN d = 64 THEN pieces END) AS p64,
-       |    MAX(CASE WHEN d = 128 THEN pieces END) AS p128,
-       |    MAX(CASE WHEN d = ${BpeDeep.DeepMerges} THEN pieces END) AS p256
+       |    $pAliases
        |  FROM dpt),
        |dbs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
        |    CAST(SUM(freq) AS BIGINT) AS total_freq
-       |  FROM dwf${BpeDeep.DeepMerges})
+       |  FROM dwf$deepest)
        |SELECT n_words, total_freq,
-       |  p32 AS pieces_32, p64 AS pieces_64, p128 AS pieces_128,
-       |  p256 AS pieces_256,
-       |  CAST(CASE WHEN p32 * 100 <= p256 * 105 THEN 32
-       |       WHEN p64 * 100 <= p256 * 105 THEN 64
-       |       WHEN p128 * 100 <= p256 * 105 THEN 128
-       |       ELSE ${BpeDeep.DeepMerges} END AS INT) AS chosen_merges,
-       |  CAST(p256 AS DOUBLE) / CAST(total_freq AS DOUBLE)
+       |  $piecesCols,
+       |  CAST(CASE $chosenArms
+       |       ELSE $deepest END AS INT) AS chosen_merges,
+       |  CAST(p$deepest AS DOUBLE) / CAST(total_freq AS DOUBLE)
        |    AS fertility_deep,
-       |  CAST(CASE WHEN p32 * 100 <= p256 * 105 THEN p32
-       |       WHEN p64 * 100 <= p256 * 105 THEN p64
-       |       WHEN p128 * 100 <= p256 * 105 THEN p128
-       |       ELSE p256 END AS DOUBLE) / CAST(total_freq AS DOUBLE)
+       |  CAST(CASE $chosenPieceArms
+       |       ELSE p$deepest END AS DOUBLE) / CAST(total_freq AS DOUBLE)
        |    AS fertility_chosen
        |FROM dbs, dpv""".stripMargin
   }
