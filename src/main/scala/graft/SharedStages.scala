@@ -425,6 +425,30 @@ object SharedStages {
     }
   }
 
+  // ---------------------------------------- DEEP unigram-LM training
+  // The depth-matched EM-trained unigram tokenizer
+  // ([[graft.text.UnigramDeep]]) — driver-side over the SAME capped
+  // chunk table bpeDeepTrained built (recovered from its finalWords,
+  // so the corpus pass is paid once), shared by unigram_train_deep /
+  // unigram_deep_encode / tok_deep_gate.
+  private val unigramDeepMemo =
+    new ConcurrentHashMap[(SparkSession, String), graft.text.UnigramDeep.DeepTrained]()
+
+  def unigramDeepTrained(s: SparkSession, dir: String): graft.text.UnigramDeep.DeepTrained = {
+    val key = (s, dir)
+    val existing = unigramDeepMemo.get(key)
+    if (existing != null) existing
+    else {
+      val bpe = bpeDeepTrained(s, dir) // memoized corpus pass
+      val t0 = System.nanoTime()
+      val built = graft.text.UnigramDeep.trainFromChunks(
+        graft.text.UnigramDeep.chunksFrom(bpe))
+      recordBuild(dir, "unigramDeepTrained", (System.nanoTime() - t0) / 1e9)
+      val prev = unigramDeepMemo.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
   // ------------------------------------------------- on-disk scratch
   // Per-JVM scratch root for query-internal stores (the BucketStore
   // gram store behind novelty_incr/novelty_probe). One root, removed on

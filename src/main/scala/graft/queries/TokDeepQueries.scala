@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.text.BpeDeep
+import graft.text.{BpeDeep, UnigramDeep}
 import graft.text.TextFunctions.{portableHashSql, tokensSql}
 
 /** Deep-tokenizer gates (SURVEY tokenizer family, realistic depth):
@@ -195,8 +195,155 @@ object TokDeepQueries {
        |FROM dbs, dpv""".stripMargin
   }
 
+  // --------------------------------------------- unigram_train_deep
+  // The depth-matched deep unigram vocabulary ([[UnigramDeep]]): 256
+  // learned multi-char pieces (= BpeDeep.DeepMerges learned units) +
+  // the coverage chars, hard-EM'd for 4 Viterbi passes over the SAME
+  // capped chunk table BPE-deep trains on. Every row hash-gated —
+  // piece, final-pass usage, and the exact q8 score that produced the
+  // final segmentation. The oracle replays seed counts, all four
+  // score ladders and all four DP unrolls with the same parametrized
+  // generators the shallow trainer certifies.
+  private def unigramTrainDeep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.SharedStages.unigramDeepTrained(s, d).vocab
+      .toDF("piece", "n", "score")
+  }
+
+  private val unigramTrainDeepSql = {
+    val fin = UnigramDeep.EmRounds
+    s"""WITH ${UnigramDeep.duckdbDeepCtes(tokensSql("text"))}
+       |SELECT k.p AS piece, COALESCE(u.u, 0) AS n, s.score
+       |FROM udk k
+       |LEFT JOIN udu$fin u ON u.p = k.p
+       |JOIN uds${fin - 1} s ON s.piece = k.p""".stripMargin
+  }
+
+  /** Portable 60-bit doc/word hash folded mod 1e9+7 — identical to
+    * `portableHashSql(x) % 1000000007` in the oracle. */
+  private def ph(str: String): Long = java.lang.Long.parseLong(
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(str.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15), 16)
+
+  // --------------------------------------------- unigram_deep_encode
+  // The encode receipt on the deep unigram vocabulary — the
+  // bpe_deep_encode twin: deterministic piece ids (final-pass usage
+  // DESC, piece), per-chunk id sequences (ordered by piece start
+  // position) folded into one portable checksum. A drift in ANY
+  // chunk's segmentation or ANY piece's rank desyncs the row.
+  private def unigramDeepEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = graft.SharedStages.unigramDeepTrained(s, d)
+    // capped-table-sized post-processing (≤ CapWords chunks)
+    val vocabCnt = scala.collection.mutable.HashMap.empty[String, Long]
+    t.segmented.foreach { case (_, f, ps) =>
+      ps.foreach(p => vocabCnt.update(p, vocabCnt.getOrElse(p, 0L) + f))
+    }
+    val ids = vocabCnt.toSeq.sortBy { case (p, n) => (-n, p) }.zipWithIndex
+      .map { case ((p, _), i) => p -> (i + 1).toLong }.toMap
+    val checksum = t.segmented.iterator.map { case (w, _, ps) =>
+      ph(w + ":" + ps.map(ids).mkString(",")) % 1000000007L
+    }.sum
+    val totalPieces = t.segmented.iterator
+      .map { case (_, f, ps) => ps.length.toLong * f }.sum
+    val totalFreq = t.segmented.iterator.map(_._2).sum
+    Seq((t.nChunks, vocabCnt.size.toLong, totalFreq, totalPieces,
+        totalPieces.toDouble / totalFreq.toDouble, checksum))
+      .toDF("n_words", "vocab_size", "total_freq", "total_pieces",
+        "fertility", "ids_checksum")
+  }
+
+  private val unigramDeepEncodeSql = {
+    val fin = UnigramDeep.EmRounds
+    s"""WITH ${UnigramDeep.duckdbDeepCtes(tokensSql("text"))},
+       |udvoc AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS n
+       |  FROM udpc$fin GROUP BY 1),
+       |udvid AS (SELECT piece,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, piece) AS BIGINT) AS id
+       |  FROM udvoc),
+       |udwid AS MATERIALIZED (
+       |  SELECT word,
+       |    string_agg(CAST(id AS VARCHAR), ',' ORDER BY bp) AS ids,
+       |    COUNT(*) AS np, MAX(freq) AS freq
+       |  FROM udpc$fin JOIN udvid USING (piece) GROUP BY 1)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM udvid) AS vocab_size,
+       |  CAST(SUM(freq) AS BIGINT) AS total_freq,
+       |  CAST(SUM(freq * np) AS BIGINT) AS total_pieces,
+       |  CAST(SUM(freq * np) AS DOUBLE) / CAST(SUM(freq) AS DOUBLE)
+       |    AS fertility,
+       |  CAST(SUM(${portableHashSql("word || ':' || ids")} % 1000000007)
+       |    AS BIGINT) AS ids_checksum
+       |FROM udwid""".stripMargin
+  }
+
+  // -------------------------------------------------- tok_deep_gate
+  // The tokenizer-choice gate RE-DERIVED AT MATCHED DEPTH (the r16
+  // verdict's asymmetry fix): 256-merge deep BPE vs 256-piece deep
+  // unigram, head-to-head on the identical capped chunk table (BPE's
+  // side gated to the same MaxChunkLen the unigram trainer gates on,
+  // so bpe_freq = uni_freq is a cross-check exactly as in tok_gate).
+  // Decision: exact integer cross-multiplication, ties to BPE — the
+  // tok_gate rule verbatim, now comparing equal depths. BigInt on the
+  // driver / HUGEINT in the oracle (corpus-scale token counts
+  // overflow a 64-bit cross-product).
+  private def tokDeepGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Sep = BpeDeep.Sep
+    val bpeT = graft.SharedStages.bpeDeepTrained(s, d)
+    val uniT = graft.SharedStages.unigramDeepTrained(s, d)
+    var bpeP, bpeF = 0L
+    bpeT.finalWords.foreach { case (sym, f) =>
+      if (sym.replace(Sep, "").length <= UnigramDeep.MaxChunkLen) {
+        bpeP += f * sym.split(Sep).count(_.nonEmpty)
+        bpeF += f
+      }
+    }
+    var uniP, uniF = 0L
+    uniT.segmented.foreach { case (_, f, ps) =>
+      uniP += f * ps.length; uniF += f
+    }
+    val chosen =
+      if (BigInt(bpeP) * BigInt(uniF) <= BigInt(uniP) * BigInt(bpeF)) "bpe"
+      else "unigram"
+    Seq((bpeP, bpeF, uniP, uniF,
+        bpeP.toDouble / bpeF.toDouble, uniP.toDouble / uniF.toDouble,
+        chosen))
+      .toDF("bpe_pieces", "bpe_freq", "uni_pieces", "uni_freq",
+        "bpe_fertility", "uni_fertility", "chosen")
+  }
+
+  private val tokDeepGateSql = {
+    val fin = UnigramDeep.EmRounds
+    s"""WITH ${BpeDeep.duckdbDeepCtes(tokensSql("text"))},
+       |${UnigramDeep.duckdbChainCtes},
+       |tdb AS (
+       |  SELECT CAST(SUM(freq * len(list_filter(
+       |      string_split(sym, chr(31)), x -> x <> ''))) AS BIGINT) AS bpe_pieces,
+       |    CAST(SUM(freq) AS BIGINT) AS bpe_freq
+       |  FROM dwf${BpeDeep.DeepMerges}
+       |  WHERE length(replace(sym, chr(31), '')) <= ${UnigramDeep.MaxChunkLen}),
+       |tdu AS (
+       |  SELECT CAST(SUM(freq * np) AS BIGINT) AS uni_pieces,
+       |    CAST(SUM(freq) AS BIGINT) AS uni_freq
+       |  FROM udnp$fin)
+       |SELECT bpe_pieces, bpe_freq, uni_pieces, uni_freq,
+       |  CAST(bpe_pieces AS DOUBLE) / CAST(bpe_freq AS DOUBLE)
+       |    AS bpe_fertility,
+       |  CAST(uni_pieces AS DOUBLE) / CAST(uni_freq AS DOUBLE)
+       |    AS uni_fertility,
+       |  CASE WHEN CAST(bpe_pieces AS HUGEINT) * uni_freq
+       |         <= CAST(uni_pieces AS HUGEINT) * bpe_freq
+       |       THEN 'bpe' ELSE 'unigram' END AS chosen
+       |FROM tdb, tdu""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("bpe_train_deep", bpeTrainDeep, Some(bpeTrainDeepSql)),
     QueryDef("bpe_deep_encode", bpeDeepEncode, Some(bpeDeepEncodeSql)),
-    QueryDef("bpe_depth_gate", bpeDepthGate, Some(bpeDepthGateSql)))
+    QueryDef("bpe_depth_gate", bpeDepthGate, Some(bpeDepthGateSql)),
+    QueryDef("unigram_train_deep", unigramTrainDeep, Some(unigramTrainDeepSql)),
+    QueryDef("unigram_deep_encode", unigramDeepEncode, Some(unigramDeepEncodeSql)),
+    QueryDef("tok_deep_gate", tokDeepGate, Some(tokDeepGateSql)))
 }

@@ -174,23 +174,31 @@ object BpeDeep {
     * vocabulary needs >450 gated merges. Spark-side depth is already
     * unbounded (BpeDeepSpec drives 1024 merges against an independent
     * array-based reference). */
+  /** Just the capped candidate table (dch → dw0) — the corpus-scale
+    * prefix both DEEP trainers replay from: [[duckdbDeepCtes]] appends
+    * the BPE merge rounds; [[UnigramDeep.duckdbDeepCtes]] appends the
+    * EM chain. One definition so the two trainers' oracles are
+    * guaranteed to select the identical candidate set. */
+  def duckdbCappedCtes(tokensSqlExpr: String): String =
+    s"""dch AS MATERIALIZED (
+       |  SELECT '$Marker' || list_aggregate(
+       |      list_slice(toks, g * $ChunkWords + 1, g * $ChunkWords + $ChunkWords),
+       |      'string_agg', '$Marker') AS word
+       |  FROM (SELECT $tokensSqlExpr AS toks FROM documents) q,
+       |    LATERAL (SELECT unnest(range(0, (len(toks) + ${ChunkWords - 1}) // $ChunkWords)) AS g) u
+       |  WHERE len(toks) > 0),
+       |dw0 AS MATERIALIZED (
+       |  SELECT word, freq FROM (
+       |    SELECT word, COUNT(*) AS freq FROM dch
+       |    WHERE regexp_full_match(word, '[A-Za-z0-9_]+')
+       |    GROUP BY 1)
+       |  ORDER BY freq DESC, word LIMIT $CapWords)""".stripMargin
+
   def duckdbDeepCtes(tokensSqlExpr: String,
                      nMerges: Int = DeepMerges): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""dch AS MATERIALIZED (
-         |  SELECT '$Marker' || list_aggregate(
-         |      list_slice(toks, g * $ChunkWords + 1, g * $ChunkWords + $ChunkWords),
-         |      'string_agg', '$Marker') AS word
-         |  FROM (SELECT $tokensSqlExpr AS toks FROM documents) q,
-         |    LATERAL (SELECT unnest(range(0, (len(toks) + ${ChunkWords - 1}) // $ChunkWords)) AS g) u
-         |  WHERE len(toks) > 0),
-         |dw0 AS MATERIALIZED (
-         |  SELECT word, freq FROM (
-         |    SELECT word, COUNT(*) AS freq FROM dch
-         |    WHERE regexp_full_match(word, '[A-Za-z0-9_]+')
-         |    GROUP BY 1)
-         |  ORDER BY freq DESC, word LIMIT $CapWords),
+      s"""${duckdbCappedCtes(tokensSqlExpr)},
          |dwf0 AS MATERIALIZED (
          |  SELECT chr(31) || list_aggregate(list_transform(string_split(word, ''),
          |      ch -> ch || chr(31)), 'string_agg', '') AS sym, freq

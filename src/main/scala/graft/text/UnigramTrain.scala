@@ -141,115 +141,135 @@ object UnigramTrain {
     s"CASE WHEN ($x) < 0 THEN -((-($x)) // ($dv)) ELSE ($x) // ($dv) END"
 
   /** Power-of-two lookup table 2^0..2^53 (msb extraction without
-    * float log2 — the ProbeTrain powers-table discipline). */
-  private def powersCte: String = {
+    * float log2 — the ProbeTrain powers-table discipline). The `pfx`
+    * parameter namespaces every generated CTE so the DEEP trainer
+    * ([[UnigramDeep]], pfx "ud") can emit a second, independent chain
+    * in the same query without name collisions; defaults reproduce the
+    * shallow chain byte-for-byte. */
+  private[text] def powersCte(pfx: String = "ug"): String = {
     val rows = (0 to 53).map(e => s"($e, ${1L << e})").mkString(", ")
-    s"ugpw(e, v) AS (VALUES $rows)"
+    s"${pfx}pw(e, v) AS (VALUES $rows)"
   }
 
-  /** ilog2q8 over `src(p, x)` → `ugl$r(p, lg)`: msb via the powers
+  /** ilog2q8 over `src(p, x)` → `${pfx}l$r(p, lg)`: msb via the powers
     * join, then 8 unrolled mantissa-squaring rounds. Inputs are
     * counts ≥ 1, so all divisions are on non-negative operands. */
-  private def duckdbIlogCtes(r: Int, src: String): String = {
+  private[text] def duckdbIlogCtes(r: Int, src: String,
+                                   pfx: String = "ug"): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""uge$r AS MATERIALIZED (
+      s"""${pfx}e$r AS MATERIALIZED (
          |  SELECT s.p, s.x, MAX(w.e) AS e FROM $src s
-         |  JOIN ugpw w ON w.v <= s.x GROUP BY 1, 2),
-         |ugm${r}_0 AS MATERIALIZED (
+         |  JOIN ${pfx}pw w ON w.v <= s.x GROUP BY 1, 2),
+         |${pfx}m${r}_0 AS MATERIALIZED (
          |  SELECT u.p, u.e, (u.x * $Q8) // w.v AS m, CAST(0 AS BIGINT) AS f
-         |  FROM uge$r u JOIN ugpw w ON w.e = u.e)""".stripMargin)
+         |  FROM ${pfx}e$r u JOIN ${pfx}pw w ON w.e = u.e)""".stripMargin)
     for (t <- 1 to 8) {
       sb.append(
         s""",
-           |ugm${r}_$t AS MATERIALIZED (
+           |${pfx}m${r}_$t AS MATERIALIZED (
            |  SELECT p, e,
            |    CASE WHEN (m * m) // $Q8 >= ${2 * Q8}
            |         THEN ((m * m) // $Q8) // 2 ELSE (m * m) // $Q8 END AS m,
            |    CASE WHEN (m * m) // $Q8 >= ${2 * Q8}
            |         THEN 2 * f + 1 ELSE 2 * f END AS f
-           |  FROM ugm${r}_${t - 1})""".stripMargin)
+           |  FROM ${pfx}m${r}_${t - 1})""".stripMargin)
     }
     sb.append(
       s""",
-         |ugl$r AS MATERIALIZED (
-         |  SELECT p, e * $Q8 + f AS lg FROM ugm${r}_8)""".stripMargin)
+         |${pfx}l$r AS MATERIALIZED (
+         |  SELECT p, e * $Q8 + f AS lg FROM ${pfx}m${r}_8)""".stripMargin)
     sb.toString
   }
 
-  /** Scores from a count CTE `cntCte(p, c)` → `ugs$r(piece, score)`,
-    * via one ilog2 pass over the pieces plus the total (carried as the
-    * empty-string marker row — never a real piece). */
-  private def duckdbScoreCtes(r: Int, cntCte: String): String =
-    s"""ugx$r AS MATERIALIZED (
+  /** Scores from a count CTE `cntCte(p, c)` → `${pfx}s$r(piece,
+    * score)`, via one ilog2 pass over the pieces plus the total
+    * (carried as the empty-string marker row — never a real piece). */
+  private[text] def duckdbScoreCtes(r: Int, cntCte: String,
+                                    pfx: String = "ug"): String =
+    s"""${pfx}x$r AS MATERIALIZED (
        |  SELECT p, c AS x FROM $cntCte
        |  UNION ALL
        |  SELECT '' AS p, CAST(SUM(c) AS BIGINT) AS x FROM $cntCte),
-       |${duckdbIlogCtes(r, s"ugx$r")},
-       |ugs$r AS MATERIALIZED (
+       |${duckdbIlogCtes(r, s"${pfx}x$r", pfx)},
+       |${pfx}s$r AS MATERIALIZED (
        |  SELECT l.p AS piece, l.lg - t.lg AS score
-       |  FROM ugl$r l, (SELECT lg FROM ugl$r WHERE p = '') t
+       |  FROM ${pfx}l$r l, (SELECT lg FROM ${pfx}l$r WHERE p = '') t
        |  WHERE l.p <> '')""".stripMargin
 
-  /** Unrolled Viterbi DP + backtrace under vocab `ugs$r(piece,
-    * score)` → usage counts `ugu$r(p, u)` and per-word piece counts
-    * `ugnp$r(word, freq, np)`. Position j's candidates join the
-    * accumulated dp table on split point bp ∈ [j−L, j); best split by
-    * ROW_NUMBER (val DESC, bp ASC) — the expression's tie-break. */
-  private def duckdbDpCtes(r: Int): String = {
+  /** Unrolled Viterbi DP + backtrace under vocab `${pfx}s$r(piece,
+    * score)` → usage counts `${pfx}u$r(p, u)`, per-word piece counts
+    * `${pfx}np$r(word, freq, np)` and the ordered piece emissions
+    * `${pfx}pc$r(word, freq, piece, bp)` (bp = piece start — the
+    * deep encode receipt orders ids by it). Position j's candidates
+    * join the accumulated dp table on split point bp ∈ [j−L, j); best
+    * split by ROW_NUMBER (val DESC, bp ASC) — the expression's
+    * tie-break. `src(word, freq)` is the word table; `maxLen` bounds
+    * the unroll (= the table's gated max word length). */
+  private[text] def duckdbDpCtes(r: Int, pfx: String = "ug",
+                                 src: String = "ugw",
+                                 maxLen: Int = MaxWordLen,
+                                 maxPieceLen: Int = MaxPieceLen,
+                                 vocabCte: String = null): String = {
+    // vocab CTE joined by every position: defaults to the score table
+    // of the same round index; the deep chain overrides it because its
+    // DP pass p reads the scores estimated after pass p−1
+    val vocab = if (vocabCte != null) vocabCte else s"${pfx}s$r"
+    // ONE CTE per position (candidates + best-split window + accumulate
+    // fused): the 3-CTE-per-position form blew DuckDB's 1000-CTE binder
+    // budget once the deep gate carried this chain NEXT TO the 512-CTE
+    // BPE-deep replay. The accumulated table carries each position's
+    // winning (bp, pc) so the backtrace joins it directly (no separate
+    // winners union). Semantics unchanged: best split by
+    // (val DESC, bp ASC) — the expression's tie-break.
     val sb = new StringBuilder
     sb.append(
-      s"""ugdp${r}a0 AS MATERIALIZED (
-         |  SELECT word, freq, 0 AS j, CAST(0 AS BIGINT) AS val FROM ugw)""".stripMargin)
-    for (j <- 1 to MaxWordLen) {
+      s"""${pfx}dp${r}a0 AS MATERIALIZED (
+         |  SELECT word, freq, 0 AS j, CAST(0 AS BIGINT) AS val,
+         |    CAST(NULL AS BIGINT) AS bp, CAST(NULL AS VARCHAR) AS pc
+         |  FROM $src)""".stripMargin)
+    for (j <- 1 to maxLen) {
       sb.append(
         s""",
-           |ugc${r}j$j AS MATERIALIZED (
-           |  SELECT d.word, d.freq, d.val + v.score AS val, d.j AS bp, v.piece AS pc
-           |  FROM ugdp${r}a${j - 1} d
-           |  JOIN ugs$r v ON v.piece = substr(d.word, d.j + 1, $j - d.j)
-           |  WHERE d.j >= $j - $MaxPieceLen AND length(d.word) >= $j),
-           |ugb${r}j$j AS MATERIALIZED (
-           |  SELECT word, freq, val, bp, pc FROM (
-           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY word
-           |      ORDER BY val DESC, bp ASC) AS rn
-           |    FROM ugc${r}j$j) WHERE rn = 1),
-           |ugdp${r}a$j AS MATERIALIZED (
-           |  SELECT word, freq, j, val FROM ugdp${r}a${j - 1}
+           |${pfx}dp${r}a$j AS MATERIALIZED (
+           |  SELECT word, freq, j, val, bp, pc FROM ${pfx}dp${r}a${j - 1}
            |  UNION ALL
-           |  SELECT word, freq, $j AS j, val FROM ugb${r}j$j)""".stripMargin)
+           |  SELECT word, freq, $j AS j, val, bp, pc FROM (
+           |    SELECT d.word, d.freq, d.val + v.score AS val,
+           |      d.j AS bp, v.piece AS pc,
+           |      ROW_NUMBER() OVER (PARTITION BY d.word
+           |        ORDER BY d.val + v.score DESC, d.j ASC) AS rn
+           |    FROM ${pfx}dp${r}a${j - 1} d
+           |    JOIN $vocab v ON v.piece = substr(d.word, d.j + 1, $j - d.j)
+           |    WHERE d.j >= $j - $maxPieceLen AND length(d.word) >= $j)
+           |  WHERE rn = 1)""".stripMargin)
     }
-    val ball = (1 to MaxWordLen)
-      .map(j => s"SELECT word, $j AS j, bp, pc FROM ugb${r}j$j")
-      .mkString("\n  UNION ALL\n  ")
     sb.append(
       s""",
-         |ugba$r AS MATERIALIZED (
-         |  $ball),
-         |ugbt${r}0 AS MATERIALIZED (
+         |${pfx}bt${r}0 AS MATERIALIZED (
          |  SELECT word, freq, length(word) AS cur,
-         |    CAST(NULL AS VARCHAR) AS piece FROM ugw)""".stripMargin)
-    for (t <- 1 to MaxWordLen) {
+         |    CAST(NULL AS VARCHAR) AS piece FROM $src)""".stripMargin)
+    for (t <- 1 to maxLen) {
       sb.append(
         s""",
-           |ugbt$r$t AS MATERIALIZED (
+           |${pfx}bt$r$t AS MATERIALIZED (
            |  SELECT b.word, b.freq, d.bp AS cur, d.pc AS piece
-           |  FROM ugbt$r${t - 1} b
-           |  JOIN ugba$r d ON d.word = b.word AND d.j = b.cur
+           |  FROM ${pfx}bt$r${t - 1} b
+           |  JOIN ${pfx}dp${r}a$maxLen d ON d.word = b.word AND d.j = b.cur
            |  WHERE b.cur > 0)""".stripMargin)
     }
-    val emits = (1 to MaxWordLen)
-      .map(t => s"SELECT word, freq, piece FROM ugbt$r$t")
+    val emits = (1 to maxLen)
+      .map(t => s"SELECT word, freq, piece, cur AS bp FROM ${pfx}bt$r$t")
       .mkString("\n  UNION ALL\n  ")
     sb.append(
       s""",
-         |ugpc$r AS MATERIALIZED (
+         |${pfx}pc$r AS MATERIALIZED (
          |  $emits),
-         |ugu$r AS MATERIALIZED (
+         |${pfx}u$r AS MATERIALIZED (
          |  SELECT piece AS p, CAST(SUM(freq) AS BIGINT) AS u
-         |  FROM ugpc$r GROUP BY 1),
-         |ugnp$r AS MATERIALIZED (
-         |  SELECT word, freq, COUNT(*) AS np FROM ugpc$r GROUP BY 1, 2)""".stripMargin)
+         |  FROM ${pfx}pc$r GROUP BY 1),
+         |${pfx}np$r AS MATERIALIZED (
+         |  SELECT word, freq, COUNT(*) AS np FROM ${pfx}pc$r GROUP BY 1, 2)""".stripMargin)
     sb.toString
   }
 
@@ -265,7 +285,7 @@ object UnigramTrain {
          |  WHERE regexp_full_match(word, '[A-Za-z0-9]+')
          |    AND length(word) <= $MaxWordLen
          |  GROUP BY 1),
-         |$powersCte,
+         |${powersCte()},
          |ugsub AS MATERIALIZED (
          |  SELECT p, CAST(SUM(freq) AS BIGINT) AS c FROM (
          |    SELECT w.freq, substr(w.word, CAST(ps.i AS INT), CAST(ln.l AS INT)) AS p
