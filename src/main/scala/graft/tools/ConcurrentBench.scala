@@ -1,0 +1,114 @@
+package graft.tools
+
+import java.util.concurrent.{Callable, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions._
+
+/** Multi-tenant throughput + parity sweep (r16 verdict item #4): runs
+  * the full registry under N concurrent tenant threads sharing one
+  * session (FAIR scheduler pools, one per tenant) and reports
+  *
+  *   - wall seconds per tenant count (the contention curve), and
+  *   - PARITY: an order-independent content hash of every query's
+  *     result at each N, compared to the N=1 hashes — the memo and
+  *     store disciplines must give byte-identical answers under
+  *     contention, not just "no crash".
+  *
+  * The hash is computed DISTRIBUTED (sum of per-row xxhash64 + count —
+  * order-independent, no driver-side collect of data-proportional
+  * size), so the sweep itself follows the library's own scale rules.
+  *
+  * Usage: ConcurrentBench <sfDir> [tenantCounts=1,2,4]
+  * Prints one JSON line:
+  *   {"metric":"concurrent","sf":...,"tenants":{"1":s,"2":s,"4":s},
+  *    "parity":true,"queries":N,"sha":...}
+  */
+object ConcurrentBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val tenantCounts = (if (args.length > 1) args(1) else "1,2,4")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.builder(cpus)
+      .config("spark.scheduler.mode", "FAIR")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter { n =>
+        sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+          .map(_.split(",").map(_.trim).toSet)
+          .forall(_.contains(n))
+      }
+
+    /** Order-independent content hash: (sum of row hashes, row count).
+      * Deterministic because every registry query is value-deterministic
+      * (each is DuckDB-hash-verified); Long overflow wraps identically
+      * on every run. */
+    def contentHash(name: String): (Long, Long) = {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val r = df.select(
+        sum(xxhash64(struct(df.columns.map(col): _*))).as("h"),
+        count(lit(1)).as("n")).head
+      (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+    }
+
+    // warmup: JIT + codegen + memoized shared stages, exactly like
+    // Bench — the sweep measures contention, not cold builds
+    names.foreach { n =>
+      try graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    names.foreach(n => try contentHash(n) catch { case _: Throwable => () })
+
+    var baseline: Map[String, (Long, Long)] = Map.empty
+    var parity = true
+    val walls = scala.collection.mutable.LinkedHashMap[Int, Double]()
+    tenantCounts.foreach { n =>
+      val pool = Executors.newFixedThreadPool(n)
+      val t0 = System.nanoTime()
+      val futures = (0 until n).map { i =>
+        pool.submit(new Callable[Map[String, (Long, Long)]] {
+          def call(): Map[String, (Long, Long)] = {
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"tenant$i")
+            // rotate so tenants never run the same query in lockstep —
+            // real tenants don't; lockstep would hide memo races
+            val rotated = names.drop((i * names.size) / math.max(n, 1)) ++
+              names.take((i * names.size) / math.max(n, 1))
+            rotated.map(q => q -> contentHash(q)).toMap
+          }
+        })
+      }
+      val results = futures.map(_.get(7200, TimeUnit.SECONDS))
+      walls(n) = (System.nanoTime() - t0) / 1e9
+      pool.shutdownNow()
+      if (baseline.isEmpty) baseline = results.head
+      results.zipWithIndex.foreach { case (m, i) =>
+        names.foreach { q =>
+          if (m(q) != baseline(q)) {
+            parity = false
+            System.err.println(
+              s"[concurrent] PARITY BREAK n=$n tenant=$i query=$q: " +
+                s"${m(q)} != ${baseline(q)}")
+          }
+        }
+      }
+      System.err.println(f"[concurrent] n=$n wall=${walls(n)}%.1f s parity=$parity")
+    }
+
+    val sha = try {
+      val p = new ProcessBuilder("git", "-C", "/root/repo",
+        "rev-parse", "--short", "HEAD").redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+      if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
+
+    def dec(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val tj = walls.map { case (n, s) => s""""$n":${dec(s)}""" }.mkString("{", ",", "}")
+    spark.sparkContext.setLogLevel("OFF")
+    try spark.stop() catch { case _: Throwable => () }
+    println(s"""{"metric":"concurrent","sf":"$sfDir","tenants":$tj,"parity":$parity,"queries":${names.size},"sha":"$sha"}""")
+  }
+}

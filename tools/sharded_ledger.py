@@ -1,0 +1,189 @@
+#!/usr/bin/env python3
+"""Label-sharded oracle replay (dev tooling; the engine is pure
+Scala/Spark). Closes the sf10 `oracle-bound` rows by decomposing each
+DuckDB replay along the SAME blocking key the Spark plan uses (the
+label cell): N independent replays each verify one cell's rows against
+the corresponding slice of the Spark dump, then a rollup asserts
+
+  (a) every shard hash-matched (columns, rows, canonical values), and
+  (b) sum(shard rows) == total dump rows — a row escaping every shard
+      (e.g. a NULL label) fails the ledger instead of vanishing.
+
+Exactness of the decomposition is argued (and the shard SQL generated)
+on the Scala side: graft.queries.EmbedQueries.shardedOracleSql +
+graft.tools.ShardedOracles. Each shard runs in a SUBPROCESS with a
+wall-clock timeout and a bounded memory_limit/spill dir, so one heavy
+cell cannot take down the sweep.
+
+Usage: sharded_ledger.py <sfDir> <verifyOutDir> <sharded.json>
+         <ledger.json> [--timeout SEC] [--threads N] [--memory M]
+         [--tempdir D] [--only q1,q2]
+
+The ledger entry for a verified query records status
+"verified" with method "label-sharded" plus per-shard row counts and
+seconds, mergeable into CORRECTNESS_SF10.json by tools/merge_ledger.py
+conventions (a sharded 'verified' carries its method with it).
+"""
+import json, math, os, subprocess, sys, time
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+WORKER = """
+import duckdb, json, math, os, sys
+sf_dir, dump_glob, shard_sql_file, slice_sql_file = sys.argv[1:5]
+threads, memory, tempdir = sys.argv[5], sys.argv[6], sys.argv[7]
+con = duckdb.connect()
+con.execute(f"SET temp_directory='{tempdir}'")
+con.execute(f"SET memory_limit='{memory}'")
+con.execute(f"SET threads TO {threads}")
+con.execute("SET enable_progress_bar = false")
+for t in %r:
+    path = f"{sf_dir}/{t}.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+def canon(v):
+    if v is None: return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return repr(v)
+    return repr(v)
+
+def frame_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+want = con.execute(open(shard_sql_file).read())
+wc = [d[0] for d in want.description]; wr = want.fetchall()
+got = con.execute(open(slice_sql_file).read())
+gc = [d[0] for d in got.description]; gr = got.fetchall()
+gck, gk = frame_key(gc, gr)
+wck, wk = frame_key(wc, wr)
+if gck != wck:
+    print(json.dumps({"status": "mismatch", "detail": f"columns {gck} != {wck}"}))
+elif len(gk) != len(wk):
+    print(json.dumps({"status": "mismatch", "detail": f"rows {len(gk)} != {len(wk)}"}))
+elif gk != wk:
+    bad = next(i for i in range(len(gk)) if gk[i] != wk[i])
+    print(json.dumps({"status": "mismatch",
+        "detail": f"row {bad}: spark={gk[bad][:160]} duck={wk[bad][:160]}"}))
+else:
+    print(json.dumps({"status": "verified", "rows": len(gk)}))
+""" % (TABLES,)
+
+
+def dump_glob(out_dir, name):
+    return f"{out_dir}/{name}/*.parquet"
+
+
+def total_dump_rows(out_dir, name):
+    import duckdb
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT COUNT(*) FROM '{dump_glob(out_dir, name)}'").fetchone()[0]
+
+
+def main():
+    sf_dir, out_dir, sharded_path, ledger_path = sys.argv[1:5]
+    timeout, threads, memory = 2400, "16", "40GB"
+    tempdir = "/tmp/duck_spill_sharded"
+    only = None
+    args = sys.argv[5:]
+    while args:
+        a = args.pop(0)
+        if a == "--timeout": timeout = int(args.pop(0))
+        elif a == "--threads": threads = args.pop(0)
+        elif a == "--memory": memory = args.pop(0)
+        elif a == "--tempdir": tempdir = args.pop(0)
+        elif a == "--only": only = set(args.pop(0).split(","))
+    os.makedirs(tempdir, exist_ok=True)
+    sharded = json.load(open(sharded_path))
+    ledger = {}
+    if os.path.exists(ledger_path):
+        ledger = json.load(open(ledger_path))
+    for name in sorted(sharded):
+        if only and name not in only:
+            continue
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            ledger[name] = {"status": "spark-missing"}
+            continue
+        if os.path.exists(f"{out_dir}/{name}/_ERROR"):
+            ledger[name] = {"status": "spark-error"}
+            continue
+        spec = sharded[name]
+        glob = dump_glob(out_dir, name)
+        shard_rows, shard_secs, failures = {}, {}, []
+        for label in sorted(spec["shards"], key=lambda s: int(s)):
+            shard_sql = spec["shards"][label]
+            slice_sql = spec["slice"].replace(
+                "__DUMP__", f"'{glob}'").replace("__L__", label)
+            sf = f"{tempdir}/_shard_{name}_{label}.sql"
+            lf = f"{tempdir}/_slice_{name}_{label}.sql"
+            open(sf, "w").write(shard_sql)
+            open(lf, "w").write(slice_sql)
+            t0 = time.time()
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", WORKER, sf_dir, glob, sf, lf,
+                     threads, memory, tempdir],
+                    capture_output=True, text=True, timeout=timeout)
+                took = round(time.time() - t0, 1)
+                rec = None
+                pos = (r.stdout or "").rfind('{"status"')
+                if r.returncode == 0 and pos >= 0:
+                    try:
+                        rec = json.loads(r.stdout[pos:].strip().splitlines()[0])
+                    except ValueError:
+                        rec = None
+                if rec is None:
+                    err = (r.stderr or "").strip().splitlines()
+                    rec = {"status": "oracle-error",
+                           "detail": (err[-1] if err else "?")[:300]}
+            except subprocess.TimeoutExpired:
+                took = timeout
+                rec = {"status": "oracle-bound",
+                       "detail": f"shard replay exceeded {timeout}s"}
+            shard_secs[label] = took
+            if rec["status"] == "verified":
+                shard_rows[label] = rec["rows"]
+            else:
+                failures.append({"shard": label, **rec})
+            print(f"  {name}[label={label}]: {rec['status']} "
+                  f"({rec.get('rows', '')} rows, {took}s)", flush=True)
+        if failures:
+            worst = ("mismatch" if any(f["status"] == "mismatch"
+                                       for f in failures)
+                     else failures[0]["status"])
+            ledger[name] = {"status": worst, "method": "label-sharded",
+                            "shard_failures": failures,
+                            "shard_rows": shard_rows, "shard_sec": shard_secs}
+        else:
+            total = total_dump_rows(out_dir, name)
+            if sum(shard_rows.values()) != total:
+                ledger[name] = {
+                    "status": "mismatch", "method": "label-sharded",
+                    "detail": f"shard rows sum {sum(shard_rows.values())} "
+                              f"!= dump total {total} (rows outside every shard)",
+                    "shard_rows": shard_rows, "shard_sec": shard_secs}
+            else:
+                ledger[name] = {
+                    "status": "verified", "method": "label-sharded",
+                    "rows": total, "shards": len(shard_rows),
+                    "shard_rows": shard_rows,
+                    "sec": round(sum(shard_secs.values()), 1),
+                    "shard_sec": shard_secs}
+        print(f"== {name}: {ledger[name]['status']} "
+              f"({ledger[name].get('rows', '')} rows)", flush=True)
+        with open(ledger_path, "w") as f:
+            json.dump(ledger, f, indent=1, sort_keys=True)
+    counts = {}
+    for v in ledger.values():
+        counts[v["status"]] = counts.get(v["status"], 0) + 1
+    print("==", counts)
+
+
+if __name__ == "__main__":
+    main()
