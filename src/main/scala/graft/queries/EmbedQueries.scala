@@ -2369,7 +2369,52 @@ object EmbedQueries {
       "dedup_embed" -> ShardedOracle(
         "SELECT d.* FROM __DUMP__ d JOIN embeddings e ON e.vec_id = d.vec_id " +
           "WHERE e.label = __L__",
-        l => dedupEmbedSqlShard(Some(l))))
+        l => dedupEmbedSqlShardIter(l)))
+  }
+
+  /** dedup_embed shard mirror by UNROLLED min-label propagation with a
+    * FIXPOINT CERTIFICATE, replacing the registered oracle's recursive
+    * `reach` closure for the sharded sf10 replay only. The closure
+    * materializes Σ component² (id, root) pairs — ~400M rows for one
+    * dense 20k-vector cell at the 100× surrogate, the exact 32 GiB
+    * allocation that made the one-shot replay oracle-bound. Min-label
+    * propagation is O(edges) per round instead, and needs no trust in
+    * the round count: the fixpoint of
+    *   l₀(v) = v;  lₖ₊₁(v) = min(lₖ(v), min over neighbors lₖ(u))
+    * is EXACTLY the component-minimum labeling, so the mirror emits
+    * rows only behind a guard that hard-errors (1//0) when the last
+    * two rounds differ — a non-converged replay surfaces as
+    * oracle-error in the ledger, never as a silent pass. */
+  private def dedupEmbedSqlShardIter(shard: Long, iters: Int = 16): String = {
+    val prop = (0 until iters).map { k =>
+      s"""l${k + 1} AS MATERIALIZED (
+         |  SELECT l.id,
+         |    LEAST(l.lbl, COALESCE(MIN(nl.lbl), l.lbl)) AS lbl
+         |  FROM l$k l
+         |  LEFT JOIN edges e ON e.src = l.id
+         |  LEFT JOIN l$k nl ON nl.id = e.dst
+         |  GROUP BY l.id, l.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Similarity.duckdbQuantizedCte},
+       |pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM qv a JOIN qv b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE a.label = $shard
+       |    AND CAST(${Similarity.duckdbDot("a.q", "b.q")} AS DOUBLE)
+       |      / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) >= CAST(0.35 AS DOUBLE)),
+       |edges AS MATERIALIZED (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS id, src AS lbl FROM edges),
+       |$prop,
+       |fix AS (
+       |  SELECT COUNT(*) AS changed
+       |  FROM l$iters a JOIN l${iters - 1} b
+       |    ON a.id = b.id AND a.lbl <> b.lbl)
+       |SELECT id AS vec_id, lbl AS canonical_id FROM l$iters
+       |WHERE (SELECT CASE WHEN changed = 0 THEN 1 ELSE 1 // 0 END FROM fix) = 1
+       |""".stripMargin
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -29,8 +29,16 @@ import json, math, os, subprocess, sys, time
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# The compare runs INSIDE DuckDB (multiset equality via EXCEPT ALL in
+# both directions over name-aligned projections) instead of the
+# fetchall/canonical-string path the one-query ledger uses: a single
+# sf10 shard here is ~12M pair rows, and a Python-side sort of that is
+# slower than the replay itself. EXCEPT ALL is exact on the same
+# engine (both relations are DuckDB values by the time they're
+# compared — the Spark side is a parquet scan), spillable, and
+# parallel.
 WORKER = """
-import duckdb, json, math, os, sys
+import duckdb, json, os, sys
 sf_dir, dump_glob, shard_sql_file, slice_sql_file = sys.argv[1:5]
 threads, memory, tempdir = sys.argv[5], sys.argv[6], sys.argv[7]
 con = duckdb.connect()
@@ -44,34 +52,33 @@ for t in %r:
         path = f"{path}/*.parquet"
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
-def canon(v):
-    if v is None: return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        return repr(v)
-    return repr(v)
-
-def frame_key(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted("|".join(canon(r[i]) for i in order) for r in rows)
-    return [cols[i] for i in order], out
-
-want = con.execute(open(shard_sql_file).read())
-wc = [d[0] for d in want.description]; wr = want.fetchall()
-got = con.execute(open(slice_sql_file).read())
-gc = [d[0] for d in got.description]; gr = got.fetchall()
-gck, gk = frame_key(gc, gr)
-wck, wk = frame_key(wc, wr)
-if gck != wck:
-    print(json.dumps({"status": "mismatch", "detail": f"columns {gck} != {wck}"}))
-elif len(gk) != len(wk):
-    print(json.dumps({"status": "mismatch", "detail": f"rows {len(gk)} != {len(wk)}"}))
-elif gk != wk:
-    bad = next(i for i in range(len(gk)) if gk[i] != wk[i])
+con.execute("CREATE TEMP VIEW want AS " + open(shard_sql_file).read())
+con.execute("CREATE TEMP VIEW got AS " + open(slice_sql_file).read())
+wc = sorted(r[0] for r in con.execute("DESCRIBE want").fetchall())
+gc = sorted(r[0] for r in con.execute("DESCRIBE got").fetchall())
+if wc != gc:
+    print(json.dumps({"status": "mismatch", "detail": f"columns {gc} != {wc}"}))
+    sys.exit(0)
+cols = ", ".join(f'"{c}"' for c in wc)
+con.execute(f"CREATE TEMP TABLE w AS SELECT {cols} FROM want")
+con.execute(f"CREATE TEMP TABLE g AS SELECT {cols} FROM got")
+nw = con.execute("SELECT COUNT(*) FROM w").fetchone()[0]
+ng = con.execute("SELECT COUNT(*) FROM g").fetchone()[0]
+if nw != ng:
+    print(json.dumps({"status": "mismatch", "detail": f"rows {ng} != {nw}"}))
+    sys.exit(0)
+diff = con.execute(
+    "SELECT (SELECT COUNT(*) FROM (SELECT * FROM w EXCEPT ALL SELECT * FROM g))"
+    " + (SELECT COUNT(*) FROM (SELECT * FROM g EXCEPT ALL SELECT * FROM w))"
+).fetchone()[0]
+if diff != 0:
+    sample = con.execute(
+        "SELECT * FROM (SELECT * FROM w EXCEPT ALL SELECT * FROM g) LIMIT 2"
+    ).fetchall()
     print(json.dumps({"status": "mismatch",
-        "detail": f"row {bad}: spark={gk[bad][:160]} duck={wk[bad][:160]}"}))
+        "detail": f"{diff} differing rows; oracle-only sample: {sample!r}"[:400]}))
 else:
-    print(json.dumps({"status": "verified", "rows": len(gk)}))
+    print(json.dumps({"status": "verified", "rows": nw}))
 """ % (TABLES,)
 
 
@@ -91,6 +98,7 @@ def main():
     timeout, threads, memory = 2400, "16", "40GB"
     tempdir = "/tmp/duck_spill_sharded"
     only = None
+    par = 1
     args = sys.argv[5:]
     while args:
         a = args.pop(0)
@@ -99,6 +107,7 @@ def main():
         elif a == "--memory": memory = args.pop(0)
         elif a == "--tempdir": tempdir = args.pop(0)
         elif a == "--only": only = set(args.pop(0).split(","))
+        elif a == "--par": par = int(args.pop(0))
     os.makedirs(tempdir, exist_ok=True)
     sharded = json.load(open(sharded_path))
     ledger = {}
@@ -116,7 +125,8 @@ def main():
         spec = sharded[name]
         glob = dump_glob(out_dir, name)
         shard_rows, shard_secs, failures = {}, {}, []
-        for label in sorted(spec["shards"], key=lambda s: int(s)):
+
+        def run_shard(label):
             shard_sql = spec["shards"][label]
             slice_sql = spec["slice"].replace(
                 "__DUMP__", f"'{glob}'").replace("__L__", label)
@@ -128,7 +138,7 @@ def main():
             try:
                 r = subprocess.run(
                     [sys.executable, "-c", WORKER, sf_dir, glob, sf, lf,
-                     threads, memory, tempdir],
+                     threads, memory, f"{tempdir}/s{label}"],
                     capture_output=True, text=True, timeout=timeout)
                 took = round(time.time() - t0, 1)
                 rec = None
@@ -146,13 +156,25 @@ def main():
                 took = timeout
                 rec = {"status": "oracle-bound",
                        "detail": f"shard replay exceeded {timeout}s"}
-            shard_secs[label] = took
-            if rec["status"] == "verified":
-                shard_rows[label] = rec["rows"]
-            else:
-                failures.append({"shard": label, **rec})
-            print(f"  {name}[label={label}]: {rec['status']} "
-                  f"({rec.get('rows', '')} rows, {took}s)", flush=True)
+            return label, rec, took
+
+        labels = sorted(spec["shards"], key=lambda s: int(s))
+        for d in [f"{tempdir}/s{l}" for l in labels]:
+            os.makedirs(d, exist_ok=True)
+        # --par N runs N shard subprocesses concurrently (each with its
+        # own memory_limit and spill dir); results identical to the
+        # sequential form — the rollup is order-independent.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=max(par, 1)) as pool:
+            for label, rec, took in pool.map(run_shard, labels):
+                shard_secs[label] = took
+                if rec["status"] == "verified":
+                    shard_rows[label] = rec["rows"]
+                else:
+                    failures.append({"shard": label, **rec})
+                print(f"  {name}[label={label}]: {rec['status']} "
+                      f"({rec.get('rows', '')} rows, {took}s) "
+                      f"{rec.get('detail', '')[:180]}", flush=True)
         if failures:
             worst = ("mismatch" if any(f["status"] == "mismatch"
                                        for f in failures)
