@@ -43,10 +43,19 @@ print(' '.join(sorted(json.load(open('$OUT_DIR/oracle_sql.json')))))"); do
     fi
   done
   if [ -n "$claimed" ]; then
-    python3 tools/sf10_ledger.py "$SF_DIR" "$OUT_DIR" "$LEDGER" \
-      --threads "$THREADS" --memory "$MEMORY" --timeout "$TIMEOUT" \
-      --tempdir "$TEMPDIR" --only "$claimed"
-    touch "$CLAIMS/$claimed/_DONE"
+    # _DONE only on a ledger run that exited cleanly: a crashed run
+    # (e.g. an unwritable ledger path) must leave the claim stale so a
+    # later worker reclaims it, not mark the query swept with no
+    # recorded disposition
+    if python3 tools/sf10_ledger.py "$SF_DIR" "$OUT_DIR" "$LEDGER" \
+        --threads "$THREADS" --memory "$MEMORY" --timeout "$TIMEOUT" \
+        --tempdir "$TEMPDIR" --only "$claimed"; then
+      touch "$CLAIMS/$claimed/_DONE"
+    else
+      rm -rf "$CLAIMS/$claimed"
+      echo "== ledger_worker: replay of $claimed exited nonzero; claim released" >&2
+      sleep 5
+    fi
     continue
   fi
   # nothing claimable: done only if every query is FINISHED (_DONE) or

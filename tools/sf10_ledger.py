@@ -92,6 +92,13 @@ def main():
         elif a == "--memory": memory = args.pop(0)
         elif a == "--tempdir": tempdir = args.pop(0)
     os.makedirs(tempdir, exist_ok=True)
+    # the ledger's parent must exist BEFORE any replay runs: a missing
+    # dir otherwise fails the write after the work is done, and a
+    # claim-based driver that marks progress unconditionally would
+    # discard the whole sweep (round-17 incident: 188 sf1 replays lost
+    # to exactly this)
+    parent = os.path.dirname(os.path.abspath(ledger_path))
+    os.makedirs(parent, exist_ok=True)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ledger = {}
     if os.path.exists(ledger_path):
