@@ -44,14 +44,18 @@ object ConcurrentBench {
 
     /** Order-independent content hash: (sum of row hashes, row count).
       * Deterministic because every registry query is value-deterministic
-      * (each is DuckDB-hash-verified); Long overflow wraps identically
-      * on every run. */
-    def contentHash(name: String): (Long, Long) = {
+      * (each is DuckDB-hash-verified). The per-row hashes accumulate in
+      * DECIMAL(38,0): Spark 4's ANSI mode makes a plain Long sum of
+      * xxhash64 values throw ARITHMETIC_OVERFLOW on any real result
+      * set, and 38 digits leave ~10^18 rows of headroom over the
+      * ±9.2e18 hash range. */
+    def contentHash(name: String): (String, Long) = {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val r = df.select(
-        sum(xxhash64(struct(df.columns.map(col): _*))).as("h"),
+        sum(xxhash64(struct(df.columns.map(col): _*)).cast("decimal(38,0)")).as("h"),
         count(lit(1)).as("n")).head
-      (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+      (if (r.isNullAt(0)) "0" else r.getDecimal(0).toBigInteger.toString,
+        r.getLong(1))
     }
 
     // warmup: JIT + codegen + memoized shared stages, exactly like
@@ -63,27 +67,29 @@ object ConcurrentBench {
     }
     names.foreach(n => try contentHash(n) catch { case _: Throwable => () })
 
-    var baseline: Map[String, (Long, Long)] = Map.empty
+    var baseline: Map[String, (String, Long)] = Map.empty
     var parity = true
     val walls = scala.collection.mutable.LinkedHashMap[Int, Double]()
     tenantCounts.foreach { n =>
       val pool = Executors.newFixedThreadPool(n)
       val t0 = System.nanoTime()
-      val futures = (0 until n).map { i =>
-        pool.submit(new Callable[Map[String, (Long, Long)]] {
-          def call(): Map[String, (Long, Long)] = {
-            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"tenant$i")
-            // rotate so tenants never run the same query in lockstep —
-            // real tenants don't; lockstep would hide memo races
-            val rotated = names.drop((i * names.size) / math.max(n, 1)) ++
-              names.take((i * names.size) / math.max(n, 1))
-            rotated.map(q => q -> contentHash(q)).toMap
+      val results =
+        try {
+          val futures = (0 until n).map { i =>
+            pool.submit(new Callable[Map[String, (String, Long)]] {
+              def call(): Map[String, (String, Long)] = {
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"tenant$i")
+                // rotate so tenants never run the same query in lockstep —
+                // real tenants don't; lockstep would hide memo races
+                val rotated = names.drop((i * names.size) / math.max(n, 1)) ++
+                  names.take((i * names.size) / math.max(n, 1))
+                rotated.map(q => q -> contentHash(q)).toMap
+              }
+            })
           }
-        })
-      }
-      val results = futures.map(_.get(7200, TimeUnit.SECONDS))
+          futures.map(_.get(7200, TimeUnit.SECONDS))
+        } finally pool.shutdownNow() // non-daemon threads must never outlive a failed run
       walls(n) = (System.nanoTime() - t0) / 1e9
-      pool.shutdownNow()
       if (baseline.isEmpty) baseline = results.head
       results.zipWithIndex.foreach { case (m, i) =>
         names.foreach { q =>
