@@ -2382,10 +2382,22 @@ object EmbedQueries {
     * the round count: the fixpoint of
     *   l₀(v) = v;  lₖ₊₁(v) = min(lₖ(v), min over neighbors lₖ(u))
     * is EXACTLY the component-minimum labeling, so the mirror emits
-    * rows only behind a guard that hard-errors (1//0) when the last
-    * two rounds differ — a non-converged replay surfaces as
-    * oracle-error in the ledger, never as a silent pass. */
-  private def dedupEmbedSqlShardIter(shard: Long, iters: Int = 16): String = {
+    * rows only behind a guard that hard-errors — via DuckDB's
+    * `error()` function, which raises; integer `1//0` would NOT
+    * (DuckDB yields NULL for int division by zero, which would NULL
+    * the WHERE and silently emit an empty result) — when the last
+    * two rounds differ. A non-converged replay therefore surfaces as
+    * oracle-error in the ledger, never as a silent pass.
+    *
+    * `iters` defaults to 16 rounds, enough for graph diameter 16;
+    * override per replay with GRAFT_SHARD_ITERS (read when
+    * [[graft.tools.ShardedOracles]] emits the shard SQL) if a denser
+    * surrogate ever needs a deeper unroll — the certificate makes a
+    * too-small setting loud, not wrong. */
+  private def dedupEmbedSqlShardIter(
+      shard: Long,
+      iters: Int =
+        sys.env.getOrElse("GRAFT_SHARD_ITERS", "16").toInt): String = {
     val prop = (0 until iters).map { k =>
       s"""l${k + 1} AS MATERIALIZED (
          |  SELECT l.id,
@@ -2413,7 +2425,9 @@ object EmbedQueries {
        |  FROM l$iters a JOIN l${iters - 1} b
        |    ON a.id = b.id AND a.lbl <> b.lbl)
        |SELECT id AS vec_id, lbl AS canonical_id FROM l$iters
-       |WHERE (SELECT CASE WHEN changed = 0 THEN 1 ELSE 1 // 0 END FROM fix) = 1
+       |WHERE (SELECT CASE WHEN changed = 0 THEN 1
+       |  ELSE error('min-label propagation not converged in $iters rounds')
+       |  END FROM fix) = 1
        |""".stripMargin
   }
 

@@ -59,13 +59,20 @@ object ConcurrentBench {
     }
 
     // warmup: JIT + codegen + memoized shared stages, exactly like
-    // Bench — the sweep measures contention, not cold builds
+    // Bench — the sweep measures contention, not cold builds. Warms
+    // against the TARGET sfDir (so the shared-stage memo entries the
+    // tenants will hit are the ones built here), and a warmup failure
+    // is loud: a query that throws here will throw in the sweep too,
+    // and silently measuring cold builds would skew the curve.
     names.foreach { n =>
-      try graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      try contentHash(n)
+      catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[concurrent] WARNING warmup of $n on $sfDir threw: " +
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
     }
-    names.foreach(n => try contentHash(n) catch { case _: Throwable => () })
 
     var baseline: Map[String, (String, Long)] = Map.empty
     var parity = true

@@ -17,6 +17,12 @@ import java.nio.file.{Files, Paths}
   * always in lockstep with the data it will replay against.
   *
   * Usage: ShardedOracles <sfDir> <outJson> [query,query,...]
+  *
+  * Env: GRAFT_SHARD_ITERS (default 16) — unroll depth for the
+  * dedup_embed min-label propagation mirror. The emitted SQL carries a
+  * fixpoint certificate (DuckDB `error()` unless the last two rounds
+  * are identical), so a too-small value errors the replay rather than
+  * passing silently; raise it here for a denser surrogate.
   */
 object ShardedOracles {
 

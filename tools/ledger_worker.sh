@@ -9,10 +9,13 @@
 # ledger run -> `_DONE` touched. A claim with no _DONE whose pid is
 # dead is STALE (the worker died mid-run) and is reclaimed by whoever
 # sees it first — so a crashed worker cannot leave a query claimed
-# forever and silently unswept. Exit condition: every query either has
-# a _DONE marker or is claimed by a live worker (which will finish or
-# die and be reclaimed on a later scan — workers only exit when no
-# in-flight work can fall to them).
+# forever and silently unswept. A query whose replay exits nonzero
+# MAX_FAILS (default 3) consecutive times is marked _FAILED — terminal,
+# never reclaimed — so a deterministic failure can't retry forever.
+# Exit condition: every query either has a _DONE/_FAILED marker or is
+# claimed by a live worker (which will finish or die and be reclaimed
+# on a later scan — workers only exit when no in-flight work can fall
+# to them).
 set -u
 SF_DIR=$1; OUT_DIR=$2; LEDGER=$3; CLAIMS=$4; THREADS=${5:-8}
 MEMORY=${6:-16GB}; TIMEOUT=${7:-1200}; TEMPDIR=${8:-/tmp/duck_spill_$$}
@@ -23,8 +26,8 @@ while true; do
 import json
 print(' '.join(sorted(json.load(open('$OUT_DIR/oracle_sql.json')))))"); do
     if [ -d "$CLAIMS/$q" ]; then
-      # reclaim a stale claim: no done-marker and the claimer is dead
-      if [ ! -f "$CLAIMS/$q/_DONE" ]; then
+      # reclaim a stale claim: no terminal marker and the claimer is dead
+      if [ ! -f "$CLAIMS/$q/_DONE" ] && [ ! -f "$CLAIMS/$q/_FAILED" ]; then
         cpid=$(cat "$CLAIMS/$q/pid" 2>/dev/null || echo "")
         if [ -n "$cpid" ] && ! kill -0 "$cpid" 2>/dev/null; then
           rm -rf "$CLAIMS/$q"
@@ -51,10 +54,22 @@ print(' '.join(sorted(json.load(open('$OUT_DIR/oracle_sql.json')))))"); do
         --threads "$THREADS" --memory "$MEMORY" --timeout "$TIMEOUT" \
         --tempdir "$TEMPDIR" --only "$claimed"; then
       touch "$CLAIMS/$claimed/_DONE"
+      rm -f "$CLAIMS/.fails_$claimed"
     else
-      rm -rf "$CLAIMS/$claimed"
-      echo "== ledger_worker: replay of $claimed exited nonzero; claim released" >&2
-      sleep 5
+      # Bound retries: a deterministic failure (bad SQL, OOM) must not
+      # loop forever. After MAX_FAILS consecutive nonzero exits the
+      # claim is marked _FAILED (terminal — skipped by the claim scan
+      # and counted as finished by the exit check) instead of released.
+      fails=$(( $(cat "$CLAIMS/.fails_$claimed" 2>/dev/null || echo 0) + 1 ))
+      echo "$fails" > "$CLAIMS/.fails_$claimed"
+      if [ "$fails" -ge "${MAX_FAILS:-3}" ]; then
+        touch "$CLAIMS/$claimed/_FAILED"
+        echo "== ledger_worker: replay of $claimed failed $fails times; marked _FAILED" >&2
+      else
+        rm -rf "$CLAIMS/$claimed"
+        echo "== ledger_worker: replay of $claimed exited nonzero ($fails/${MAX_FAILS:-3}); claim released" >&2
+        sleep 5
+      fi
     fi
     continue
   fi
@@ -66,7 +81,7 @@ names=sorted(json.load(open('$OUT_DIR/oracle_sql.json')))
 left=0
 for q in names:
     c='$CLAIMS/'+q
-    if os.path.isfile(c+'/_DONE'): continue
+    if os.path.isfile(c+'/_DONE') or os.path.isfile(c+'/_FAILED'): continue
     if os.path.isdir(c):
         try: pid=int(open(c+'/pid').read().strip())
         except Exception: pid=None

@@ -24,7 +24,7 @@ The ledger entry for a verified query records status
 seconds, mergeable into CORRECTNESS_SF10.json by tools/merge_ledger.py
 conventions (a sharded 'verified' carries its method with it).
 """
-import json, math, os, subprocess, sys, time
+import json, math, os, re, subprocess, sys, time
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -108,6 +108,15 @@ def main():
         elif a == "--tempdir": tempdir = args.pop(0)
         elif a == "--only": only = set(args.pop(0).split(","))
         elif a == "--par": par = int(args.pop(0))
+    # --memory is the TOTAL budget for the sweep: with --par N the N
+    # concurrent shard subprocesses each get memory/par, so aggregate
+    # commitment never exceeds the budget regardless of parallelism.
+    if par > 1:
+        m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([A-Za-z]+)", memory.strip())
+        if m:
+            per = max(float(m.group(1)) / par, 1.0)
+            memory = f"{per:g}{m.group(2)}"
+            print(f"== sharded_ledger: --par {par} -> {memory} per shard")
     os.makedirs(tempdir, exist_ok=True)
     sharded = json.load(open(sharded_path))
     ledger = {}
