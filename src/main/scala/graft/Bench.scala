@@ -71,9 +71,22 @@ object Bench {
     json
   }
 
+  /** 1-minute system load average (as /proc/loadavg), -1 if unavailable.
+    * Recorded at bench start AND end: a contended box (driver run
+    * alongside other tenants) is then machine-readable in the artifact
+    * itself — round 17's 86.8 s driver run vs 81.1 s idle-box run on
+    * identical code needed a manual reconciliation that these two
+    * numbers answer directly. */
+  def loadAvg(): Double = {
+    val v = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    if (v < 0) -1.0 else v
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val loadStart = loadAvg()
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -267,8 +280,13 @@ object Bench {
     val stageJson = stageBuilds.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
     val stageTotal = stageBuilds.map(_._2).sum
+    // Box-occupancy stamp: 1-min load average at start/end plus the host
+    // core count — "contended box or regression?" answerable from the
+    // artifact alone (idle box ⇒ load ≈ the bench's own threads).
+    val loadJson =
+      s""","load":{"start":${dec(loadStart, 1)},"end":${dec(loadAvg(), 1)},"host_cpus":${Runtime.getRuntime.availableProcessors}}"""
     val fullJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"$shaJson,"reps":$reps,"stat":"min","interleaved":true,"failed":$fullFailed,"stage_build_sec":$stageJson,"stage_build_total":${sec3(stageTotal)},"warm_plus_cold_total":${sec3(total + stageTotal)},"samples":$fullSamples,"bench_diff_gt1.5x":$diffFull$latJson}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"$shaJson$loadJson,"reps":$reps,"stat":"min","interleaved":true,"failed":$fullFailed,"stage_build_sec":$stageJson,"stage_build_total":${sec3(stageTotal)},"warm_plus_cold_total":${sec3(total + stageTotal)},"samples":$fullSamples,"bench_diff_gt1.5x":$diffFull$latJson}"""
     println(fullJson)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
@@ -282,11 +300,12 @@ object Bench {
       if (regressions.isEmpty) ""
       else regressions.take(5).map { case (n, r) => "\"" + n + "\":" + dec(r, 2) }
         .mkString(""","diff_gt1.5x":{""", ",", "}")
-    // sha rides the diffJson slot (both are ","-prefixed fragments) so
-    // the compact driver line is attributable too — ~15 bytes against
-    // the 1900-byte budget, absorbed by the adaptive trim.
+    // sha + load ride the diffJson slot (all ","-prefixed fragments) so
+    // the compact driver line is attributable and occupancy-stamped too
+    // — ~60 bytes against the 1900-byte budget, absorbed by the
+    // adaptive trim.
     val json = Bench.compactLine(total, results, sfShort, latJson,
-      shaJson + diffJson, failedNames)
+      shaJson + loadJson + diffJson, failedNames)
 
     // The metric line must be the FINAL stdout act: round 2's driver
     // artifact lost all numbers because the continuous-latency teardown

@@ -71,20 +71,61 @@ object LatencyBench {
       .select(JsonNormalize.parseTolerant($"value", TelemetrySchema.telemetry).as("t"))
       .filter($"t".isNotNull).select("t.*")
 
+    // Content-parity gate: the rows timed below are also content-hashed
+    // (xxhash64 over every derived column), keyed by the unique
+    // `mqtt_sent_at_ms` stamp, and after the stream stops the SAME topic
+    // log is replayed through the BATCH deriver — the oracle-verified
+    // `viol_derive` path — and every streamed row's hash must match its
+    // batch twin. A latency number from a pipeline that derives wrong
+    // content would report "fast but wrong"; this makes the ladder a
+    // correctness-gated artifact instead. Map semantics (ms → hash)
+    // rather than multiset: foreachBatch is at-least-once, so a retried
+    // batch may re-deliver a row — identical content is tolerated,
+    // divergent content still fails.
+    def hashed(df: DataFrame): DataFrame = {
+      val derived = ViolationDeriver(df)
+      derived.select($"mqtt_sent_at_ms",
+        xxhash64(struct(derived.columns.map(col): _*)).as("row_hash"))
+    }
     val lats = mutable.Buffer[Long]()
+    val streamed =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
     val q = parsed.writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sent = ViolationDeriver(batch)
-          .select($"mqtt_sent_at_ms").as[Long].collect()
+        val rows = hashed(batch).as[(Long, Long)].collect()
         val now = System.currentTimeMillis()
-        lats.synchronized { lats ++= sent.map(now - _) }
+        rows.foreach { case (ms, h) =>
+          val prev = streamed.putIfAbsent(Long.box(ms), Long.box(h))
+          require(prev == null || prev.longValue() == h,
+            s"[latency] stream re-derived ms=$ms with different content")
+        }
+        lats.synchronized { lats ++= rows.map(now - _._1) }
         ()
       }
       .start()
     producer.start()
     try Thread.sleep(durationMs)
     finally { producing = false; producer.join(); q.stop() }
+
+    // batch replay of the full topic through the same derive chain
+    val batchRows = hashed(
+      spark.read.format("filelog")
+        .option("path", root).option("topic", topic)
+        .option("numPartitions", "2").load()
+        .select($"value".cast("string").as("value"))
+        .select(JsonNormalize.parseTolerant($"value", TelemetrySchema.telemetry).as("t"))
+        .filter($"t".isNotNull).select("t.*"))
+      .as[(Long, Long)].collect().toMap
+    import scala.jdk.CollectionConverters._
+    val mismatched = streamed.asScala.filter { case (ms, h) =>
+      !batchRows.get(ms.longValue()).contains(h.longValue()) }
+    require(mismatched.isEmpty,
+      s"[latency] content-parity FAILED: ${mismatched.size}/${streamed.size} " +
+        s"streamed rows diverge from the batch viol_derive replay " +
+        s"(first ms=${mismatched.keys.headOption.getOrElse(-1L)})")
+    require(streamed.isEmpty == lats.isEmpty,
+      "[latency] internal: timed samples without hashed rows")
 
     val steady = lats.synchronized { lats.drop(lats.size / 2).sorted.toIndexedSeq }
     if (steady.isEmpty) (Double.NaN, Double.NaN, 0)

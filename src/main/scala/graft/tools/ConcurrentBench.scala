@@ -27,6 +27,7 @@ object ConcurrentBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    val loadStart = graft.Bench.loadAvg()
     val tenantCounts = (if (args.length > 1) args(1) else "1,2,4")
       .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -120,8 +121,9 @@ object ConcurrentBench {
 
     def dec(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val tj = walls.map { case (n, s) => s""""$n":${dec(s)}""" }.mkString("{", ",", "}")
+    val load = s""""load":{"start":${dec(loadStart)},"end":${dec(graft.Bench.loadAvg())},"host_cpus":${Runtime.getRuntime.availableProcessors}}"""
     spark.sparkContext.setLogLevel("OFF")
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"concurrent","sf":"$sfDir","tenants":$tj,"parity":$parity,"queries":${names.size},"sha":"$sha"}""")
+    println(s"""{"metric":"concurrent","sf":"$sfDir","tenants":$tj,"parity":$parity,"queries":${names.size},"sha":"$sha",$load}""")
   }
 }
