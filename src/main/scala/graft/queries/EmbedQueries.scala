@@ -1725,6 +1725,128 @@ object EmbedQueries {
        |  AND $resCos >= CAST($AbttTau AS DOUBLE)""".stripMargin
   }
 
+  // ------------------------------ abtt_pairs_rp, whiten_force_rp
+  // GROWING-CELL twins of abtt_pairs / whiten_gate_force (round-17
+  // verdict item #3): same residual chain and thresholds, but the pair
+  // join blocked by the library's own ADAPTIVE blocking — the
+  // [[graft.embed.RpLsh]] random-hyperplane buckets at the gated
+  // [[RpLsh.widthFor]] width — instead of the surrogate's FIXED 10
+  // label cells. Why this is the scale artifact: with fixed cells the
+  // candidate mass is Σ cell² ∝ n² (the measured 76–80× decade on
+  // abtt_pairs / whiten_gate_force at the 100× surrogate, where the
+  // OUTPUT is genuinely 100×); the RP width ladder grows the bucket
+  // count with the corpus (bits = ⌈log2 n⌉ − 2 ⇒ expected occupancy
+  // 2–4 at any size), so candidate mass — and the decade — stays
+  // ~linear (ann_rp_lsh, the same blocking's raw consumer, measures
+  // 6.7× over sf1→sf10). ivf_assign cells were considered and
+  // rejected for the twin: the codebook is fixed k=8 (same Σ cell²
+  // class as labels), and growing k to n/C makes the assignment pass
+  // itself n·k = n²/C — the RP ladder is the blocking whose TOTAL
+  // cost is ~linear. Candidates are generated on the RAW quantized
+  // vectors (bucketing before whitening — one bucket pass serves both
+  // gate branches); recall at the whitened metric is partial BY
+  // DESIGN, exactly like ann_rp_lsh's, and the oracle mirrors the
+  // identical candidate generation so results hash-match.
+  private def abttResidualsDf(s: SparkSession, d: String): DataFrame = {
+    val comps = graft.SharedStages.pcaTopK(s, d)
+    Similarity.quantized(Tables.embeddings(s, d), "vec_id", "embedding")
+      .withColumn("pcs", typedLit(comps.map(_.v.toSeq)))
+      .withColumn("r", expr(s"abtt_residual(q, pcs, CAST($ResCap AS BIGINT))"))
+      .withColumn("nr", expr("int_dot(r, r)"))
+      .filter(col("nr") > 0)
+      .select(col("vec_id"), col("r"), col("nr"))
+  }
+
+  private def abttPairsRp(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val res = abttResidualsDf(s, d)
+    val bk = RpLsh.buckets(emb, "vec_id", "embedding")
+    val cands = bk.as("a").join(bk.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    cands
+      .join(res.select(col("vec_id").as("a_id"), col("r").as("ra"),
+        col("nr").as("na")), "a_id")
+      .join(res.select(col("vec_id").as("b_id"), col("r").as("rb"),
+        col("nr").as("nb")), "b_id")
+      .withColumn("cos",
+        Similarity.cosine(Similarity.dotQ("ra", "rb"), col("na"), col("nb")))
+      .filter(col("cos") >= AbttTau)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** Shared oracle prefix for the RP twins: the quantized corpus, the
+    * PCA + residual chain, the per-vector residual rows `rv`, and the
+    * RP candidate CTEs (`rp_cand`). */
+  private def abttRpCtes: String = {
+    val K = PcaPower.NumComponents
+    s"""${Similarity.duckdbQuantizedCte},
+       |$gramCompCte,
+       |$gramUpperCte,
+       |${pcaTopkCtes(K)},
+       |${abttResidualCtes(K)},
+       |rv AS MATERIALIZED (
+       |  SELECT r0.vec_id,
+       |    list(r0.r ORDER BY r0.i) AS r,
+       |    CAST(SUM(r0.r * r0.r) AS BIGINT) AS nr
+       |  FROM ar$K r0 GROUP BY 1),
+       |${RpLsh.duckdbCandidateCte}""".stripMargin
+  }
+
+  private def abttPairsRpSql: String = {
+    val resCos = s"CAST(${Similarity.duckdbDot("a.r", "b.r")} AS DOUBLE)" +
+      " / sqrt(CAST(a.nr AS DOUBLE) * CAST(b.nr AS DOUBLE))"
+    s"""WITH $abttRpCtes
+       |SELECT c.a_id, c.b_id, $resCos AS cos
+       |FROM rp_cand c
+       |JOIN rv a ON a.vec_id = c.a_id
+       |JOIN rv b ON b.vec_id = c.b_id
+       |WHERE a.nr > 0 AND b.nr > 0
+       |  AND $resCos >= CAST($AbttTau AS DOUBLE)""".stripMargin
+  }
+
+  private def whitenGateRp(s: SparkSession, d: String,
+                           thr: String = WhitenForceThr): DataFrame = {
+    val share = graft.SharedStages.pcaTopK(s, d).head.evRatio
+    val abtt = share >= thr.toDouble
+    val pairs = if (abtt) abttPairsRp(s, d)
+                else RpLsh.annPairs(Tables.embeddings(s, d),
+                  "vec_id", "embedding", 0.35)
+    pairs.withColumn("mode", lit(if (abtt) "abtt" else "raw"))
+      .select(col("mode"), col("a_id"), col("b_id"), col("cos"))
+  }
+
+  private def whitenGateRpSqlFor(thr: String): String = {
+    val sh = PcaPower.RayShift
+    val lam =
+      s"(CAST(num_hi AS DOUBLE) * CAST($sh AS DOUBLE) + CAST(num_lo AS DOUBLE)) / CAST(den AS DOUBLE)"
+    val rawCos = s"CAST(${Similarity.duckdbDot("a.q", "b.q")} AS DOUBLE)" +
+      " / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE))"
+    val resCos = s"CAST(${Similarity.duckdbDot("a.r", "b.r")} AS DOUBLE)" +
+      " / sqrt(CAST(a.nr AS DOUBLE) * CAST(b.nr AS DOUBLE))"
+    s"""WITH $abttRpCtes,
+       |shr AS MATERIALIZED (
+       |  SELECT (($lam) * CAST(gs0.gd AS DOUBLE)) / CAST(trace AS DOUBLE) AS share
+       |  FROM ray0 CROSS JOIN gs0 CROSS JOIN trc)
+       |SELECT 'raw' AS mode, c.a_id, c.b_id, $rawCos AS cos
+       |FROM rp_cand c
+       |JOIN qv a ON a.vec_id = c.a_id
+       |JOIN qv b ON b.vec_id = c.b_id, shr
+       |WHERE shr.share < CAST($thr AS DOUBLE)
+       |  AND a.nq > 0 AND b.nq > 0
+       |  AND $rawCos >= CAST(0.35 AS DOUBLE)
+       |UNION ALL
+       |SELECT 'abtt' AS mode, c.a_id, c.b_id, $resCos AS cos
+       |FROM rp_cand c
+       |JOIN rv a ON a.vec_id = c.a_id
+       |JOIN rv b ON b.vec_id = c.b_id, shr
+       |WHERE shr.share >= CAST($thr AS DOUBLE)
+       |  AND a.nr > 0 AND b.nr > 0
+       |  AND $resCos >= CAST($AbttTau AS DOUBLE)""".stripMargin
+  }
+
   // ------------------------------------- linear_probe, probe_eval
   // Ridge-regularized linear probe trained on the NORMAL EQUATIONS —
   // the linear-probe consumer promised by the gram_matrix scaffold
@@ -2453,6 +2575,10 @@ object EmbedQueries {
       Some(whitenGateSqlFor(WhitenForceThr))),
     QueryDef("pca_project", pcaProject, Some(pcaProjectSql)),
     QueryDef("abtt_pairs", abttPairs, Some(abttPairsSql)),
+    QueryDef("abtt_pairs_rp", abttPairsRp, Some(abttPairsRpSql)),
+    QueryDef("whiten_force_rp",
+      whitenGateRp(_, _, WhitenForceThr),
+      Some(whitenGateRpSqlFor(WhitenForceThr))),
     QueryDef("semdedup_prune", semdedupPrune, Some(semdedupPruneSql)),
     QueryDef("hard_negatives", hardNegatives, Some(hardNegativesSql)),
     QueryDef("embed_cosine_pairs", cosinePairs, Some(cosinePairsSql)),

@@ -33,38 +33,71 @@ object BucketStore {
   private def bucketCol(keyCols: Seq[String], numBuckets: Int) =
     pmod(hash(keyCols.map(col): _*), lit(numBuckets))
 
-  /** Recovering read of many buckets as ONE relation where possible:
-    * every live (promoted) bucket dir goes into a single multi-path
-    * parquet scan — one FileIndex, one plan leaf — and only buckets
-    * caught mid-promote (dir missing, `_old` generation present) fall
-    * back to per-bucket scans union'd on top. The former shape union'd
-    * one scan PER bucket: at 64 buckets the serialized plan reached
-    * ~35 MiB per task binary, and any projection chain above it was
-    * replicated into every union branch by CollapseProject. Per-bucket
-    * recovery semantics are unchanged (live dir wins, else its `_old`
-    * generation, else the bucket contributes nothing); row order may
-    * differ — stores are keyed sets, no caller is order-sensitive.
-    * Schema is explicit: inference would pay a footer-read job per
-    * read (the caller always knows the store schema). */
+  /** Recovering read of many buckets as ONE relation: every resolved
+    * bucket generation dir (live, else its `_old` backup) goes into a
+    * single multi-path parquet scan — one FileIndex, one plan leaf.
+    * (The former shape union'd one scan PER bucket: at 64 buckets the
+    * serialized plan reached ~35 MiB per task binary, and any
+    * projection chain above it was replicated into every union branch
+    * by CollapseProject.) Row order may differ across generations —
+    * stores are keyed sets, no caller is order-sensitive. Schema is
+    * explicit: inference would pay a footer-read job per read (the
+    * caller always knows the store schema).
+    *
+    * Per-bucket resolution RE-PROBES the live dir after an `_old`
+    * miss, in a bounded loop: the promote protocol
+    * ([[KafkaEventSink.promote]]: dst→_old, tmp→dst, delete _old) has
+    * a window where a single exists(dst)-then-exists(_old) pass sees
+    * NEITHER — dst checked between the two renames, _old checked
+    * after the final delete — and a one-pass reader would silently
+    * drop that bucket from a SUCCESSFUL read (caught by
+    * ConcurrentTenantsSpec's reader-under-live-writer test: "read
+    * lost keys mid-promote"). With a single writer, dst is absent
+    * only inside the two-rename window, so a written bucket resolves
+    * within a probe or two; a genuinely unwritten bucket pays a few
+    * cheap exists calls and resolves to nothing. A resolved dir can
+    * still vanish between resolution and the scan's file listing —
+    * that surfaces as a loud read ERROR (the documented
+    * recovery-not-atomicity contract: callers retry), never as silent
+    * data loss. */
   private def readMany(spark: SparkSession, path: String, buckets: Seq[Int],
                        schema: StructType): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val (live, rest) = buckets.partition(b =>
-      fs.exists(new org.apache.hadoop.fs.Path(bucketDir(path, b))))
-    val liveDf =
-      if (live.isEmpty) None
-      else Some(spark.read.schema(schema)
-        .parquet(live.map(bucketDir(path, _)): _*))
-    val restDf =
-      rest.filter(b =>
-          fs.exists(new org.apache.hadoop.fs.Path(bucketDir(path, b) + "_old")))
-        .map(b => spark.read.schema(schema).parquet(bucketDir(path, b) + "_old"))
-    val parts = liveDf.toSeq ++ restDf
-    if (parts.isEmpty)
+    def resolve(b: Int): Option[String] = {
+      val live = bucketDir(path, b)
+      val old = live + "_old"
+      var probe = 0
+      while (probe < 64) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(live))) return Some(live)
+        if (fs.exists(new org.apache.hadoop.fs.Path(old))) return Some(old)
+        // Neither generation visible. If no upsert is in flight (the
+        // writer's staging root is gone — it exists from the batch
+        // write until after the last bucket's promote), no transitions
+        // are in progress, so ONE more live/old pass is race-free:
+        // either the bucket resolves (the earlier misses straddled the
+        // just-finished promote) or it is genuinely unwritten — a few
+        // cheap exists calls, no sleeps. Otherwise a promote may be
+        // mid-rename: back off briefly and re-probe. A writer that
+        // CRASHED mid-promote always leaves dst or _old (the backup
+        // delete is the last step), so the loop can only exhaust on a
+        // crashed writer's stale staging root: fall through to
+        // "unwritten", matching the crash-recovery contract.
+        if (!fs.exists(new org.apache.hadoop.fs.Path(path + "_tmp"))) {
+          if (fs.exists(new org.apache.hadoop.fs.Path(live))) return Some(live)
+          if (fs.exists(new org.apache.hadoop.fs.Path(old))) return Some(old)
+          return None
+        }
+        probe += 1
+        Thread.sleep(2)
+      }
+      None
+    }
+    val dirs = buckets.flatMap(resolve)
+    if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else parts.reduce(_ unionByName _)
+    else spark.read.schema(schema).parquet(dirs: _*)
   }
 
   /** Replace-on-key upsert touching only the batch's hash buckets.
