@@ -18,17 +18,31 @@ import org.apache.spark.sql.functions._
   * order-independent, no driver-side collect of data-proportional
   * size), so the sweep itself follows the library's own scale rules.
   *
-  * Usage: ConcurrentBench <sfDir> [tenantCounts=1,2,4]
+  * With `--writer` (round-17 verdict item #4 — "a 100 TB deployment
+  * mixes ingest and query continuously"), every tenant sweep ALSO runs
+  * one live ingest thread: a continuous loop of BucketStore generation
+  * upserts into a scratch store, each followed by a full read-back
+  * asserting the store is complete and generation-valid (the
+  * reader-under-live-writer contract, exercised at data scale instead
+  * of only in ConcurrentTenantsSpec's fixture). The writer is an
+  * EXTRA thread on top of the N query tenants; parity for the query
+  * results is still asserted against the baseline, and the JSON
+  * records how many write+verify generations landed during each sweep.
+  *
+  * Usage: ConcurrentBench <sfDir> [tenantCounts=1,2,4] [--writer]
   * Prints one JSON line:
   *   {"metric":"concurrent","sf":...,"tenants":{"1":s,"2":s,"4":s},
-  *    "parity":true,"queries":N,"sha":...}
+  *    "parity":true,"queries":N,"sha":...
+  *    [,"writer_gens":{"1":g1,...},"writer_reads_ok":true]}
   */
 object ConcurrentBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val loadStart = graft.Bench.loadAvg()
-    val tenantCounts = (if (args.length > 1) args(1) else "1,2,4")
+    val withWriter = args.contains("--writer")
+    val tenantCounts = (if (args.length > 1 && !args(1).startsWith("--")) args(1)
+                        else "1,2,4")
       .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.builder(cpus)
@@ -77,9 +91,58 @@ object ConcurrentBench {
 
     var baseline: Map[String, (String, Long)] = Map.empty
     var parity = true
+    var writerOk = true
     val walls = scala.collection.mutable.LinkedHashMap[Int, Double]()
+    val writerGens = scala.collection.mutable.LinkedHashMap[Int, Long]()
+
+    /** Continuous ingest: generation upserts into a fresh scratch
+      * BucketStore, each verified by a full read-back (complete key
+      * set, generation-valid values) before the next. A transient read
+      * failure (the promote protocol's documented loud-error window)
+      * retries; a SUCCESSFUL read with missing/torn keys trips
+      * writerOk — the silent-loss failure mode BucketStore.readMany's
+      * resolve loop exists to kill, asserted here under real registry
+      * contention at data scale. */
+    final class Writer extends Thread {
+      @volatile var halt = false
+      @volatile var gens = 0L
+      private val WriterKeys = 5000L
+      private val path =
+        java.nio.file.Files.createTempDirectory("cb_writer").toString + "/store"
+      override def run(): Unit = {
+        import spark.implicits._
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "ingest")
+        val schema = Seq((0L, 0L)).toDF("k", "v").schema
+        val keys = (0L until WriterKeys).toDF("k")
+        var gen = 0L
+        while (!halt) {
+          gen += 1
+          graft.sink.BucketStore.upsert(spark,
+            keys.select(col("k"), lit(gen).as("v")), path, Seq("k"),
+            numBuckets = 16)
+          val rows =
+            try graft.sink.BucketStore.read(spark, path, schema, 16)
+              .collect().map(r => r.getLong(0) -> r.getLong(1))
+            catch { case _: Throwable => Array.empty[(Long, Long)] } // loud window: retry next gen
+          if (rows.nonEmpty) {
+            val m = rows.toMap
+            if (rows.length != m.size || m.keySet != (0L until WriterKeys).toSet ||
+                !m.values.forall(v => v >= 1L && v <= gen)) {
+              writerOk = false
+              System.err.println(
+                s"[concurrent] WRITER READ TORN at gen=$gen: ${rows.length} rows, " +
+                  s"${m.size} keys")
+            }
+          }
+          gens = gen
+        }
+      }
+    }
+
     tenantCounts.foreach { n =>
       val pool = Executors.newFixedThreadPool(n)
+      val writer = if (withWriter) Some(new Writer) else None
+      writer.foreach(_.start())
       val t0 = System.nanoTime()
       val results =
         try {
@@ -96,8 +159,12 @@ object ConcurrentBench {
             })
           }
           futures.map(_.get(7200, TimeUnit.SECONDS))
-        } finally pool.shutdownNow() // non-daemon threads must never outlive a failed run
+        } finally {
+          pool.shutdownNow() // non-daemon threads must never outlive a failed run
+          writer.foreach { w => w.halt = true; w.join(600000) }
+        }
       walls(n) = (System.nanoTime() - t0) / 1e9
+      writer.foreach(w => writerGens(n) = w.gens)
       if (baseline.isEmpty) baseline = results.head
       results.zipWithIndex.foreach { case (m, i) =>
         names.foreach { q =>
@@ -122,8 +189,15 @@ object ConcurrentBench {
     def dec(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val tj = walls.map { case (n, s) => s""""$n":${dec(s)}""" }.mkString("{", ",", "}")
     val load = s""""load":{"start":${dec(loadStart)},"end":${dec(graft.Bench.loadAvg())},"host_cpus":${Runtime.getRuntime.availableProcessors}}"""
+    val writerJson =
+      if (!withWriter) ""
+      else {
+        val gj = writerGens.map { case (n, g) => s""""$n":$g""" }
+          .mkString("{", ",", "}")
+        s""","writer_gens":$gj,"writer_reads_ok":$writerOk"""
+      }
     spark.sparkContext.setLogLevel("OFF")
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"concurrent","sf":"$sfDir","tenants":$tj,"parity":$parity,"queries":${names.size},"sha":"$sha",$load}""")
+    println(s"""{"metric":"concurrent","sf":"$sfDir","tenants":$tj,"parity":$parity,"queries":${names.size},"sha":"$sha",$load$writerJson}""")
   }
 }
