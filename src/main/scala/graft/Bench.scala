@@ -285,8 +285,14 @@ object Bench {
     // artifact alone (idle box ⇒ load ≈ the bench's own threads).
     val loadJson =
       s""","load":{"start":${dec(loadStart, 1)},"end":${dec(loadAvg(), 1)},"host_cpus":${Runtime.getRuntime.availableProcessors}}"""
+    // readMany resolve-loop cost of the store-backed queries this run
+    // (r18 race fix): 0 reprobes on an uncontended box — any nonzero
+    // count here is the measured price of the re-probe, per VERDICT #5.
+    val ps = graft.sink.BucketStore.probeStats()
+    val probeJson = if (ps.resolves == 0L) "" else
+      s""","store_probes":{"resolves":${ps.resolves},"reprobes":${ps.reProbes},"max_reprobe":${ps.maxReProbes}}"""
     val fullJson =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"$shaJson$loadJson,"reps":$reps,"stat":"min","interleaved":true,"failed":$fullFailed,"stage_build_sec":$stageJson,"stage_build_total":${sec3(stageTotal)},"warm_plus_cold_total":${sec3(total + stageTotal)},"samples":$fullSamples,"bench_diff_gt1.5x":$diffFull$latJson}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"$shaJson$loadJson$probeJson,"reps":$reps,"stat":"min","interleaved":true,"failed":$fullFailed,"stage_build_sec":$stageJson,"stage_build_total":${sec3(stageTotal)},"warm_plus_cold_total":${sec3(total + stageTotal)},"samples":$fullSamples,"bench_diff_gt1.5x":$diffFull$latJson}"""
     println(fullJson)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),

@@ -120,10 +120,18 @@ object Sessionize {
         // makes Spark throw and kill the query, and restored state /
         // filterless paths can still produce one. Semantically the clamp
         // is "expire at the first opportunity" — what the Redis TTL does
-        // for an already-stale session. (In batch the watermark is -1
-        // and timeouts never fire, so this is a no-op there.)
+        // for an already-stale session. In BATCH mode the plan has no
+        // watermark node (EliminateEventTimeWatermark strips it), so
+        // Spark 4's getCurrentWatermarkMs THROWS rather than returning
+        // -1 — fall back to -1 there: batch timeouts never fire, the
+        // clamp base is irrelevant, and this keeps the documented
+        // batch≡stream contract actually runnable in batch (caught by
+        // LatencyBench's stateful content gate, which replays the topic
+        // through this operator in batch mode).
         val target = (s.end + gapSeconds) * 1000L
-        state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1L))
+        val wmMs = try state.getCurrentWatermarkMs()
+                   catch { case _: UnsupportedOperationException => -1L }
+        state.setTimeoutTimestamp(math.max(target, wmMs + 1L))
       case None =>
         if (state.exists) state.remove()
     }

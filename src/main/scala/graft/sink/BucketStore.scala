@@ -33,6 +33,39 @@ object BucketStore {
   private def bucketCol(keyCols: Seq[String], numBuckets: Int) =
     pmod(hash(keyCols.map(col): _*), lit(numBuckets))
 
+  /** Staging roots of EVERY writer that promotes buckets through the
+    * rename-aside protocol on `path`: [[upsert]] stages at `_tmp`,
+    * [[evict]] at `_evt`. One shared helper so the reader's in-flight
+    * check and the writers' staging paths can never drift — readMany's
+    * race-free final pass is only race-free if it probes the staging
+    * root of whichever writer may be mid-promote (an evict promotes
+    * through the same dst→_old two-rename window as an upsert, so a
+    * reader that only watched `_tmp` could take the final pass during
+    * an evict and silently resolve a surviving bucket to None).
+    * [[rebucket]] writes to a FRESH root (`newPath + "_tmp"`) and never
+    * touches `path`'s buckets, so it needs no entry here. */
+  private def upsertStaging(path: String) = path + "_tmp"
+  private def evictStaging(path: String) = path + "_evt"
+  private def stagingRoots(path: String): Seq[String] =
+    Seq(upsertStaging(path), evictStaging(path))
+
+  /** Resolve-loop telemetry (process-wide, measurement only): how often
+    * the bounded re-probe in [[readMany]] actually runs, and how deep.
+    * `resolves` counts per-bucket resolutions, `reProbes` the extra
+    * loop iterations taken beyond the first live/old pass (0 on every
+    * uncontended read), `maxReProbes` the deepest single resolution.
+    * Bench/ConcurrentBench publish these so the race fix's cost at
+    * scale is a recorded distribution, not a guess. */
+  private val resolveCount = new java.util.concurrent.atomic.AtomicLong
+  private val reProbeCount = new java.util.concurrent.atomic.AtomicLong
+  private val maxReProbe = new java.util.concurrent.atomic.AtomicLong
+  final case class ProbeStats(resolves: Long, reProbes: Long, maxReProbes: Long)
+  def probeStats(): ProbeStats =
+    ProbeStats(resolveCount.get(), reProbeCount.get(), maxReProbe.get())
+  def resetProbeStats(): Unit = {
+    resolveCount.set(0); reProbeCount.set(0); maxReProbe.set(0)
+  }
+
   /** Recovering read of many buckets as ONE relation: every resolved
     * bucket generation dir (live, else its `_old` backup) goes into a
     * single multi-path parquet scan — one FileIndex, one plan leaf.
@@ -65,33 +98,45 @@ object BucketStore {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     def resolve(b: Int): Option[String] = {
+      resolveCount.incrementAndGet()
       val live = bucketDir(path, b)
       val old = live + "_old"
       var probe = 0
-      while (probe < 64) {
-        if (fs.exists(new org.apache.hadoop.fs.Path(live))) return Some(live)
-        if (fs.exists(new org.apache.hadoop.fs.Path(old))) return Some(old)
-        // Neither generation visible. If no upsert is in flight (the
-        // writer's staging root is gone — it exists from the batch
-        // write until after the last bucket's promote), no transitions
-        // are in progress, so ONE more live/old pass is race-free:
-        // either the bucket resolves (the earlier misses straddled the
-        // just-finished promote) or it is genuinely unwritten — a few
-        // cheap exists calls, no sleeps. Otherwise a promote may be
-        // mid-rename: back off briefly and re-probe. A writer that
-        // CRASHED mid-promote always leaves dst or _old (the backup
-        // delete is the last step), so the loop can only exhaust on a
-        // crashed writer's stale staging root: fall through to
-        // "unwritten", matching the crash-recovery contract.
-        if (!fs.exists(new org.apache.hadoop.fs.Path(path + "_tmp"))) {
+      def note(): Unit = if (probe > 0) {
+        reProbeCount.addAndGet(probe.toLong)
+        var cur = maxReProbe.get()
+        while (probe > cur && !maxReProbe.compareAndSet(cur, probe.toLong))
+          cur = maxReProbe.get()
+      }
+      try {
+        while (probe < 64) {
           if (fs.exists(new org.apache.hadoop.fs.Path(live))) return Some(live)
           if (fs.exists(new org.apache.hadoop.fs.Path(old))) return Some(old)
-          return None
+          // Neither generation visible. If NO bucket-promoting writer is
+          // in flight (every staging root is gone — upsert's `_tmp` AND
+          // evict's `_evt`, both via [[stagingRoots]]; each exists from
+          // its batch write until after its last bucket's promote), no
+          // transitions are in progress, so ONE more live/old pass is
+          // race-free: either the bucket resolves (the earlier misses
+          // straddled the just-finished promote) or it is genuinely
+          // unwritten / fully evicted — a few cheap exists calls, no
+          // sleeps. Otherwise a promote may be mid-rename: back off
+          // briefly and re-probe. A writer that CRASHED mid-promote
+          // always leaves dst or _old (the backup delete is the last
+          // step), so the loop can only exhaust on a crashed writer's
+          // stale staging root: fall through to "unwritten", matching
+          // the crash-recovery contract.
+          if (!stagingRoots(path).exists(r =>
+              fs.exists(new org.apache.hadoop.fs.Path(r)))) {
+            if (fs.exists(new org.apache.hadoop.fs.Path(live))) return Some(live)
+            if (fs.exists(new org.apache.hadoop.fs.Path(old))) return Some(old)
+            return None
+          }
+          probe += 1
+          Thread.sleep(2)
         }
-        probe += 1
-        Thread.sleep(2)
-      }
-      None
+        None
+      } finally note()
     }
     val dirs = buckets.flatMap(resolve)
     if (dirs.isEmpty)
@@ -129,7 +174,7 @@ object BucketStore {
     // every later read of the bucket pays for). One task per touched
     // bucket writes one coherent file; a bucket too big for one task is
     // a numBuckets sizing problem, not a write-parallelism one.
-    val tmpRoot = path + "_tmp"
+    val tmpRoot = upsertStaging(path)
     merged.repartition(touched.length, col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket").parquet(tmpRoot)
     // ...then each bucket promotes independently via rename-aside
@@ -226,7 +271,7 @@ object BucketStore {
       // one coherent file per surviving bucket (the upsert discipline)
       .repartition(live.length, col("__bucket"))
       .localCheckpoint() // one pass: the write below + the count
-    val tmpRoot = path + "_evt"
+    val tmpRoot = evictStaging(path)
     survivors.write.mode("overwrite").partitionBy("__bucket").parquet(tmpRoot)
     live.foreach { b =>
       val staged = s"$tmpRoot/__bucket=$b"

@@ -94,9 +94,13 @@ object StreamFunnel {
     // fresh partial funnel (found the hard way; the clamp one past the
     // watermark is the Sessionize discipline — Spark rejects timeouts
     // at or below it).
+    // Batch mode has no watermark node and Spark 4 THROWS on
+    // getCurrentWatermarkMs there (timeouts never fire in batch, so -1
+    // keeps the operator batch-runnable — the Sessionize discipline).
     if (withTimeout)
       state.setTimeoutTimestamp(math.max(s.lastMs + IdleTimeoutMs,
-        state.getCurrentWatermarkMs() + 1L))
+        (try state.getCurrentWatermarkMs()
+         catch { case _: UnsupportedOperationException => -1L }) + 1L))
     out.result().iterator
   }
 }

@@ -94,6 +94,8 @@ object ConcurrentBench {
     var writerOk = true
     val walls = scala.collection.mutable.LinkedHashMap[Int, Double]()
     val writerGens = scala.collection.mutable.LinkedHashMap[Int, Long]()
+    val writerVerified = scala.collection.mutable.LinkedHashMap[Int, Long]()
+    val writerReadFails = scala.collection.mutable.LinkedHashMap[Int, Long]()
 
     /** Continuous ingest: generation upserts into a fresh scratch
       * BucketStore, each verified by a full read-back (complete key
@@ -106,6 +108,8 @@ object ConcurrentBench {
     final class Writer extends Thread {
       @volatile var halt = false
       @volatile var gens = 0L
+      @volatile var verified = 0L  // generations whose read-back PASSED
+      @volatile var readFails = 0L // read attempts that threw (loud window)
       private val WriterKeys = 5000L
       private val path =
         java.nio.file.Files.createTempDirectory("cb_writer").toString + "/store"
@@ -120,19 +124,23 @@ object ConcurrentBench {
           graft.sink.BucketStore.upsert(spark,
             keys.select(col("k"), lit(gen).as("v")), path, Seq("k"),
             numBuckets = 16)
+          // The read runs AFTER upsert() returned with a single writer,
+          // so the store must hold EXACTLY this generation for every
+          // key: v == gen, not v <= gen — a bucket stuck at a stale
+          // generation is a lost update, precisely what this verifies.
           val rows =
-            try graft.sink.BucketStore.read(spark, path, schema, 16)
-              .collect().map(r => r.getLong(0) -> r.getLong(1))
-            catch { case _: Throwable => Array.empty[(Long, Long)] } // loud window: retry next gen
-          if (rows.nonEmpty) {
-            val m = rows.toMap
-            if (rows.length != m.size || m.keySet != (0L until WriterKeys).toSet ||
-                !m.values.forall(v => v >= 1L && v <= gen)) {
+            try Some(graft.sink.BucketStore.read(spark, path, schema, 16)
+              .collect().map(r => r.getLong(0) -> r.getLong(1)))
+            catch { case _: Throwable => readFails += 1; None } // loud window: retry next gen
+          rows.foreach { rs =>
+            val m = rs.toMap
+            if (rs.length != m.size || m.keySet != (0L until WriterKeys).toSet ||
+                !m.values.forall(_ == gen)) {
               writerOk = false
               System.err.println(
-                s"[concurrent] WRITER READ TORN at gen=$gen: ${rows.length} rows, " +
-                  s"${m.size} keys")
-            }
+                s"[concurrent] WRITER READ TORN at gen=$gen: ${rs.length} rows, " +
+                  s"${m.size} keys, gens=${m.values.toSet.toSeq.sorted.take(8)}")
+            } else verified += 1
           }
           gens = gen
         }
@@ -164,7 +172,20 @@ object ConcurrentBench {
           writer.foreach { w => w.halt = true; w.join(600000) }
         }
       walls(n) = (System.nanoTime() - t0) / 1e9
-      writer.foreach(w => writerGens(n) = w.gens)
+      writer.foreach { w =>
+        writerGens(n) = w.gens
+        writerVerified(n) = w.verified
+        writerReadFails(n) = w.readFails
+        // Zero verified generations while the writer produced any means
+        // every read-back failed or was skipped — "no data verified"
+        // must never masquerade as writer_reads_ok.
+        if (w.gens > 0 && w.verified == 0) {
+          writerOk = false
+          System.err.println(
+            s"[concurrent] WRITER n=$n: ${w.gens} gens but ZERO verified " +
+              s"read-backs (${w.readFails} read failures) — reads_ok=false")
+        }
+      }
       if (baseline.isEmpty) baseline = results.head
       results.zipWithIndex.foreach { case (m, i) =>
         names.foreach { q =>
@@ -192,12 +213,16 @@ object ConcurrentBench {
     val writerJson =
       if (!withWriter) ""
       else {
-        val gj = writerGens.map { case (n, g) => s""""$n":$g""" }
-          .mkString("{", ",", "}")
-        s""","writer_gens":$gj,"writer_reads_ok":$writerOk"""
+        def lm(m: scala.collection.Map[Int, Long]) =
+          m.map { case (n, g) => s""""$n":$g""" }.mkString("{", ",", "}")
+        s""","writer_gens":${lm(writerGens)},"writer_verified":${lm(writerVerified)}""" +
+          s""","writer_read_fails":${lm(writerReadFails)},"writer_reads_ok":$writerOk"""
       }
+    val ps = graft.sink.BucketStore.probeStats()
+    val probeJson = if (ps.resolves == 0L) "" else
+      s""","store_probes":{"resolves":${ps.resolves},"reprobes":${ps.reProbes},"max_reprobe":${ps.maxReProbes}}"""
     spark.sparkContext.setLogLevel("OFF")
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"concurrent","sf":"$sfDir","tenants":$tj,"parity":$parity,"queries":${names.size},"sha":"$sha",$load$writerJson}""")
+    println(s"""{"metric":"concurrent","sf":"$sfDir","tenants":$tj,"parity":$parity,"queries":${names.size},"sha":"$sha",$load$writerJson$probeJson}""")
   }
 }

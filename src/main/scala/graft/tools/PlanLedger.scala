@@ -21,11 +21,16 @@ import graft.plans.PlanFingerprint
   * (partition counts embedded in exchange nodes are not normalized;
   * see PlanFingerprint scaladoc).
   *
-  * Usage: PlanLedger <sfDir> <outJson> [dumpDir]
+  * Usage: PlanLedger <sfDir> <outJson> [dumpDir|-] [sf01Dir]
   *
-  * With `dumpDir`, also writes each query's NORMALIZED plan text to
-  * `dumpDir/<name>.txt` — diff two dumps to see exactly which plan
-  * lines drifted when a fingerprint changes.
+  * With `dumpDir` (`-` to skip), also writes each query's NORMALIZED
+  * plan text to `dumpDir/<name>.txt` — diff two dumps to see exactly
+  * which plan lines drifted when a fingerprint changes. `sf01Dir`
+  * (default `/root/testdata/sf0.1`) is the second ledger column: each
+  * entry carries `fp` (at sfDir) AND `fp01` (at sf0.1), because
+  * measurement-derived plan knobs (adaptive LSH widths, band ladders,
+  * broadcast thresholds) only move at larger SFs — PlanLedgerSpec
+  * diffs both columns.
   */
 object PlanLedger {
 
@@ -53,7 +58,14 @@ object PlanLedger {
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outJson) = args.take(2)
-    val dumpDir = args.lift(2)
+    val dumpDir = args.lift(2).filter(_ != "-")
+    // Second ledger column (r18 verdict #2): fingerprints at sf0.1 too.
+    // Plans are data-dependent where the library derives knobs by
+    // measurement (RpLsh.widthFor tiers, BandLadder widths, broadcast
+    // thresholds) — a scale-dependent plan regression is invisible at
+    // sf0.001 by construction, so the ledger pins BOTH scale points and
+    // PlanLedgerSpec diffs both.
+    val sf01Dir = args.lift(3).getOrElse("/root/testdata/sf0.1")
     val spark = graft.GraftSession.builder("4").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -66,7 +78,9 @@ object PlanLedger {
       }
     }
     val rows = collect(spark, sfDir)
-    val errs = rows.collect { case (n, Left(m)) => (n, m) }
+    val rows01 = collect(spark, sf01Dir).toMap
+    val errs = rows.collect { case (n, Left(m)) => (n, m) } ++
+      rows01.toSeq.sortBy(_._1).collect { case (n, Left(m)) => (n, s"[sf0.1] $m") }
     val sha = try {
       val p = new ProcessBuilder("git", "-C", "/root/repo",
         "rev-parse", "--short", "HEAD").redirectErrorStream(true).start()
@@ -76,10 +90,16 @@ object PlanLedger {
 
     val body = new StringBuilder
     body ++= "{\n"
-    body ++= s""" "_meta": {"sha": ${q(sha)}, "sf_dir": ${q(sfDir)}, "cpus": "4", "spark": ${q(spark.version)}, "queries": ${rows.size}},\n"""
+    body ++= s""" "_meta": {"sha": ${q(sha)}, "sf_dir": ${q(sfDir)}, "sf01_dir": ${q(sf01Dir)}, "cpus": "4", "spark": ${q(spark.version)}, "queries": ${rows.size}},\n"""
     body ++= rows.map {
       case (n, Right(f)) =>
-        s""" ${q(n)}: {"fp": ${q(f.fp)}, "nodes": ${f.nodes}, "shuffles": ${f.shuffles}, "broadcasts": ${f.broadcasts}, "scans": ${f.scans}, "reused": ${f.reused}}"""
+        val col01 = rows01.get(n) match {
+          case Some(Right(f01)) =>
+            s""", "fp01": ${q(f01.fp)}, "shuffles01": ${f01.shuffles}, "broadcasts01": ${f01.broadcasts}"""
+          case Some(Left(m)) => s""", "err01": ${q(m)}"""
+          case None          => ""
+        }
+        s""" ${q(n)}: {"fp": ${q(f.fp)}, "nodes": ${f.nodes}, "shuffles": ${f.shuffles}, "broadcasts": ${f.broadcasts}, "scans": ${f.scans}, "reused": ${f.reused}$col01}"""
       case (n, Left(m)) =>
         s""" ${q(n)}: {"err": ${q(m)}}"""
     }.mkString(",\n")

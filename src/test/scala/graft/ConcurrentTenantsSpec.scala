@@ -148,4 +148,68 @@ class ConcurrentTenantsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fin.keySet == keys.toSet && fin.values.toSet == Set(gens.toLong))
   }
+
+  test("readers under a live EVICT never silently lose surviving keys") {
+    // The r18 readMany fix watched only upsert's `_tmp` staging root;
+    // evict() promotes buckets through the SAME dst→_old two-rename
+    // window but stages at `_evt` — so a reader could take the
+    // "race-free" final pass mid-evict and silently resolve a SURVIVING
+    // bucket to None (r18 ADVICE, medium). Both roots now come from one
+    // stagingRoots helper; this test races full reads against a
+    // writer alternating upsert and evict, asserting every successful
+    // read contains ALL never-evicted keys.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("bs_ev").toString + "/store"
+    val schema = Seq((0L, 0L)).toDF("k", "v").schema
+    val persistent = 0L until 100L   // keep-filter always retains these
+    val ephemeral = 100L until 120L  // evicted each pass
+    val all = persistent ++ ephemeral
+    val gens = 3
+    def write(gen: Int): Unit = graft.sink.BucketStore.upsert(spark,
+      all.map(k => (k, gen.toLong)).toDF("k", "v"), path, Seq("k"), numBuckets = 8)
+    write(1)
+    @volatile var writerDone = false
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      val writer = pool.submit(new Callable[Unit] { def call(): Unit = {
+        (2 to gens).foreach { g =>
+          graft.sink.BucketStore.evict(spark, path, schema,
+            col("k") < 100L, Seq("k"), numBuckets = 8)
+          write(g)
+        }
+        writerDone = true
+      }})
+      val readers = (0 until 3).map(_ => pool.submit(new Callable[Int] {
+        def call(): Int = {
+          var reads = 0
+          while (!writerDone) {
+            val rows =
+              try graft.sink.BucketStore.read(spark, path, schema, 8)
+                .collect().map(r => r.getLong(0) -> r.getLong(1))
+              catch { case _: Throwable => Array.empty[(Long, Long)] } // loud window: retry
+            if (rows.nonEmpty) {
+              reads += 1
+              val m = rows.toMap
+              assert(rows.length == m.size, "duplicate keys in one read")
+              // ephemeral keys legitimately come and go; surviving keys
+              // must NEVER vanish from a successful read
+              assert(persistent.forall(m.contains),
+                s"read lost surviving keys mid-evict: missing " +
+                  s"${persistent.filterNot(m.contains).take(5)}")
+              assert(m.values.forall(v => v >= 1L && v <= gens),
+                "value outside any written generation")
+            }
+          }
+          reads
+        }
+      }))
+      writer.get(600, TimeUnit.SECONDS)
+      val totalReads = readers.map(_.get(600, TimeUnit.SECONDS)).sum
+      assert(totalReads > 0, "readers must have observed the store under evicts")
+    } finally pool.shutdownNow()
+    val fin = graft.sink.BucketStore.read(spark, path, schema, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin.keySet == all.toSet && fin.values.toSet == Set(gens.toLong))
+  }
 }

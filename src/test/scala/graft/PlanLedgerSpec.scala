@@ -23,13 +23,14 @@ import graft.plans.PlanFingerprint
   */
 class PlanLedgerSpec extends SparkTestBase {
   private val sf = "/root/testdata/sf0.001"
+  private val sf01 = "/root/testdata/sf0.1"
   private val ledgerPath = "/root/repo/PLANS.json"
 
   // minimal parse of PlanLedger's flat JSON (no deps): top-level keys
-  // map to {"fp": "...", ...}; _meta is skipped.
-  private def committedFps(json: String): Map[String, String] = {
+  // map to {"fp": "...", "fp01": "...", ...}; _meta is skipped.
+  private def committedFps(json: String, field: String): Map[String, String] = {
     val entry = """"((?:[^"\\]|\\.)*)":\s*\{([^}]*)\}""".r
-    val fpField = """"fp":\s*"([0-9a-f]+)"""".r
+    val fpField = ("\"" + field + """":\s*"([0-9a-f]+)"""").r
     entry.findAllMatchIn(json).flatMap { m =>
       val name = m.group(1)
       if (name == "_meta") None
@@ -37,27 +38,39 @@ class PlanLedgerSpec extends SparkTestBase {
     }.toMap
   }
 
-  test("every registry query's physical plan matches the committed ledger") {
+  /** One column of the two-SF ledger diff (r18 verdict #2: a plan knob
+    * derived by measurement — adaptive LSH widths, band ladders,
+    * broadcast thresholds — only moves at larger SFs, so sf0.001 alone
+    * cannot see a scale-dependent plan regression). */
+  private def diffColumn(sfDir: String, field: String): Unit = {
     assert(Files.exists(Paths.get(ledgerPath)),
       s"$ledgerPath missing — generate it: tools/run_main.sh graft.tools.PlanLedger $sf PLANS.json")
-    val committed = committedFps(Files.readString(Paths.get(ledgerPath)))
-    val current = tools.PlanLedger.collect(spark, sf)
+    val committed = committedFps(Files.readString(Paths.get(ledgerPath)), field)
+    val current = tools.PlanLedger.collect(spark, sfDir)
 
     val errs = current.collect { case (n, Left(m)) => s"$n: $m" }
-    assert(errs.isEmpty, s"queries failed to build a plan:\n  ${errs.mkString("\n  ")}")
+    assert(errs.isEmpty, s"queries failed to build a plan at $sfDir:\n  ${errs.mkString("\n  ")}")
 
     val names = current.map(_._1).toSet
     assert(names == committed.keySet,
-      s"registry/ledger key drift — only in registry: ${(names -- committed.keySet).toSeq.sorted.mkString(",")}; " +
+      s"registry/ledger key drift ($field) — only in registry: ${(names -- committed.keySet).toSeq.sorted.mkString(",")}; " +
         s"only in ledger: ${(committed.keySet -- names).toSeq.sorted.mkString(",")} — regenerate PLANS.json")
 
     val drifted = current.collect {
       case (n, Right(f)) if committed(n) != f.fp => s"$n (${f.summary})"
     }
     assert(drifted.isEmpty,
-      s"${drifted.size} plan fingerprints drifted from PLANS.json — a real plan change " +
+      s"${drifted.size} plan fingerprints drifted from PLANS.json ($field @ $sfDir) — a real plan change " +
         "(fix it, or acknowledge with tools/run_main.sh graft.tools.PlanLedger):\n  " +
         drifted.mkString("\n  "))
+  }
+
+  test("every registry query's physical plan matches the committed ledger") {
+    diffColumn(sf, "fp")
+  }
+
+  test("sf0.1 plan column matches the committed ledger (scale-dependent knobs)") {
+    diffColumn(sf01, "fp01")
   }
 
   test("fingerprint is invariant to ids/paths but sensitive to shape") {

@@ -95,4 +95,13 @@ print(left)")
   if [ "$left" = "0" ]; then break; fi
   sleep 20
 done
+# A _FAILED marker means a query was never verified: the sweep is
+# INCOMPLETE and must say so machine-readably — exit nonzero so a
+# wrapper (or a 190/190 verdict script) can't mistake a gapped sweep
+# for a clean one. The markers stay in $CLAIMS for inspection/retry.
+failed=$(ls -d "$CLAIMS"/*/_FAILED 2>/dev/null | sed 's|.*/\([^/]*\)/_FAILED|\1|' | tr '\n' ' ')
+if [ -n "$failed" ]; then
+  echo "== ledger_worker $LEDGER: INCOMPLETE — _FAILED queries: $failed" >&2
+  exit 1
+fi
 echo "== ledger_worker $LEDGER: no more claims"

@@ -114,7 +114,19 @@ def main():
     if par > 1:
         m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([A-Za-z]+)", memory.strip())
         if m:
-            per = max(float(m.group(1)) / par, 1.0)
+            per = float(m.group(1)) / par
+            if per < 1.0:
+                # Flooring per-shard memory at 1 unit would silently
+                # commit par*1 > budget (and "1" is unit-blind: 1 of MB
+                # vs GB). Respect the budget instead: lower par so each
+                # shard gets >= 1 unit, and say so loudly.
+                new_par = max(int(float(m.group(1))), 1)
+                print(f"== sharded_ledger: WARNING --memory {memory} / "
+                      f"--par {par} is < 1{m.group(2)} per shard; "
+                      f"lowering --par to {new_par} to stay within the "
+                      f"budget", file=sys.stderr)
+                par = new_par
+                per = float(m.group(1)) / par
             memory = f"{per:g}{m.group(2)}"
             print(f"== sharded_ledger: --par {par} -> {memory} per shard")
     os.makedirs(tempdir, exist_ok=True)
