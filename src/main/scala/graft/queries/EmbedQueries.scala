@@ -2156,18 +2156,23 @@ object EmbedQueries {
             base.withColumn("score", col("rel"))
               .orderBy(col("rel").desc, col("vec_id")).limit(1)
           else {
-            val selDf = selected.map(x => (x._1, x._2, x._3))
-              .toDF("s_id", "qs", "ns")
-            // q/nq ride the aggregation via first() (constant per
-            // vec_id) — no second join against base per greedy round
+            // Map-only marginal: the selected set is ≤ K rows the DRIVER
+            // already holds, so each greedy round scores max-sim-to-
+            // selected as greatest() over one int_dot per selected vector
+            // (each selected q rides the plan as a bigint array literal).
+            // max over k grouped rows IS greatest over the k values —
+            // bit-identical doubles — but with ZERO exchange; the former
+            // crossJoin(broadcast)+groupBy(vec_id) shape shuffled the
+            // whole scored base every round (K−1 = 7 exchanges per query).
+            val cosCols = selected.map { case (_, qs, ns, _, _) =>
+              Similarity.cosine(
+                expr(s"int_dot(q, array(${qs.mkString("L,")}L))"),
+                col("nq"), lit(ns))
+            }
+            val ms =
+              if (cosCols.length == 1) cosCols.head else greatest(cosCols: _*)
             base.filter(!col("vec_id").isin(selected.map(_._1): _*))
-              .crossJoin(broadcast(selDf))
-              .withColumn("cos",
-                Similarity.cosine(Similarity.dotQ("q", "qs"), col("nq"), col("ns")))
-              .groupBy(col("vec_id"))
-              .agg(max(col("cos")).as("ms"), first(col("rel")).as("rel"),
-                first(col("q")).as("q"), first(col("nq")).as("nq"))
-              .withColumn("score", col("rel") - lit(0.5) * col("ms"))
+              .withColumn("score", col("rel") - lit(0.5) * ms)
               .orderBy(col("score").desc, col("vec_id")).limit(1)
           }
         val row = winner.select(col("vec_id"), col("q"), col("nq"),

@@ -105,10 +105,25 @@ object FingerprintQueries {
   private val SubW = 8
   private val SubDupMax = 0.5
 
-  private def substrDup(s: SparkSession, d: String): DataFrame = {
-    val occ = ngramRows(Tables.documents(s, d), SubW)
-      .select(col("doc_id"), portableHash(col("s")).as("h"))
+  /** The stride-1 window-hash position table (doc_id, pos, h) at the
+    * substring-dedup width — the corpus gram+md5 pass shared by
+    * substr_scrub (position-level excision) and substr_dup_gram (whose
+    * per-(h, doc) occurrence counts are a rollup of the same rows),
+    * via [[graft.SharedStages.subWinPos]]. h-keyed so every consumer's
+    * h-clustered window/aggregation reuses the one exchange. */
+  private[graft] def buildSubWinPos(s: SparkSession, d: String): DataFrame =
+    graft.text.TextFunctions
+      .ngramRowsPos(Tables.parallelize(Tables.documents(s, d)),
+        "doc_id", "text", SubW)
+      .select(col("doc_id"), col("pos"), portableHash(col("s")).as("h"))
       .repartition(col("h"))
+
+  private def substrDup(s: SparkSession, d: String): DataFrame = {
+    // occurrence counts are a rollup of the shared position table —
+    // one row per window occurrence either way, so the per-(h, doc)
+    // counts are identical to hashing the position-free gram stream
+    val occ = graft.SharedStages.subWinPos(s, d)
+      .select(col("doc_id"), col("h"))
       .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
     occ
       // one row per (h, doc) ⇒ the window count IS the distinct-doc count
@@ -209,11 +224,10 @@ object FingerprintQueries {
   // one that holds for arbitrarily long documents (SubstrScrubSpec
   // pins both the equivalence and the long-doc case).
   private def substrScrub(s: SparkSession, d: String): DataFrame = {
-    val win = graft.text.TextFunctions
-      .ngramRowsPos(Tables.parallelize(Tables.documents(s, d)),
-        "doc_id", "text", SubW)
-      .select(col("doc_id"), col("pos"), portableHash(col("s")).as("h"))
-      .repartition(col("h"))
+    // the gram+md5 position table is the family's shared materialized
+    // pass ([[graft.SharedStages.subWinPos]], also consumed by
+    // substr_dup_gram); the canonical-doc window reuses its h keying
+    val win = graft.SharedStages.subWinPos(s, d)
     val remByDoc = win
       .withColumn("canon", min(col("doc_id"))
         .over(Window.partitionBy(col("h"))))
@@ -297,22 +311,29 @@ object FingerprintQueries {
   // span per doc = max span_len with n_dup_windows > 0.
   private val SpanLadder = Seq(8, 16, 32, 64)
 
-  private def dupSpanLadder(s: SparkSession, d: String): DataFrame =
-    SpanLadder.map { l =>
-      val occ = graft.text.SuffixArray
-        .windowOccurrences(Tables.documents(s, d), "doc_id", "text", l)
-        .repartition(col("h"))
-        .groupBy(col("h"), col("doc_id")).agg(sum(col("c")).as("c"))
-      occ
-        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("h"))))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_windows"),
-          sum(when(col("n_docs") >= 2, col("c")).otherwise(0L))
-            .as("n_dup_windows"))
-        .withColumn("span_len", lit(l))
-        .select(col("doc_id"), col("span_len"), col("n_windows"),
-          col("n_dup_windows"))
-    }.reduce(_ unionByName _)
+  private def dupSpanLadder(s: SparkSession, d: String): DataFrame = {
+    // ONE shard pass emits every rung (the corpus is read, tokenized and
+    // interned once — [[graft.text.SuffixArray.windowOccurrencesMulti]];
+    // the former per-rung form paid 4 full scan+tokenize+intern passes)
+    // and ONE h-keyed exchange serves all rungs' pre-agg, window and
+    // rollup: partitioning by h clusters (w, h) too, so the per-rung
+    // stages reuse it — 4 exchanges → 1, with identical per-rung rows
+    // (w rides the rows; rungs never mix because w is in every key).
+    val occ = graft.text.SuffixArray
+      .windowOccurrencesMulti(Tables.documents(s, d), "doc_id", "text",
+        SpanLadder)
+      .repartition(col("h"))
+      .groupBy(col("w"), col("h"), col("doc_id")).agg(sum(col("c")).as("c"))
+    occ
+      .withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy(col("w"), col("h"))))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(sum(col("c")).as("n_windows"),
+        sum(when(col("n_docs") >= 2, col("c")).otherwise(0L))
+          .as("n_dup_windows"))
+      .select(col("doc_id"), col("w").cast("int").as("span_len"),
+        col("n_windows"), col("n_dup_windows"))
+  }
 
   /** [[graft.text.TextFunctions.shinglesSql]] builds an n-term `||`
     * chain, which left-nests past DuckDB's 128-deep binder recursion at

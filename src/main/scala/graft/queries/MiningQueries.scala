@@ -223,11 +223,13 @@ object MiningQueries {
   private val NovN = 5
 
   private def ngramNovelty(s: SparkSession, d: String): DataFrame = {
-    val occ = TextFunctions
-      .ngramRows(Tables.documents(s, d), "doc_id", "text", NovN)
-      .select(col("doc_id"), portableHash(col("s")).as("h"))
-      .repartition(col("h"))
-      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+    // distinct (doc, h) occurrences come from the family's shared
+    // materialized gram pass ([[graft.SharedStages.gramOcc]]) — the
+    // per-(h, doc) count the former inline pre-agg produced was never
+    // consumed (only row existence is), so the shared distinct table is
+    // the same input; its h partitioning survives the checkpoint and
+    // the first-doc window reuses it exchange-free.
+    val occ = graft.SharedStages.gramOcc(s, d, NovN)
     occ
       .withColumn("first_doc",
         min(col("doc_id")).over(Window.partitionBy(col("h"))))
@@ -282,15 +284,16 @@ object MiningQueries {
   private def noveltyProbeAgainst(s: SparkSession, d: String,
                                   storePath: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val docs = Tables.documents(s, d)
-    // consumed TWICE (bounded bucket-id collect, then the join) —
-    // materialize once (same localCheckpoint discipline as SharedStages)
-    val occ = TextFunctions
-      .ngramRows(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", NovN)
-      .select(col("doc_id"), portableHash(col("s")).as("h"))
-      .repartition(col("h"))
-      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    // The incoming batch's distinct gram table is a filter over the
+    // family's shared materialized pass ([[graft.SharedStages.gramOcc]])
+    // — novelty_incr and novelty_probe both consume this identical
+    // derivation and previously each re-ran the corpus gram+hash pass
+    // (and re-checkpointed it) per invocation. The per-(h, doc) count
+    // the former inline pre-agg carried was never consumed. Both probe
+    // consumers (the bounded bucket-id collect, then the join) now read
+    // the checkpoint.
+    val occ = graft.SharedStages.gramOcc(s, d, NovN)
+      .filter(col("doc_id") % 2 === 1)
     val schema = StructType(Seq(StructField("h", LongType)))
     val store = graft.sink.BucketStore.readBuckets(s, storePath, schema,
       graft.sink.BucketStore.touchedBuckets(occ, Seq("h"), NovBuckets))
@@ -371,10 +374,16 @@ object MiningQueries {
   private val KmvMaxHash = 1152921504606846976L // 2^60 (15 hex digits)
 
   private def kmvOverlap(s: SparkSession, d: String): DataFrame = {
+    // Shingle keyed by SOURCE directly: each input row is one document,
+    // so ngramRows(source, text) emits the same (source, gram) stream the
+    // former doc_id form produced — the sketch never needs the per-doc
+    // identity, so the doc-keyed join that shipped the whole gram stream
+    // (and forced its hash pass behind a 1-partition scan) is gone; the
+    // parallelize spread puts the md5 pass on every core.
     val hashes = TextFunctions
-      .ngramRows(Tables.documents(s, d), "doc_id", "text", 3)
-      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
-        "doc_id")
+      .ngramRows(Tables.parallelize(
+        Tables.documents(s, d).select(col("source"), col("text"))),
+        "source", "text", 3)
       .select(col("source"), portableHash(col("s")).as("h"))
       .distinct()
     val topk = hashes
@@ -494,25 +503,29 @@ object MiningQueries {
   private val LexMaxDf = 25
   private val LexMinCos = 0.5
 
-  private def lexCosinePairs(s: SparkSession, d: String): DataFrame = {
-    val tf = TextFunctions.ngramRows(
+  /** The corpus trigram tf pass + term-keyed df window, pruned at the
+    * family's WIDEST cap — built once per (session, dir) via
+    * [[graft.SharedStages.lexPruned]] and consumed by lex_cosine_pairs
+    * (filtered to the production cap) and lex_df_gate (whole). The
+    * materialization also serves the three-consumer problem the former
+    * per-query localCheckpoint solved (both posting-list sides + the
+    * norms rollup would otherwise each re-run the corpus gram pass). */
+  private[graft] def buildLexPruned(s: SparkSession, d: String): DataFrame =
+    TextFunctions.ngramRows(
         Tables.parallelize(Tables.documents(s, d)), "doc_id", "text", LexN)
       .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("tf"))
-    // df via a term-keyed window over the ONE tf pipeline (tf rows are
-    // unique per (doc, term), so count == document frequency); the
-    // explicit repartition makes the term exchange visible for reuse by
-    // both posting-list sides of the self-join
-    // materialize the pruned postings ONCE: three consumers (both
-    // posting-list sides + the norms rollup) project different columns,
-    // so canonicalization sees different exchanges and re-runs the
-    // corpus gram pass per consumer (the substr_scrub round-14 lesson,
-    // caught again by the lex_df_gate plan pin) — after the df cut the
-    // postings are the SLIM rows, cheap to hold, expensive to rebuild
-    val pruned = tf.repartition(col("s"))
+      .repartition(col("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= LexDfCaps.max)
+
+  private def lexCosinePairs(s: SparkSession, d: String): DataFrame = {
+    // df is a pure function of the FULL tf table (a count per term), so
+    // the production pruned@25 postings are exactly the df ≤ 25 subset
+    // of the shared widest-cap materialization — bit-identical to
+    // re-deriving at cap 25, without re-running the corpus gram pass.
+    val pruned = graft.SharedStages.lexPruned(s, d)
       .filter(col("df") <= LexMaxDf)
       .select(col("doc_id"), col("s"), col("tf"))
-      .localCheckpoint()
     val norms = pruned.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("n2"))
     val a = pruned.select(col("s"), col("doc_id").as("a_id"),
@@ -588,17 +601,12 @@ object MiningQueries {
 
   private def lexDfGate(s: SparkSession, d: String): DataFrame = {
     val widest = LexDfCaps.max
-    val tf = TextFunctions.ngramRows(
-        Tables.parallelize(Tables.documents(s, d)), "doc_id", "text", LexN)
-      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("tf"))
     // one materialized posting table for FIVE consumers (two posting
-    // sides, two norm joins' source, the df table) — see the
-    // lex_cosine_pairs note; without this the plan pin showed the
-    // corpus gram pass scheduled five times
-    val pruned = tf.repartition(col("s"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("df") <= widest)
-      .localCheckpoint()
+    // sides, two norm joins' source, the df table) — built once per
+    // (session, dir) and shared with lex_cosine_pairs
+    // ([[graft.SharedStages.lexPruned]]); without the materialization
+    // the plan pin showed the corpus gram pass scheduled five times
+    val pruned = graft.SharedStages.lexPruned(s, d)
     val norms = pruned.groupBy(col("doc_id"))
       .agg(
         sum(when(col("df") <= LexDfCaps.head, col("tf") * col("tf"))

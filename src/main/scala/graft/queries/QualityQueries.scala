@@ -148,8 +148,14 @@ object QualityQueries {
 
   /** Per-doc BM25 scores for [[Bm25Terms]]: (doc_id, s_<term>…, score).
     * Shared by bm25_topk (top-10 report) and hybrid_rrf (lexical arm of
-    * the rank fusion). */
-  private def bm25PerDoc(s: SparkSession, d: String): DataFrame = {
+    * the rank fusion) — via the materialized
+    * [[graft.SharedStages.bm25PerDoc]], so the tokenize pass, the two
+    * driver scalars (N, avgdl) and the scoring rollup run once per
+    * (session, dir), not once per consumer. */
+  private def bm25PerDoc(s: SparkSession, d: String): DataFrame =
+    graft.SharedStages.bm25PerDoc(s, d)
+
+  private[graft] def buildBm25PerDoc(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDocs = docs.count()
     val toks = Tables.parallelize(docs)

@@ -200,14 +200,42 @@ object BucketStore {
     batch.select(bucketCol(keyCols, numBuckets).as("__b")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
 
+  /** True when `path` holds no bucket generation AND no bucket-promoting
+    * writer is in flight (no staging root) — probing such a store is a
+    * no-op, so callers can skip computing the touched-bucket set (an
+    * action over the probe batch) entirely. Mirrors [[readMany]]'s race
+    * discipline: a writer's staging root exists from its batch write
+    * until after its last promote, so "no children and no staging" is a
+    * stable empty-store certificate under the single-writer contract
+    * (a reader racing a store's FIRST write linearizes to reading
+    * before it — the same outcome the per-bucket resolve loop gives). */
+  def isEmptyStore(spark: SparkSession, path: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (stagingRoots(path).exists(r =>
+        fs.exists(new org.apache.hadoop.fs.Path(r)))) return false
+    val p = new org.apache.hadoop.fs.Path(path)
+    !fs.exists(p) || fs.listStatus(p).isEmpty
+  }
+
   /** Pruned read of only the named buckets — the probe path: a lookup
-    * batch reads the buckets its keys hash into, never the store. */
+    * batch reads the buckets its keys hash into, never the store.
+    * `buckets` is BY-NAME: the touched-bucket set is itself a Spark
+    * action over the probe batch (distinct + collect), so an empty or
+    * absent store skips that job outright — the first batch of every
+    * standing-store pipeline (and every fresh-store one-shot like the
+    * batch curation funnel) probes 4 stores that do not exist yet, and
+    * previously paid 4 full probe-batch scans to learn nothing. */
   def readBuckets(spark: SparkSession, path: String, schema: StructType,
-                  buckets: Seq[Int]): DataFrame =
-    if (buckets.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else readMany(spark, path, buckets, schema)
+                  buckets: => Seq[Int]): DataFrame = {
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (isEmptyStore(spark, path)) empty
+    else {
+      val bs = buckets
+      if (bs.isEmpty) empty else readMany(spark, path, bs, schema)
+    }
+  }
 
   // ------------------------------------------------------------ lifecycle
   // A standing store written by an unbounded stream only ever GROWS

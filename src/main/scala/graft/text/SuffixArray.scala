@@ -50,6 +50,26 @@ object SuffixArray {
       .toDF("h", "doc_id", "c")
   }
 
+  /** All rungs of a width LADDER in ONE shard pass: (w, h, doc_id, c)
+    * rows identical to running [[windowOccurrences]] once per width —
+    * but the corpus is read, tokenized and int-interned ONCE, and only
+    * the depth-w sort + run walk repeats per rung. dup_span_ladder's
+    * four rungs previously paid four full scan+tokenize+intern passes
+    * (and four separate h exchanges downstream) for work whose only
+    * per-rung difference is the window width. */
+  def windowOccurrencesMulti(docs: DataFrame, idCol: String, textCol: String,
+                             ws: Seq[Int]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val widths = ws.toArray
+    graft.Tables.parallelize(docs)
+      .select(col(idCol).cast("long"),
+        TextFunctions.tokens(col(textCol)))
+      .as[(Long, Seq[String])]
+      .mapPartitions(it => shardWindowsMulti(it, widths))
+      .toDF("w", "h", "doc_id", "c")
+  }
+
   /** The portable 60-bit string hash ([[TextFunctions.portableHash]])
     * evaluated JVM-side: first 15 hex chars of md5 as a bigint. */
   def portableHashJvm(md: java.security.MessageDigest, s: String): Long = {
@@ -58,8 +78,13 @@ object SuffixArray {
       d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
   }
 
-  private[text] def shardWindows(docs: Iterator[(Long, Seq[String])],
-                                 w: Int): Iterator[(Long, Long, Long)] = {
+  /** Shard layout shared by every rung: documents tokenize + int-intern
+    * ONCE; each width's sort/walk reads the same code buffer. */
+  private final class Interned(val ids: Array[Long], val buf: Array[Int],
+                               val docEnd: Array[Int],
+                               val inv: Array[String])
+
+  private def intern(docs: Iterator[(Long, Seq[String])]): Interned = {
     val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
     val codeBuf = new java.util.ArrayList[Int]()
     val docEnd = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -74,10 +99,34 @@ object SuffixArray {
       }
       docEnd += codeBuf.size()
     }
-    if (ids.isEmpty) return Iterator.empty
     val buf = new Array[Int](codeBuf.size())
     var bi = 0
     while (bi < buf.length) { buf(bi) = codeBuf.get(bi); bi += 1 }
+    new Interned(ids.toArray, buf, docEnd.toArray, inv.toArray)
+  }
+
+  private[text] def shardWindows(docs: Iterator[(Long, Seq[String])],
+                                 w: Int): Iterator[(Long, Long, Long)] = {
+    val in = intern(docs)
+    if (in.ids.isEmpty) Iterator.empty else walkWidth(in, w)
+  }
+
+  /** One interned shard, every rung: (w, h, doc_id, c) — row-identical
+    * to per-width [[shardWindows]] runs over the same documents. */
+  private[text] def shardWindowsMulti(docs: Iterator[(Long, Seq[String])],
+                                      ws: Array[Int])
+      : Iterator[(Int, Long, Long, Long)] = {
+    val in = intern(docs)
+    if (in.ids.isEmpty) Iterator.empty
+    else ws.iterator.flatMap(w =>
+      walkWidth(in, w).map { case (h, d, c) => (w, h, d, c) })
+  }
+
+  private def walkWidth(in: Interned, w: Int): Iterator[(Long, Long, Long)] = {
+    val ids = in.ids
+    val buf = in.buf
+    val docEnd = in.docEnd
+    val inv = in.inv
 
     // valid window starts: inside one document, w tokens available;
     // doc of a position resolves by walking docEnd in the same pass

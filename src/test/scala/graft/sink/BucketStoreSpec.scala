@@ -222,4 +222,33 @@ class BucketStoreSpec extends SparkTestBase {
         ("d1", 5000L, 5000L, 1L, "ttl")))
     } finally q.stop()
   }
+
+  test("empty-store probe short-circuits: touched-bucket set never computed") {
+    // r19 optimization: readBuckets takes the bucket list BY-NAME and
+    // skips it (a distinct+collect Spark action over the probe batch)
+    // when the store holds no generation and no writer is staged —
+    // the first batch of every standing-store pipeline probes stores
+    // that do not exist yet.
+    val root = Files.createTempDirectory("bstore_empty").toString
+    val missing = root + "/never_written"
+    val schema = Seq(("k", 1L)).toDF("dev", "v").schema
+    assert(BucketStore.isEmptyStore(spark, missing))
+    var evaluated = false
+    val out = BucketStore.readBuckets(spark, missing, schema,
+      { evaluated = true; Seq(0, 1, 2) })
+    assert(out.isEmpty && !evaluated,
+      "bucket list must not be evaluated for an absent store")
+    // an existing-but-empty scratch dir (newScratchDir creates it) is
+    // equally empty ...
+    assert(BucketStore.isEmptyStore(spark, root))
+    // ... and a written store is not: the probe path reads its rows
+    val live = root + "/live"
+    BucketStore.upsert(spark, Seq(("d1", 1L)).toDF("dev", "v"), live,
+      Seq("dev"), N)
+    assert(!BucketStore.isEmptyStore(spark, live))
+    val probe = BucketStore.readBuckets(spark, live, schema,
+      BucketStore.touchedBuckets(Seq(("d1", 0L)).toDF("dev", "v"),
+        Seq("dev"), N))
+    assert(probe.select($"dev").as[String].collect().toSeq == Seq("d1"))
+  }
 }

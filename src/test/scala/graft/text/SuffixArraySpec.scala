@@ -45,4 +45,22 @@ class SuffixArraySpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(one == many && one == viaGrams)
   }
+
+  test("multi-width single pass == per-width passes, every rung") {
+    // the r19 dup_span_ladder optimization: one interned shard pass
+    // emitting every rung must be row-identical to running the
+    // single-width pass once per rung over the same documents
+    val ws = Seq(2, 4, 8)
+    val multi = SuffixArray
+      .windowOccurrencesMulti(docs, "doc_id", "text", ws)
+      .as[(Int, Long, Long, Long)].collect().toSet
+    val perWidth = ws.flatMap { w =>
+      SuffixArray.windowOccurrences(docs, "doc_id", "text", w)
+        .as[(Long, Long, Long)].collect()
+        .map { case (h, d, c) => (w, h, d, c) }
+    }.toSet
+    assert(multi == perWidth)
+    // every rung is populated down to the widest that fits a doc
+    assert(ws.forall(w => multi.exists(_._1 == w)))
+  }
 }
