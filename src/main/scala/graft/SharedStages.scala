@@ -308,6 +308,42 @@ object SharedStages {
       graft.queries.MiningQueries.buildLexPruned(s, dir).localCheckpoint()
     }
 
+  /** Materialized distinct RP-LSH bucket-collision candidate pairs
+    * (a_id, b_id) over `embeddings(dir)` at the gated
+    * [[graft.embed.RpLsh.widthFor]] width — ONE bucket pass + self-join
+    * shared by the raw-cosine scored table ([[rpScored]]) AND the
+    * ABTT-residual twin ([[abttRpPairs]]): bucketing is always on the
+    * raw vectors, so both metrics verify the same candidate set. */
+  def rpCands(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "rpCands") {
+      graft.embed.RpLsh
+        .candPairs(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .localCheckpoint()
+    }
+
+  /** Materialized UNthresholded exact-cosine RP candidate scores
+    * (a_id, b_id, cos) — every raw-metric annPairs consumer differs
+    * only in its threshold (ann_rp_lsh 0.35, semdedup_prune 0.4,
+    * cos_calibration −1.0, whiten gate raw branch 0.35), which is a
+    * filter over these rows; each previously re-ran the bucket pass,
+    * candidate self-join and scoring joins per invocation. */
+  def rpScored(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "rpScored") {
+      graft.embed.RpLsh
+        .annScoredFrom(rpCands(s, dir), Tables.embeddings(s, dir),
+          "vec_id", "embedding")
+        .localCheckpoint()
+    }
+
+  /** Materialized ABTT-residual RP pair table (a_id, b_id, cos ≥ τ) —
+    * consumed by the abtt_pairs_rp report AND whiten_force_rp's abtt
+    * branch, each of which previously re-ran the residual projection +
+    * candidate scoring per invocation. */
+  def abttRpPairs(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "abttRpPairs") {
+      graft.queries.EmbedQueries.buildAbttPairsRp(s, dir).localCheckpoint()
+    }
+
   /** Materialized stride-1 window-hash position table (doc_id, pos, h)
     * at the substring-dedup width W = 8, h-keyed — the corpus gram+md5
     * pass shared by substr_scrub (position-level excision) and

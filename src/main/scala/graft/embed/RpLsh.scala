@@ -102,16 +102,26 @@ object RpLsh {
         .as("bucket"))
   }
 
-  /** Verified ANN pairs: bucket-collision candidates with exact quantized
-    * cosine ≥ threshold. */
-  def annPairs(embeds: DataFrame, idCol: String, embCol: String,
-               threshold: Double): DataFrame = {
+  /** Distinct bucket-collision candidate pairs (a_id, b_id) — the
+    * candidate half of [[annPairs]], factored so the raw-cosine and
+    * residual-cosine consumers can share ONE materialization of the
+    * bucket self-join (the same candidates verify under either metric;
+    * bucketing is always on the raw vectors). */
+  def candPairs(embeds: DataFrame, idCol: String, embCol: String): DataFrame = {
     val bk = buckets(embeds, idCol, embCol)
-    val cands = bk.as("a").join(bk.as("b"),
+    bk.as("a").join(bk.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
       .distinct()
+  }
+
+  /** Exact quantized cosine for every candidate pair, UNthresholded —
+    * the shared scored-pair table: every annPairs consumer differs only
+    * in its threshold, which is a filter over these rows. `cands` is a
+    * parameter so a memoized [[candPairs]] can be passed in. */
+  def annScoredFrom(cands: DataFrame, embeds: DataFrame, idCol: String,
+                    embCol: String): DataFrame = {
     val qd = Similarity.quantized(embeds, idCol, embCol)
       .select(col(idCol), col("q"), col("nq"))
     cands
@@ -125,9 +135,15 @@ object RpLsh {
       .filter(col("na") > 0 && col("nb") > 0)
       .withColumn("dot", Similarity.dotQ("qa", "qb"))
       .withColumn("cos", Similarity.cosine(col("dot"), col("na"), col("nb")))
-      .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))
   }
+
+  /** Verified ANN pairs: bucket-collision candidates with exact quantized
+    * cosine ≥ threshold. */
+  def annPairs(embeds: DataFrame, idCol: String, embCol: String,
+               threshold: Double): DataFrame =
+    annScoredFrom(candPairs(embeds, idCol, embCol), embeds, idCol, embCol)
+      .filter(col("cos") >= threshold)
 
   // ------------------------------------------------------------ oracle
 

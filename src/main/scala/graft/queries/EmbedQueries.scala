@@ -152,7 +152,10 @@ object EmbedQueries {
   // LSH recall at this angle is partial BY DESIGN - the oracle mirrors
   // the identical candidate generation, so results still hash-match).
   private def annRpLsh(s: SparkSession, d: String): DataFrame =
-    RpLsh.annPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)
+    // threshold filter over the family's shared scored-candidate table
+    // ([[graft.SharedStages.rpScored]]) — identical rows to the former
+    // per-invocation RpLsh.annPairs run
+    graft.SharedStages.rpScored(s, d).filter(col("cos") >= 0.35)
 
   private val annRpLshSql =
     s"""WITH ${Similarity.duckdbQuantizedCte},
@@ -1111,7 +1114,8 @@ object EmbedQueries {
       .withColumn("rn", row_number().over(aw))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("seed_id").as("cell"))
-    val pairs = RpLsh.annPairs(e, "vec_id", "embedding", SemTau)
+    val pairs = graft.SharedStages.rpScored(s, d)
+      .filter(col("cos") >= SemTau)
     val sameCell = pairs
       .join(assign.select(col("vec_id").as("a_id"), col("cell")), "a_id")
       .join(assign.select(col("vec_id").as("b_id"), col("cell").as("cell_b")),
@@ -1757,15 +1761,14 @@ object EmbedQueries {
       .select(col("vec_id"), col("r"), col("nr"))
   }
 
-  private def abttPairsRp(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+  /** Built once per (session, dir) via
+    * [[graft.SharedStages.abttRpPairs]]; the raw-vector bucket
+    * candidates come from the shared [[graft.SharedStages.rpCands]]
+    * materialization (one bucket pass + self-join serves the raw AND
+    * residual metrics). */
+  private[graft] def buildAbttPairsRp(s: SparkSession, d: String): DataFrame = {
     val res = abttResidualsDf(s, d)
-    val bk = RpLsh.buckets(emb, "vec_id", "embedding")
-    val cands = bk.as("a").join(bk.as("b"),
-        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .distinct()
+    val cands = graft.SharedStages.rpCands(s, d)
     cands
       .join(res.select(col("vec_id").as("a_id"), col("r").as("ra"),
         col("nr").as("na")), "a_id")
@@ -1811,9 +1814,9 @@ object EmbedQueries {
                            thr: String = WhitenForceThr): DataFrame = {
     val share = graft.SharedStages.pcaTopK(s, d).head.evRatio
     val abtt = share >= thr.toDouble
-    val pairs = if (abtt) abttPairsRp(s, d)
-                else RpLsh.annPairs(Tables.embeddings(s, d),
-                  "vec_id", "embedding", 0.35)
+    val pairs = if (abtt) graft.SharedStages.abttRpPairs(s, d)
+                else graft.SharedStages.rpScored(s, d)
+                  .filter(col("cos") >= 0.35)
     pairs.withColumn("mode", lit(if (abtt) "abtt" else "raw"))
       .select(col("mode"), col("a_id"), col("b_id"), col("cos"))
   }
@@ -2435,7 +2438,7 @@ object EmbedQueries {
   // full dedup pass. Candidates stay bucket-bounded — never all-pairs —
   // and the output is ≤ 41 bucket rows at any corpus size.
   private def cosCalibration(s: SparkSession, d: String): DataFrame =
-    RpLsh.annPairs(Tables.embeddings(s, d), "vec_id", "embedding", -1.0)
+    graft.SharedStages.rpScored(s, d).filter(col("cos") >= -1.0)
       .withColumn("bucket", floor(col("cos") * 20).cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_pairs"))
@@ -2580,7 +2583,8 @@ object EmbedQueries {
       Some(whitenGateSqlFor(WhitenForceThr))),
     QueryDef("pca_project", pcaProject, Some(pcaProjectSql)),
     QueryDef("abtt_pairs", abttPairs, Some(abttPairsSql)),
-    QueryDef("abtt_pairs_rp", abttPairsRp, Some(abttPairsRpSql)),
+    QueryDef("abtt_pairs_rp",
+      (s, d) => graft.SharedStages.abttRpPairs(s, d), Some(abttPairsRpSql)),
     QueryDef("whiten_force_rp",
       whitenGateRp(_, _, WhitenForceThr),
       Some(whitenGateRpSqlFor(WhitenForceThr))),
