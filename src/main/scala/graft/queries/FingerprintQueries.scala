@@ -319,6 +319,11 @@ object FingerprintQueries {
     // rollup: partitioning by h clusters (w, h) too, so the per-rung
     // stages reuse it — 4 exchanges → 1, with identical per-rung rows
     // (w rides the rows; rungs never mix because w is in every key).
+    // A/B'd at sf1 on one box: fused 5.0 s vs the union-of-rungs form
+    // 7.2 s (the committed r18 sf1 number was a friendlier-box draw);
+    // widening the fused exchange or the shard spread to rungs×
+    // parallelism measured WORSE (more, smaller shuffle blocks), so
+    // both stay at the session defaults.
     val occ = graft.text.SuffixArray
       .windowOccurrencesMulti(Tables.documents(s, d), "doc_id", "text",
         SpanLadder)
