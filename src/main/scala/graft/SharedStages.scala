@@ -354,6 +354,24 @@ object SharedStages {
       graft.queries.FingerprintQueries.buildSubWinPos(s, dir).localCheckpoint()
     }
 
+  /** Materialized per-doc Gopher rule report (doc_id, rule verdicts,
+    * keep) — one row per doc; consumed by gopher_rules (the report),
+    * quality_auc (the gate side of the AUC) and quality_ensemble (the
+    * rule stage), each of which previously re-ran the map-only rule
+    * pass per invocation. */
+  def gopherReport(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "gopherReport") {
+      graft.queries.TextQueries.buildGopherRules(s, dir).localCheckpoint()
+    }
+
+  /** Materialized per-doc language-ID report (doc_id, lang_label,
+    * lang_pred, per-language scores) — consumed by lang_id,
+    * lang_confusion and quality_ensemble. */
+  def langIdReport(s: SparkSession, dir: String): DataFrame =
+    stage(s, dir, "langIdReport") {
+      graft.queries.TextQueries.buildLangId(s, dir).localCheckpoint()
+    }
+
   /** Materialized per-doc BM25 report (doc_id, s_<term>…, score) — one
     * row per doc; consumed by bm25_topk (the top-10 report) AND
     * hybrid_rrf (the lexical arm of the rank fusion), each of which

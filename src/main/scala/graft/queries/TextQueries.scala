@@ -80,7 +80,14 @@ object TextQueries {
   // which rule rejects what (the report Gopher's appendix tabulates).
   // Map-only column arithmetic over one scan; composes with
   // curation_funnel/dsir_resample as the cheap first gate at 100 TB.
+  /** Built once per (session, dir) via
+    * [[graft.SharedStages.gopherReport]] — three query consumers
+    * (gopher_rules, quality_auc's gate side, quality_ensemble's
+    * rule stage) previously each re-ran the map-only rule pass. */
   private def gopherRules(s: SparkSession, d: String): DataFrame =
+    graft.SharedStages.gopherReport(s, d)
+
+  private[graft] def buildGopherRules(s: SparkSession, d: String): DataFrame =
     Tables.parallelize(Tables.documents(s, d))
       .withColumn("toks", tokens(col("text")))
       .select(
@@ -147,7 +154,14 @@ object TextQueries {
   // ------------------------------------------------------------ lang_id
   // n-gram/marker-word language scoring with deterministic priority-order
   // argmax; emits the per-language scores alongside the prediction.
-  private def langId(s: SparkSession, d: String): DataFrame = {
+  /** Built once per (session, dir) via
+    * [[graft.SharedStages.langIdReport]] — three query consumers
+    * (lang_id, lang_confusion, quality_ensemble's language gate)
+    * previously each re-ran the marker scoring pass. */
+  private def langId(s: SparkSession, d: String): DataFrame =
+    graft.SharedStages.langIdReport(s, d)
+
+  private[graft] def buildLangId(s: SparkSession, d: String): DataFrame = {
     val withScores = langMarkers.foldLeft(
       Tables.parallelize(Tables.documents(s, d))
         .withColumn("toks", tokens(col("text")))) {
